@@ -1,0 +1,748 @@
+"""Relational query surface: joins, window functions, aggregations,
+set operations, sorts/top-k, grouping sets.
+
+The reference has NONE of these (SURVEY.md §2 "explicit absence": no
+operator in the reference's src/main/scala/** reads more than one
+stream; its only grouping op is partition-by-type at
+processing/Common.scala:60-71 and its only aggregate is the per-batch
+min-timestamp/count at processing/Batch.scala:36-43). This module is
+the query capability the north star requires over the sunk data —
+expressed purely with DataFrame ops so Catalyst supplies pushdown,
+pruning, join selection and AQE at 100 TB.
+
+Scale notes per operator are inline; the general rules:
+- dimension joins (region/nation) are explicit ``broadcast()``;
+- fact-fact joins shuffle on their keys and rely on AQE skew handling;
+- top-k is Window + filter (no global sort of the full data);
+- float SUMs run in DECIMAL(38,6) for addition-order determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+# --- deterministic float aggregation helpers -------------------------------
+
+DEC = "decimal(38,6)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent SUM over doubles: exact decimal accumulation,
+    then one cast to the nearest double. Matches the oracle pattern
+    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """avg = decimal-sum / count, evaluated in double (deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def DSUM(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def DAVG(expr: str) -> str:
+    return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"
+
+
+# --- aggregation ------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity')} AS sum_qty,
+           {DSUM('l_extendedprice')} AS sum_base_price,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {DAVG('l_quantity')} AS avg_qty,
+           {DAVG('l_extendedprice')} AS avg_price,
+           {DAVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate. Flagship scan query.
+
+    Scale: single shuffle (partial aggregation map-side first); the
+    shipdate filter and 7-column projection push into the parquet scan
+    (PushedFilters/ReadSchema in explain).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS order_cnt
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 2
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (absent in reference; SURVEY §2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("order_cnt"))
+        .filter(F.col("order_cnt") > 2)
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_partkey,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supp_cnt,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS order_cnt
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (reference has none; SURVEY §2).
+
+    Scale: Spark expands multi-distinct into an Expand + two-stage agg;
+    partial aggregation still applies per distinct column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        F.countDistinct("l_orderkey").alias("order_cnt"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (absent in reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (absent in reference)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@query(
+    "agg_conditional_pivot",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p,
+           {DSUM("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation / manual pivot by order status."""
+    orders = load_table(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.when(st == "F", 1)).alias("cnt_f"),
+        F.count(F.when(st == "O", 1)).alias("cnt_o"),
+        F.count(F.when(st == "P", 1)).alias("cnt_p"),
+        dsum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(F.lit(0.0))
+        ).alias("urgent_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (absent in reference)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS customer_cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension join with explicit broadcast.
+
+    Scale: nation (25 rows) and region (5 rows) are broadcast to every
+    executor — zero shuffle for the join itself; only the final groupBy
+    shuffles, on a low-cardinality key that AQE coalesces.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("customer_cnt"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact join + top-k.
+
+    Scale: customer filter cuts one side before the shuffle join;
+    orderkey join is a shuffle join AQE can re-plan; final top-10 is a
+    takeOrdered, not a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, local-supplier condition.
+
+    Scale: nation/region broadcast; supplier is comparatively small and
+    also broadcast-eligible (AQE decides from runtime stats); the two
+    fact joins shuffle on custkey/orderkey.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Scale: semi-join shuffles only keys of
+    the probe side; no row multiplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_outer_counts",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS order_cnt,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 0) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving zero-order customers."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('cheap', 0.0, 500.0), ('mid', 500.0, 1200.0),
+               ('expensive', 1200.0, 1e9)
+    )
+    SELECT band, COUNT(*) AS part_cnt,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a small band table.
+
+    Scale: the band side is tiny and broadcast → a broadcast
+    nested-loop join evaluating the range predicate per row; never a
+    cartesian shuffle.
+    """
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("cheap", 0.0, 500.0), ("mid", 500.0, 1200.0), ("expensive", 1200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(F.broadcast(bands), (p.p_retailprice >= F.col("lo")) & (p.p_retailprice < F.col("hi")))
+        .groupBy("band")
+        .agg(F.count("*").alias("part_cnt"), dsum("p_retailprice").alias("sum_price"))
+    )
+
+
+@query(
+    "join_argmin_supplier",
+    oracle="""
+    SELECT n_name AS nation, s_name, s_acctbal
+    FROM (
+      SELECT n_name, s_name, s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal ASC, s_suppkey) AS rn
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ) WHERE rn = 1
+    """,
+)
+def join_argmin_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group (TPC-H Q2 kernel): cheapest supplier per nation."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey"))
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("n_name").alias("nation"), "s_name", "s_acctbal")
+    )
+
+
+@query(
+    "join_self_correlation",
+    oracle="""
+    SELECT a.l_orderkey, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    WHERE a.l_returnflag = 'R'
+    GROUP BY a.l_orderkey
+    """,
+)
+def join_self_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join within order groups (co-located: both sides hash on
+    the same key, so one shuffle partitioning serves both)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.alias("a").filter(F.col("l_returnflag") == "R")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+
+
+# --- window functions --------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (absent in reference).
+
+    Scale: one shuffle on custkey; no global sort. Skewed customers are
+    bounded by rn<=3 early via WindowGroupLimit in recent Spark.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (analytic frame; absent in reference).
+    Decimal accumulation keeps the running sum order-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice - LAG(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS price_delta,
+           LEAD(o_orderkey) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS next_orderkey
+    FROM orders
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation within customer order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).cast("double").alias("price_delta"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT l_suppkey,
+           RANK() OVER (ORDER BY supp_rev DESC, l_suppkey) AS rev_rank,
+           DENSE_RANK() OVER (ORDER BY cnt DESC) AS cnt_rank,
+           supp_rev, cnt
+    FROM (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS supp_rev,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    )
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank over an aggregated input.
+
+    Scale: the inner agg reduces cardinality to #suppliers before the
+    single-partition global rank — ranking never sees raw fact rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(
+        dsum("l_extendedprice").alias("supp_rev"), F.count("*").alias("cnt")
+    )
+    return agg.select(
+        "l_suppkey",
+        F.rank().over(Window.orderBy(F.col("supp_rev").desc(), F.col("l_suppkey"))).alias("rev_rank"),
+        F.dense_rank().over(Window.orderBy(F.col("cnt").desc())).alias("cnt_rank"),
+        "supp_rev",
+        "cnt",
+    )
+
+
+@query(
+    "window_ntile_moving",
+    oracle="""
+    SELECT event_id, user_id,
+           NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
+           CAST(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg
+    FROM events
+    """,
+)
+def window_ntile_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing + 3-row moving average over the event stream.
+
+    The 3-row AVG frame is order-fixed, so plain double math is
+    deterministic (no decimal detour needed).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.avg("value").over(w.rowsBetween(-2, 0)).cast("double").alias("moving_avg"),
+    )
+
+
+# --- sorts / limits / top-k ---------------------------------------------------
+
+
+@query(
+    "sort_topk_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 25
+    """,
+)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — each partition
+    keeps k rows, driver merges; no full sort at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(25)
+    )
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey
+    LIMIT 100
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort with limit."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_nationkey", "c_acctbal")
+        .orderBy(F.col("c_nationkey").asc(), F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(100)
+    )
+
+
+# --- set operations -----------------------------------------------------------
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two customer segments."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both fulfilled and open orders."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customer keys never appearing in orders."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# --- subqueries ----------------------------------------------------------------
+
+
+@query(
+    "subquery_scalar_agg",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity > (SELECT AVG(l_quantity) * 1.8 FROM lineitem)
+    """,
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in predicate (Catalyst plans a broadcast of the
+    1-row subquery result; the avg itself is a partial agg)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_quantity > (SELECT AVG(l_quantity) * 1.8 FROM lineitem)
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join under Catalyst."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+        """
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory with defaults tuned for both local testing and
+large-cluster execution.
+
+The reference has no session concept (one hard-wired JVM pipeline,
+S3Loader.scala:35-69); here the session IS the engine runtime, and the
+scale knobs that matter at 100 TB are set declaratively so Catalyst/AQE
+can do the physical planning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale-out behavior, overridable per call:
+# - AQE on: runtime shuffle-partition coalescing + skew-join splitting
+#   replaces hand-tuned partition counts when data is skewed.
+# - Arrow on: every pandas_udf / mapInPandas crosses the JVM<->Python
+#   boundary in columnar batches instead of pickled rows.
+# - shuffle.partitions: a *starting* number; AQE coalesces down. On a
+#   real cluster this should be ~2-3x total cores; tests override to a
+#   small value.
+_SCALE_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "kinesis-s3-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster, leave it unset and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_SCALE_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
