@@ -1,0 +1,202 @@
+"""Loader configuration (reference O21, Config.scala:42-236).
+
+The reference loads HOCON into a strict ADT with human-readable decode
+errors (Config.load, Config.scala:51-60). Here: frozen dataclasses
+loaded from a JSON file/dict with the same field structure and the
+same validation behavior (unknown purpose/compression/position →
+error message naming the field and allowed values).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Any
+
+
+class ConfigError(ValueError):
+    """Human-readable config decode failure (mirrors the Left branch
+    of Config.load, Main.scala:39-45 exits 1 with the message)."""
+
+
+class Purpose(str, Enum):
+    """Config.scala:110-130."""
+
+    RAW = "RAW"
+    SELF_DESCRIBING = "SELF_DESCRIBING"
+    ENRICHED_EVENTS = "ENRICHED_EVENTS"
+
+    @classmethod
+    def parse(cls, s: str) -> "Purpose":
+        try:
+            return cls(s.strip().upper().replace("-", "_"))
+        except ValueError:
+            raise ConfigError(
+                f"purpose {s!r} is not one of {[p.value for p in cls]}"
+            ) from None
+
+
+class InitialPosition(str, Enum):
+    """Config.scala:62-106 (AT_TIMESTAMP carries a timestamp)."""
+
+    LATEST = "LATEST"
+    TRIM_HORIZON = "TRIM_HORIZON"
+    AT_TIMESTAMP = "AT_TIMESTAMP"
+
+
+class Compression(str, Enum):
+    """Config.scala output.s3.compression; LZO is satisfied by parquet's
+    native splittability (SURVEY §7 risk 4)."""
+
+    GZIP = "GZIP"
+    PARQUET = "PARQUET"  # engine-native splittable default
+
+
+@dataclass(frozen=True)
+class InputConfig:
+    """Config.scala:108 — the Kinesis input stream; ``kind`` selects
+    the Structured Streaming source (file source for tests/dev)."""
+
+    stream_name: str
+    kind: str = "file"  # "file" | "kinesis" | "rate"
+    region: str | None = None
+    position: InitialPosition = InitialPosition.LATEST
+    position_timestamp: str | None = None
+    max_records: int = 10_000  # input.maxRecords, S3Loader.scala:118
+    path: str | None = None  # file source input directory
+    format: str = "parquet"  # file source format
+
+
+@dataclass(frozen=True)
+class S3OutputConfig:
+    """Config.scala output.s3 (path, compression, partitioning)."""
+
+    path: str
+    compression: Compression = Compression.GZIP
+    date_format: str | None = None  # {YYYY}/{MM}-style template (O12)
+    filename_prefix: str | None = None
+    partition_for_purpose: bool = True  # partition SDJ batches by row_type
+    max_timeout_ms: int = 120_000  # retry window; maps to query restart
+
+
+@dataclass(frozen=True)
+class OutputConfig:
+    s3: S3OutputConfig
+    bad_path: str | None = None  # dead-letter sink (Config.scala:155)
+
+
+@dataclass(frozen=True)
+class BufferConfig:
+    """Config.scala:172 — flush thresholds. In Spark, time_limit_ms is
+    the micro-batch trigger; record_limit caps records per trigger;
+    byte_limit is a documented semantic difference (SURVEY §7 risk 1).
+    """
+
+    byte_limit: int = 2048
+    record_limit: int = 10
+    time_limit_ms: int = 5000
+
+
+@dataclass(frozen=True)
+class MonitoringConfig:
+    """Config.scala monitoring — StatsD + lifecycle tracking."""
+
+    statsd_host: str | None = None
+    statsd_port: int = 8125
+    statsd_prefix: str = "snowplow.s3loader"
+    statsd_tags: dict[str, str] = field(default_factory=dict)
+    heartbeat_interval_ms: int = 300_000  # SnowplowTracking.scala:55
+
+
+@dataclass(frozen=True)
+class LoaderConfig:
+    purpose: Purpose
+    input: InputConfig
+    output: OutputConfig
+    buffer: BufferConfig = field(default_factory=BufferConfig)
+    monitoring: MonitoringConfig = field(default_factory=MonitoringConfig)
+    checkpoint_location: str | None = None  # KCL DynamoDB lease analogue
+
+
+def _require(d: dict, key: str, ctx: str) -> Any:
+    if key not in d:
+        raise ConfigError(f"missing required field {ctx}.{key}")
+    return d[key]
+
+
+def from_dict(d: dict[str, Any]) -> LoaderConfig:
+    try:
+        purpose = Purpose.parse(_require(d, "purpose", "config"))
+        inp = _require(d, "input", "config")
+        out = _require(d, "output", "config")
+        s3 = _require(out, "s3", "config.output")
+        compression = s3.get("compression", "GZIP").strip().upper()
+        if compression not in Compression.__members__:
+            raise ConfigError(
+                f"output.s3.compression {compression!r} is not one of "
+                f"{list(Compression.__members__)}"
+            )
+        position = inp.get("position", "LATEST").strip().upper()
+        if position not in InitialPosition.__members__:
+            raise ConfigError(
+                f"input.position {position!r} is not one of "
+                f"{list(InitialPosition.__members__)}"
+            )
+        buf = d.get("buffer", {})
+        mon = d.get("monitoring", {})
+        return LoaderConfig(
+            purpose=purpose,
+            input=InputConfig(
+                stream_name=_require(inp, "stream_name", "config.input"),
+                kind=inp.get("kind", "file"),
+                region=inp.get("region"),
+                position=InitialPosition[position],
+                position_timestamp=inp.get("position_timestamp"),
+                max_records=int(inp.get("max_records", 10_000)),
+                path=inp.get("path"),
+                format=inp.get("format", "parquet"),
+            ),
+            output=OutputConfig(
+                s3=S3OutputConfig(
+                    path=_require(s3, "path", "config.output.s3"),
+                    compression=Compression[compression],
+                    date_format=s3.get("date_format"),
+                    filename_prefix=s3.get("filename_prefix"),
+                    partition_for_purpose=bool(s3.get("partition_for_purpose", True)),
+                    max_timeout_ms=int(s3.get("max_timeout_ms", 120_000)),
+                ),
+                bad_path=out.get("bad_path"),
+            ),
+            buffer=BufferConfig(
+                byte_limit=int(buf.get("byte_limit", 2048)),
+                record_limit=int(buf.get("record_limit", 10)),
+                time_limit_ms=int(buf.get("time_limit_ms", 5000)),
+            ),
+            monitoring=MonitoringConfig(
+                statsd_host=mon.get("statsd_host"),
+                statsd_port=int(mon.get("statsd_port", 8125)),
+                statsd_prefix=mon.get("statsd_prefix", "snowplow.s3loader"),
+                statsd_tags=dict(mon.get("statsd_tags", {})),
+                heartbeat_interval_ms=int(mon.get("heartbeat_interval_ms", 300_000)),
+            ),
+            checkpoint_location=d.get("checkpoint_location"),
+        )
+    except ConfigError:
+        raise
+    except (TypeError, ValueError) as e:
+        raise ConfigError(f"invalid config value: {e}") from e
+
+
+def load(path: str | Path) -> LoaderConfig:
+    """Config.load equivalent (Config.scala:51-60): file → dataclass,
+    or a ConfigError whose message pinpoints the problem."""
+    p = Path(path)
+    if not p.exists():
+        raise ConfigError(f"config file {p} does not exist")
+    try:
+        data = json.loads(p.read_text())
+    except json.JSONDecodeError as e:
+        raise ConfigError(f"config file {p} is not valid JSON: {e}") from e
+    return from_dict(data)

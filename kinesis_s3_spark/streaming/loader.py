@@ -1,0 +1,112 @@
+"""The continuously-running loader (reference O1-O4 + O14 wiring:
+S3Loader.run at S3Loader.scala:35-69, KCL worker at
+KinesisSourceExecutor.scala:44-151).
+
+Reference → Spark mapping (SURVEY §3.2):
+- KCL worker + shard leases in DynamoDB → Structured Streaming query +
+  ``checkpointLocation`` WAL (offsets/commits);
+- BasicMemoryBuffer(byte|record|time limit) → micro-batch trigger:
+  ``processingTime=buffer.time_limit_ms`` approximates timeLimit,
+  ``maxFilesPerTrigger``/``maxRecordsPerTrigger`` approximate
+  recordLimit; byteLimit has no Spark knob (documented semantic
+  difference, SURVEY §7 risk 1 — same records land, batch boundaries
+  may differ);
+- emitter retry-forever-then-halt → task retries + query restart
+  policy (exactly-once file sink).
+
+The Kinesis source itself needs a connector jar on a real deployment
+(``spark-sql-kinesis`` or Kinesis EFO connector); tests and local dev
+use the file source behind the same build function, mirroring how the
+reference never integration-tests KCL either (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kinesis_s3_spark.config import InitialPosition, LoaderConfig
+from kinesis_s3_spark.sinks.emitter import emit
+
+
+def build_stream(spark: SparkSession, cfg: LoaderConfig) -> DataFrame:
+    """O1: the source. Returns a streaming DataFrame with a ``value``
+    column (string payload), the IdentityTransformer contract (O2)."""
+    inp = cfg.input
+    if inp.kind == "file":
+        if not inp.path:
+            raise ValueError("file input requires input.path")
+        reader = (
+            spark.readStream.format(inp.format)
+            .option("maxFilesPerTrigger", max(1, inp.max_records))
+        )
+        if inp.format in ("text", "json", "csv"):
+            df = reader.load(inp.path)
+            if "value" not in df.columns:
+                raise ValueError("text-like input must yield a value column")
+            return df.select(F.col("value").cast("string").alias("value"))
+        # parquet file source needs an explicit schema-bearing path
+        df = reader.schema(spark.read.format(inp.format).load(inp.path).schema).load(inp.path)
+        if "value" not in df.columns:
+            raise ValueError("input stream must carry a 'value' column")
+        return df
+    if inp.kind == "rate":
+        # dev harness: synthesize records at a fixed rate
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", inp.max_records)
+            .load()
+            .select(F.col("value").cast("string").alias("value"))
+        )
+    if inp.kind == "kinesis":
+        # requires a kinesis connector on the classpath; options mirror
+        # Config.scala:62-106 (initial position) and S3Loader.scala:118
+        # (maxRecords → per-fetch cap)
+        reader = (
+            spark.readStream.format("aws-kinesis")
+            .option("kinesis.streamName", inp.stream_name)
+            .option("kinesis.region", inp.region or "us-east-1")
+            .option("kinesis.consumerType", "GetRecords")
+            .option(
+                "kinesis.startingPosition",
+                {
+                    InitialPosition.LATEST: "LATEST",
+                    InitialPosition.TRIM_HORIZON: "TRIM_HORIZON",
+                    InitialPosition.AT_TIMESTAMP: "AT_TIMESTAMP",
+                }[inp.position],
+            )
+            .option("kinesis.maxFetchRecordsPerShard", inp.max_records)
+        )
+        if inp.position is InitialPosition.AT_TIMESTAMP and inp.position_timestamp:
+            reader = reader.option("kinesis.startingTimestamp", inp.position_timestamp)
+        df = reader.load()
+        return df.select(F.col("data").cast("string").alias("value"))
+    raise ValueError(f"unknown input.kind {inp.kind!r}")
+
+
+def run_loader(
+    spark: SparkSession,
+    cfg: LoaderConfig,
+    on_flush=None,
+    query_name: str = "kinesis-s3-loader",
+) -> StreamingQuery:
+    """Wire source → trigger → foreachBatch(emit) → checkpoint and
+    start the query (the executor.run() analogue, S3Loader.scala:63-68;
+    call ``.awaitTermination()`` on the result to block like the
+    reference's main loop)."""
+    stream = build_stream(spark, cfg)
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        meta = emit(batch_df, batch_id, cfg)
+        if on_flush is not None:
+            on_flush(meta)
+
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .trigger(processingTime=f"{cfg.buffer.time_limit_ms} milliseconds")
+        .foreachBatch(_emit)
+    )
+    if cfg.checkpoint_location:
+        writer = writer.option("checkpointLocation", cfg.checkpoint_location)
+    return writer.start()

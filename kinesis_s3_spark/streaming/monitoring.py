@@ -1,0 +1,122 @@
+"""Monitoring side-effects (reference O18-O20).
+
+- StatsD (O18, monitoring/StatsD.scala:51-91): per-flush UDP datagrams
+  ``<prefix>.count:<n>|c|#tags`` and
+  ``<prefix>.latency_collector_to_load:<sec>|g|#tags`` — same wire
+  format (Datadog-style tags, StatsD.scala:83-91).
+- Lifecycle tracking (O19, SnowplowTracking.scala:89-197): app
+  initialized / shutdown / heartbeat / write-failure events → here a
+  pluggable callback + StreamingQueryListener, since the Snowplow
+  tracker endpoint is deployment-specific.
+- Sentry (O20, Monitoring.scala:62-65): behind an import-try; absent
+  SDK degrades to logging, matching the reference's optional DSN.
+
+All side-effects run on listener threads, off the execution hot path
+(the reference posts to the global ExecutionContext for the same
+reason, StatsD.scala:54-65).
+"""
+
+from __future__ import annotations
+
+import logging
+import socket
+from datetime import datetime, timezone
+
+from pyspark.sql.streaming import listener as L
+
+from kinesis_s3_spark.config import MonitoringConfig
+from kinesis_s3_spark.sinks.emitter import BatchMeta
+
+log = logging.getLogger("kinesis_s3_spark.monitoring")
+
+try:  # optional crash reporting (reference: sentry DSN config)
+    import sentry_sdk  # type: ignore
+except ImportError:  # pragma: no cover
+    sentry_sdk = None
+
+
+class StatsDClient:
+    """Minimal UDP StatsD emitter (StatsD.scala:83-91 wire format)."""
+
+    COUNT_METRIC = "count"  # StatsD.scala:17
+    LATENCY_METRIC = "latency_collector_to_load"  # StatsD.scala:18
+
+    def __init__(self, cfg: MonitoringConfig) -> None:
+        self.cfg = cfg
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def _tags(self) -> str:
+        if not self.cfg.statsd_tags:
+            return ""
+        kv = ",".join(f"{k}:{v}" for k, v in sorted(self.cfg.statsd_tags.items()))
+        return f"|#{kv}"
+
+    def send(self, name: str, value: str, kind: str) -> None:
+        if not self.cfg.statsd_host:
+            return
+        datagram = f"{self.cfg.statsd_prefix}.{name}:{value}|{kind}{self._tags()}"
+        try:
+            self._sock.sendto(
+                datagram.encode("utf-8"), (self.cfg.statsd_host, self.cfg.statsd_port)
+            )
+        except OSError as e:  # fire-and-forget, like the reference's Future
+            log.warning("statsd send failed: %s", e)
+
+    def report(self, meta: BatchMeta) -> None:
+        """StatsD.report + fromMeta (StatsD.scala:51-81)."""
+        self.send(self.COUNT_METRIC, str(meta.count), "c")
+        if meta.earliest_tstamp is not None:
+            earliest = meta.earliest_tstamp
+            if earliest.tzinfo is None:
+                earliest = earliest.replace(tzinfo=timezone.utc)
+            latency_sec = (datetime.now(timezone.utc) - earliest).total_seconds()
+            self.send(self.LATENCY_METRIC, f"{latency_sec:.3f}", "g")
+
+
+def capture_error(error: BaseException) -> None:
+    """O20 (Monitoring.captureError, Monitoring.scala:62-65)."""
+    if sentry_sdk is not None:  # pragma: no cover
+        sentry_sdk.capture_exception(error)
+    log.exception("pipeline error", exc_info=error)
+
+
+class LoaderListener(L.StreamingQueryListener):
+    """O19 lifecycle events via the streaming listener bus:
+    onQueryStarted → app_initialized, onQueryProgress → heartbeat,
+    onQueryTerminated → app_shutdown/storage_write_failed
+    (SnowplowTracking.scala:89-197)."""
+
+    def __init__(self, statsd: StatsDClient | None = None, tracker=None) -> None:
+        self.statsd = statsd
+        self.tracker = tracker  # callable(event_name: str, payload: dict)
+        self.events: list[tuple[str, dict]] = []  # in-memory trail for tests
+
+    def _track(self, name: str, payload: dict) -> None:
+        self.events.append((name, payload))
+        if self.tracker is not None:
+            try:
+                self.tracker(name, payload)
+            except Exception as e:  # noqa: BLE001 — monitoring must not kill the query
+                log.warning("tracker callback failed: %s", e)
+
+    def onQueryStarted(self, event: L.QueryStartedEvent) -> None:
+        self._track("app_initialized", {"id": str(event.id), "name": event.name})
+
+    def onQueryProgress(self, event: L.QueryProgressEvent) -> None:
+        p = event.progress
+        self._track(
+            "app_heartbeat",
+            {"batchId": p.batchId, "numInputRows": p.numInputRows},
+        )
+        if self.statsd is not None:
+            self.statsd.send("batch_rows", str(p.numInputRows), "c")
+
+    def onQueryIdle(self, event: L.QueryIdleEvent) -> None:
+        pass
+
+    def onQueryTerminated(self, event: L.QueryTerminatedEvent) -> None:
+        if event.exception:
+            self._track("storage_write_failed", {"error": str(event.exception)})
+            capture_error(RuntimeError(str(event.exception)))
+        else:
+            self._track("app_shutdown", {"id": str(event.id)})

@@ -1,0 +1,115 @@
+"""Scalar-core unit tests, porting the reference's pure-function specs
+1:1 (SURVEY §5): DynamicPathSpec, CommonSpec (partitioning + tstamp),
+KinesisS3EmitterSpec (filenames)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.functions.paths import base_filename, decorate_directory_with_time
+from kinesis_s3_spark.functions.schema_key import row_type_col
+from kinesis_s3_spark.functions.timestamps import collector_tstamp_col
+
+# Instant.ofEpochMilli(100000L) — the DynamicPathSpec fixture time
+T = datetime.fromtimestamp(100, tz=timezone.utc)
+
+
+class TestDynamicPath:
+    """DynamicPathSpec.scala:20-53, case for case."""
+
+    def test_one_time_pattern(self):
+        assert decorate_directory_with_time("something/{YYYY}/bar.gz", T) == "something/1970/bar.gz"
+
+    def test_multiple_time_patterns(self):
+        # {mm} is MINUTES in the Java pattern language (epoch+100 s → 01)
+        assert (
+            decorate_directory_with_time("something/{YYYY}/{mm}dy={dd}/bar.gz", T)
+            == "something/1970/01dy=01/bar.gz"
+        )
+
+    def test_invalid_time_format_keeps_literal(self):
+        # invalid pattern {foo} degrades to the literal text without braces
+        assert (
+            decorate_directory_with_time("something/{YYYY}/{mm}dy={dd}/{foo}/bar.gz", T)
+            == "something/1970/01dy=01/foo/bar.gz"
+        )
+
+    def test_no_format(self):
+        assert decorate_directory_with_time("bar.gz", T) == "bar.gz"
+
+    def test_slash_normalization(self):
+        assert decorate_directory_with_time("a//b///{YYYY}//c", T) == "a/b/1970/c"
+
+
+class TestBaseFilename:
+    """KinesisS3EmitterSpec.scala:28-66 naming scheme."""
+
+    def test_full_name(self):
+        t = datetime(2021, 3, 2, 12, 30, 45, tzinfo=timezone.utc)
+        assert (
+            base_filename(
+                t,
+                "firstSeq",
+                "lastSeq",
+                output_directory="outputDirectory",
+                date_format="{YYYY}/{MM}/{dd}",
+                filename_prefix="fileNamePrefix",
+                partition="com.acme.example/jsonschema-1",
+            )
+            == "outputDirectory/2021/03/02/fileNamePrefix-com.acme.example/jsonschema-1-2021-03-02-123045-firstSeq-lastSeq"
+        )
+
+    def test_minimal_name(self):
+        t = datetime(2021, 3, 2, 12, 30, 45, tzinfo=timezone.utc)
+        assert base_filename(t, "a", "b") == "2021-03-02-123045-a-b"
+
+    def test_prefix_no_partition(self):
+        t = datetime(2021, 3, 2, 0, 0, 0, tzinfo=timezone.utc)
+        assert base_filename(t, "1", "2", filename_prefix="pre") == "pre-2021-03-02-000000-1-2"
+
+
+class TestRowType:
+    """CommonSpec.scala:29-69 partition semantics: same-model schemas
+    group together; non-SDJ / non-JSON degrade to unpartitioned;
+    failed records become reading_error."""
+
+    FIXTURE = [
+        # (payload, expected row_type) — mirrors the CommonSpec mixed batch
+        ('{"schema":"iglu:com.acme1/example1/jsonschema/2-0-1","data":{}}', "com.acme1.example1/jsonschema-2"),
+        ('{"schema":"iglu:com.acme1/example1/jsonschema/2-0-0","data":{}}', "com.acme1.example1/jsonschema-2"),
+        ('{"schema":"iglu:com.acme1/example2/jsonschema/2-0-1","data":{"nested":{"a":[1,2]}}}', "com.acme1.example2/jsonschema-2"),
+        ('{"schema":"iglu:com.acme2/example1/jsonschema/1-0-0","data":null}', "com.acme2.example1/jsonschema-1"),
+        ('{"data":{"no":"schema"}}', "unpartitioned"),
+        ("not json at all", "unpartitioned"),
+        ('{"schema":"not-an-iglu-uri","data":{}}', "unpartitioned"),
+    ]
+
+    def test_partition_by_type(self, spark):
+        df = spark.createDataFrame([(v,) for v, _ in self.FIXTURE], "value string")
+        got = df.select(row_type_col(F.col("value")).alias("rt")).collect()
+        assert [r["rt"] for r in got] == [exp for _, exp in self.FIXTURE]
+
+    def test_reading_error_branch(self, spark):
+        df = spark.createDataFrame([("x", True), ("y", False)], "value string, failed boolean")
+        got = df.select(row_type_col(F.col("value"), F.col("failed")).alias("rt")).collect()
+        assert got[0]["rt"] == "reading_error"
+        assert got[1]["rt"] == "unpartitioned"
+
+
+class TestCollectorTstamp:
+    """CommonSpec.scala:71-77 / Common.scala:88-96: TSV field index 3,
+    space-separated UTC timestamp; unparseable → NULL (the Left)."""
+
+    def test_parse_ok(self, spark):
+        line = "app\tpc\t0\t2021-10-04 12:00:01\tmore"
+        df = spark.createDataFrame([(line,)], "value string")
+        got = df.select(collector_tstamp_col(F.col("value")).alias("t")).collect()[0]["t"]
+        assert got == datetime(2021, 10, 4, 12, 0, 1)
+
+    def test_parse_failures(self, spark):
+        rows = [("app\tpc\t0\tgarbage\tmore",), ("tooshort",)]
+        df = spark.createDataFrame(rows, "value string")
+        got = df.select(collector_tstamp_col(F.col("value")).alias("t")).collect()
+        assert all(r["t"] is None for r in got)
