@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (real execution,
+no driver collect overhead). One small warmup run amortizes JVM/codegen
+startup out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_s3_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Representative slice of the operator inventory: scan-agg, fact-fact
+# join, 6-way join, window, distinct-agg, ETL partition+flush, dedup
+# (LSH + simhash), text stats, ANN, multimodal decode.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_topk_per_group",
+    "agg_distinct",
+    "etl_row_type_partition",
+    "etl_buffer_flush",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_exact",
+    "text_token_stats",
+    "text_langid",
+    "ann_multi_query_topk",
+    "ann_lsh_bucketed",
+    "mm_image_decode_stub",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # warmup: JVM + codegen + parquet footer caches on the smoke SF
+    materialize(queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,393 @@
+"""Deduplication operator family for the LLM-data-pipeline surface
+(north-star extension; BASELINE.json): exact, normalized-exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All hash math is md5-based so Spark and the DuckDB oracle compute
+bit-identical signatures — the correctness gate then checks the WHOLE
+pipeline (shingling → signatures → banding → candidate join → verify),
+not just row counts.
+
+Scale design (the part that matters at 100 TB):
+- no all-pairs comparison anywhere except inside LSH/band buckets;
+- candidate generation is always a shuffle join on a band/bucket key;
+- signatures are one explode + one groupBy per doc (linear);
+- the only cross join in the file (embedding pairs) is the sf-scale
+  baseline; its scale path is the banded ANN in operators/ann.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.functions.text import ngrams_from_tokens, normalized_text, tokens
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3  # N_HASHES / N_BANDS
+JACCARD_THRESHOLD = 0.7
+SIMHASH_BITS = 60  # 15 hex chars of md5 → sign-safe in a BIGINT
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 identical 15-bit chunk
+
+
+# --- exact -------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id
+    (deterministic representative). One shuffle on the 128-bit hash —
+    uniformly distributed keys, no skew, linear at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(string_split_regex(trim(lower(text)), '\\s+')), ' '))
+             AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(array_to_string(list_sort(string_split_regex(trim(lower(text)), '\\s+')), ' '))
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: fingerprint of the lowercased,
+    whitespace-collapsed, token-sorted text (catches shuffled copies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(normalized_text(F.col("text"))).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, minhashes: array<string>) — min over shingles of
+    md5(seed|shingle) per seed. Linear: explode shingles × seeds,
+    partial min map-side, one shuffle on doc_id."""
+    shingled = docs.withColumn("toks", tokens(F.lower(F.col("text")))).select(
+        "doc_id", F.array_distinct(ngrams_from_tokens(F.col("toks"), 3)).alias("shingles")
+    )
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    seeded = exploded.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        F.col("s"),
+    )
+    per_seed = (
+        seeded.groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s")))).alias("m"))
+    )
+    return per_seed.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "m"))), lambda x: x["m"]
+        ).alias("minhashes")
+    )
+
+
+def lsh_band_keys(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): hash each band of the signature; docs
+    sharing any (band, band_key) are candidate pairs."""
+    bands = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.md5(
+                    F.concat_ws("", F.slice(F.col("minhashes"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND))
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    return bands
+
+
+_MINHASH_ORACLE = f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS gs
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    sh AS (SELECT doc_id, unnest(gs) AS s FROM ws),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS m
+      FROM sh, (SELECT unnest(range(0, {N_HASHES})) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) AS ms FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b,
+             md5(ms[b*{ROWS_PER_BAND}+1] || ms[b*{ROWS_PER_BAND}+2] || ms[b*{ROWS_PER_BAND}+3]) AS bk
+      FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.d1, c.d2,
+             CAST(len(list_intersect(g1.gs, g2.gs)) AS DOUBLE) /
+             (len(g1.gs) + len(g2.gs) - len(list_intersect(g1.gs, g2.gs))) AS j
+      FROM cand c JOIN ws g1 ON c.d1 = g1.doc_id JOIN ws g2 ON c.d2 = g2.doc_id
+    )
+    SELECT d1, d2, ROUND(j, 6) AS jaccard
+    FROM verified WHERE j >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → 12 minhashes → 4 bands ×
+    3 rows → band-bucket join → exact Jaccard verify ≥ 0.7.
+
+    Scale: candidates come ONLY from equal band keys (a shuffle join on
+    band_key — never all-pairs). The verify step joins shingle sets for
+    candidate pairs only. At 100 TB: same plan, plus a salt on
+    monster buckets; bands/rows tune the recall/cost curve.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = (
+        docs.withColumn("toks", tokens(F.lower(F.col("text"))))
+        .select("doc_id", F.array_distinct(ngrams_from_tokens(F.col("toks"), 3)).alias("gs"))
+        .cache()
+    )
+    sig = minhash_signatures(docs)
+    bands = lsh_band_keys(sig)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    g1 = shingled.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"))
+    g2 = shingled.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"))
+    inter = F.size(F.array_intersect("gs1", "gs2")).cast("double")
+    union = F.size("gs1") + F.size("gs2") - F.size(F.array_intersect("gs1", "gs2"))
+    return (
+        cand.join(g1, "d1")
+        .join(g2, "d2")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def _hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — identical in
+    DuckDB via ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over word hashes.
+
+    Scale: explode words → 60 conditional sums in ONE aggregate (no
+    per-bit row blowup), single shuffle on doc_id."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).withColumn("h", _hash60(F.col("w")))
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1).cast("long") * (2**j)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+_SIMHASH_FP_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest(string_split_regex(trim(lower(text)), '\\s+'))), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS v
+      FROM words, (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id, CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"SELECT doc_id, simhash FROM ({_SIMHASH_FP_ORACLE})",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (Charikar): near-identical docs get
+    near-identical bit patterns; dedup = small hamming distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_SIMHASH_FP_ORACLE}),
+    chunks AS (
+      SELECT doc_id, simhash, k, (simhash >> (k * 15)) & 32767 AS chunk
+      FROM fp, (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+      FROM chunks a JOIN chunks b
+        ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with pigeonhole blocking: split the
+    60-bit fingerprint into 4 × 15-bit chunks; hamming ≤ 3 guarantees
+    at least one chunk matches exactly, so candidates come from an
+    equi-join on (chunk_idx, chunk_value) — never all-pairs."""
+    fp = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), k * 15).bitwiseAND(F.lit(32767))
+                    for k in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("k", "chunk"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 3).select(
+        "d1", "d2", "hamming"
+    )
+
+
+# --- n-gram Jaccard (blocked brute force) -------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS gs
+      FROM (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                 (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
+    FROM ws a JOIN ws b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+          (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs within a blocking key
+    (source): the classic blocked pairwise verify. The block bounds the
+    quadratic term; cross-block dups are MinHash's job."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.withColumn("toks", tokens(F.lower(F.col("text")))).select(
+        "doc_id", "source", F.array_distinct(ngrams_from_tokens(F.col("toks"), 3)).alias("gs")
+    )
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs"))).cast("double")
+    union = (
+        F.size(F.col("a.gs")) + F.size(F.col("b.gs"))
+        - F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs")))
+    )
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), "jaccard")
+    )
+
+
+# --- embedding cosine ----------------------------------------------------------
+
+
+def cosine_sim(v1: Column, v2: Column) -> Column:
+    """Cosine similarity of two float vectors in double precision —
+    JVM-side fold (no Python), same left-to-right order as DuckDB's
+    list_cosine_similarity over DOUBLE[]."""
+    dot = F.aggregate(
+        F.zip_with(v1, v2, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(v1, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    n2 = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    return dot / (n1 * n2)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 over all pairs — the
+    exact baseline the banded/LSH ANN path (operators/ann.py) is
+    measured against. The pairwise join is the sf-scale oracle
+    anchor; at 100 TB the candidate set comes from ann_lsh_bucketed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4))
+        .filter(F.col("cosine") >= 0.4)
+        .select("v1", "v2", "cosine")
+    )

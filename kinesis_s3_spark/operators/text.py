@@ -1,0 +1,216 @@
+"""Text-analysis operators over the documents table (north-star
+extension; BASELINE.json): token stats, quality scoring, language ID,
+fingerprinting, n-gram stats, BPE-ish token counting.
+
+All column expressions from functions/text.py — JVM-side, codegen'd,
+no Python UDFs — each with a DuckDB oracle computing the identical
+heuristic so values (not just shapes) are gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    ngrams_from_tokens,
+    predict_lang,
+    quality_signals,
+    token_count,
+    tokens,
+)
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS doc_cnt,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting rolled up per language — the
+    smallest useful corpus-stats pass (single scan + tiny shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(GREATEST(LEAST(
+             n_alpha / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)
+             - 0.5 * (n_punct / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+             - 0.3 * (n_digit / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+             - 0.2 * (n_upper / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+           , 1.0), 0.0), 6) AS quality
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document (alpha content minus
+    punctuation/digit soup and shouting) — the C4/Gopher-style quality
+    gate shape, fully declarative."""
+    docs = load_table(spark, sf_dir, "documents")
+    # round AFTER clamping (the functions.text version rounds before —
+    # both deterministic; the oracle pins this one's order)
+    s = quality_signals(F.col("text"))
+    raw = (
+        s["alpha_ratio"]
+        - 0.5 * s["punct_ratio"]
+        - 0.3 * s["digit_ratio"]
+        - 0.2 * s["upper_ratio"]
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6).alias("quality"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS true_lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, true_lang,
+             {", ".join(
+                 f"len(list_filter(ws, w -> w IN ({', '.join(repr(w) for w in words)}))) AS s_{lang}"
+                 for lang, words in LANG_STOPWORDS.items()
+             )}
+      FROM toks
+    )
+    SELECT doc_id, true_lang,
+           CASE
+             WHEN s_zh > GREATEST(s_en, s_es, s_fr, s_de, 0) THEN 'zh'
+             WHEN s_de > GREATEST(s_en, s_es, s_fr, 0) THEN 'de'
+             WHEN s_fr > GREATEST(s_en, s_es, 0) THEN 'fr'
+             WHEN s_es > GREATEST(s_en, 0) THEN 'es'
+             WHEN s_en > 0 THEN 'en'
+             ELSE 'und'
+           END AS pred_lang
+    FROM scores
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (argmax over per-language stopword
+    hits, fixed tie-break order en>es>fr>de>zh). The driver corpus is
+    synthetic word soup, so this checks the OPERATOR (deterministic
+    argmax over class scores), not linguistic accuracy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        predict_lang(F.col("text")).alias("pred_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(string_split_regex(trim(lower(text)), '\\s+')), ' '))
+             AS fp,
+           COUNT(*) AS cnt,
+           MIN(doc_id) AS first_doc
+    FROM documents GROUP BY fp
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (sorted-token md5) with
+    collision counts — the content-addressable id for downstream exact
+    dedup and incremental recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("cnt"), F.min("doc_id").alias("first_doc")
+    )
+
+
+@query(
+    "text_ngram_top",
+    oracle="""
+    WITH g AS (
+      SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                     for i in range(1, greatest(len(toks), 1))]) AS ngram
+      FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+    )
+    SELECT ngram, COUNT(*) AS cnt
+    FROM g GROUP BY ngram
+    ORDER BY cnt DESC, ngram
+    LIMIT 20
+    """,
+)
+def text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams: explode → count → top-k
+    (partial aggregation makes the explode cheap; top-k never sorts
+    the full n-gram table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.withColumn("toks", tokens(F.lower(F.col("text")))).select(
+        F.explode(ngrams_from_tokens(F.col("toks"), 2)).alias("ngram")
+    )
+    return (
+        g.groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "ngram")
+        .limit(20)
+    )
+
+
+@query(
+    "text_token_bpe_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer token counts (alpha runs / digit runs /
+    single punctuation — the GPT-2 pre-tokenizer shape, simplified to
+    an engine-portable regex) next to whitespace counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
