@@ -72,21 +72,21 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
-    """#tokens that are stopwords of ``lang`` (lowercased match)."""
-    words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
-    toks = tokens(F.lower(text))
+def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
+    """#tokens that are stopwords of ``lang`` (tokens pre-lowercased)."""
     return F.size(F.filter(toks, lambda w: w.isin(*LANG_STOPWORDS[lang])))
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    return {lang: stopword_hits(text, lang) for lang in LANG_STOPWORDS}
+def stopword_hits(text: Column, lang: str) -> Column:
+    return stopword_hits_from_tokens(tokens(F.lower(text)), lang)
 
 
-def predict_lang(text: Column) -> Column:
-    """argmax language by stopword hits, ties broken by fixed lang
-    order (en,es,fr,de,zh); zero hits → 'und' (undetermined)."""
-    scores = lang_scores(text)
+def argmax_lang(scores: dict[str, Column]) -> Column:
+    """argmax language over MATERIALIZED score columns, ties broken by
+    fixed lang order (en,es,fr,de,zh); zero hits → 'und'. Callers on
+    the hot path must bind each score to a real column first — the
+    when-chain references every score twice and tokenizes per score if
+    given raw expressions."""
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in LANG_STOPWORDS:  # later langs must strictly beat earlier
@@ -94,6 +94,11 @@ def predict_lang(text: Column) -> Column:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
     return best_lang
+
+
+def predict_lang(text: Column) -> Column:
+    """Convenience composition for small inputs/tests."""
+    return argmax_lang({lang: stopword_hits(text, lang) for lang in LANG_STOPWORDS})
 
 
 def normalized_text(text: Column) -> Column:

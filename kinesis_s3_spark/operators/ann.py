@@ -5,8 +5,9 @@ Two paths, as SURVEY §7 prescribes:
 - brute-force cosine top-k — the exact baseline every ANN variant is
   measured against (fine up to ~10M vectors × small query sets);
 - random-hyperplane LSH bucketing — the 100 TB path: one linear pass
-  computes an 8-bit signature per vector, candidates come from an
-  equi-join on the bucket, never a cross join.
+  computes a 6-bit signature per vector; queries multi-probe their
+  bucket plus every 1-bit flip (7 probes), so candidates come from an
+  equi-join on the probed bucket, never a cross join.
 
 The hyperplanes are DERIVED FROM md5 (seeded, no RNG) so the DuckDB
 oracle regenerates bit-identical planes in SQL and the gate checks the
@@ -28,7 +29,7 @@ from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
 DIM = 64
-N_PLANES = 8
+N_PLANES = 6
 N_QUERIES = 5  # query set = vec_id 0..4
 TOP_K = 10
 
@@ -56,7 +57,7 @@ _PLANES_SQL = f"""
 
 
 def lsh_bucket(vec: Column) -> Column:
-    """8-bit signature: bit j = (v · plane_j >= 0). Planes are plan
+    """Signature: bit j = (v · plane_j >= 0). Planes are plan
     literals (broadcast with the task binary) — one fused pass per row,
     no joins, no Python."""
     planes = hyperplanes()
@@ -158,8 +159,11 @@ def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e, planes p
       GROUP BY e.vec_id, e.embedding
     ),
-    q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM sig
-          WHERE vec_id < {N_QUERIES})
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qe,
+             unnest([bucket] || [xor(bucket, 1 << j) for j in range({N_PLANES})]) AS probe
+      FROM sig WHERE vec_id < {N_QUERIES}
+    )
     SELECT q_id, vec_id, cosine, rank FROM (
       SELECT q.q_id, s.vec_id,
              ROUND(list_cosine_similarity(s.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS cosine,
@@ -167,29 +171,35 @@ def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY q.q_id
                ORDER BY ROUND(list_cosine_similarity(s.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
                         s.vec_id) AS rank
-      FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id != q.q_id
+      FROM sig s JOIN q ON s.bucket = q.probe AND s.vec_id != q.q_id
     ) WHERE rank <= 3
     """,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: signatures in one linear pass, then top-3
-    within the query's bucket only.
+    """Multi-probe LSH ANN: 6-bit signatures in one linear pass; each
+    query probes its own bucket plus every 1-bit neighbor (7 probes),
+    then top-3 among candidates only.
 
-    Scale: the candidate join is an equi-join on bucket (shuffle or
-    broadcast, AQE decides); recall/cost tunes via N_PLANES and
-    multi-probe (flip one bit) — brute force above is the recall
-    yardstick (see tests/test_ann.py)."""
+    Scale: candidates come from an equi-join of vectors against the
+    probed bucket list (7 x bucket-size rows per query, vs N for brute
+    force); recall/cost tunes via N_PLANES and the probe radius —
+    brute force above is the recall yardstick (tests/test_ann.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     sig = emb.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
     q = F.broadcast(
-        sig.filter(F.col("vec_id") < N_QUERIES).select(
+        sig.filter(F.col("vec_id") < N_QUERIES)
+        .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qe"),
-            F.col("bucket").alias("q_bucket"),
+            F.explode(probes).alias("probe"),
         )
     )
     scored = (
-        sig.join(q, (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")))
+        sig.join(q, (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")))
         .select(
             "q_id",
             "vec_id",

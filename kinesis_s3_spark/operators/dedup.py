@@ -77,27 +77,29 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH -----------------------------------------------------------
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, minhashes: array<string>) — min over shingles of
-    md5(seed|shingle) per seed. Linear: explode shingles × seeds,
-    partial min map-side, one shuffle on doc_id."""
-    shingled = docs.withColumn("toks", tokens(F.lower(F.col("text")))).select(
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word 3-grams."""
+    return docs.withColumn("toks", tokens(F.lower(F.col("text")))).select(
         "doc_id", F.array_distinct(ngrams_from_tokens(F.col("toks"), 3)).alias("shingles")
     )
+
+
+def minhash_signatures(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, minhashes: array<string>) — min over shingles of
+    md5(seed|shingle) per seed, from a shingle_sets frame. Linear:
+    one explode, all mins in one aggregate, one shuffle on doc_id."""
     exploded = shingled.select("doc_id", F.explode("shingles").alias("s"))
-    seeded = exploded.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        F.col("s"),
+    # all n_hashes minimums in ONE aggregate over the exploded shingles:
+    # no seed explode (n_hashes x fewer rows through the shuffle), and
+    # partial (map-side) min still applies per column
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("s")))).alias(f"m{seed}")
+            for seed in range(n_hashes)
+        ]
     )
-    per_seed = (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s")))).alias("m"))
-    )
-    return per_seed.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "m"))), lambda x: x["m"]
-        ).alias("minhashes")
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{s}") for s in range(n_hashes)]).alias("minhashes")
     )
 
 
@@ -164,13 +166,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     monster buckets; bands/rows tune the recall/cost curve.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingled = (
-        docs.withColumn("toks", tokens(F.lower(F.col("text"))))
-        .select("doc_id", F.array_distinct(ngrams_from_tokens(F.col("toks"), 3)).alias("gs"))
-        .cache()
-    )
-    sig = minhash_signatures(docs)
-    bands = lsh_band_keys(sig)
+    # one cached shingling feeds BOTH the signature pass and the
+    # Jaccard verify (the band self-join would otherwise re-derive the
+    # whole shingle DAG on each side)
+    shingled = shingle_sets(docs).withColumnRenamed("shingles", "gs").cache()
+    sig = minhash_signatures(shingled.select("doc_id", F.col("gs").alias("shingles")))
+    bands = lsh_band_keys(sig).cache()
     cand = (
         bands.alias("a")
         .join(
@@ -273,7 +274,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit fingerprint into 4 × 15-bit chunks; hamming ≤ 3 guarantees
     at least one chunk matches exactly, so candidates come from an
     equi-join on (chunk_idx, chunk_value) — never all-pairs."""
-    fp = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    # cache: the chunk self-join references the fingerprint subtree on
+    # both sides — without this the word-explode + 60-vote aggregate
+    # runs twice
+    fp = simhash_fingerprints(load_table(spark, sf_dir, "documents")).cache()
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -1,0 +1,192 @@
+"""Event-stream operators in batch form: as-of join, gap
+sessionization, tumbling/sliding time windows, hourly actives.
+
+The reference has no event-time semantics at all (its batching is
+arrival-time only, SURVEY §2 "absent": watermarks/windows/stateful
+ops) — these operators are the engine's improvement surface, expressed
+so the SAME logic runs in batch (oracle-checked here) and under
+Structured Streaming with watermarks (streaming/ tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+SESSION_GAP_SEC = 1800  # 30 min
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS u, o_orderdate AS t, MAX(o_orderkey) AS ok
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.ok AS last_orderkey
+    FROM events e ASOF LEFT JOIN o ON e.user_id = o.u AND e.ts >= o.t
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the latest order of that user at or
+    before the event time (orders deduped to one per user/date with
+    MAX(orderkey) so the match is unambiguous).
+
+    Spark has no ASOF JOIN operator; the scalable encoding is the
+    union-and-carry-forward trick: union both streams on (user, time),
+    sort within user, carry the last seen orderkey forward with
+    last(ignorenulls) — ONE shuffle on user, no range join, no row
+    explosion (a naive t1>=t2 join would be O(events × orders) within
+    each user and blow up on power users at 100 TB).
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("u"), F.col("o_orderdate").alias("t"))
+        .agg(F.max("o_orderkey").alias("ok"))
+    )
+    left = e.select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("ok"),
+        F.lit(1).alias("is_event"),
+    )
+    right = o.select(
+        "u", "t", F.lit(None).cast("long").alias("event_id"), "ok", F.lit(0).alias("is_event")
+    )
+    # at equal timestamps the order sorts first (is_event asc) so an
+    # event at exactly t sees that order — the ASOF >= contract
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "last_orderkey", F.last("ok", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id", F.col("u").alias("user_id"), "last_orderkey"
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_SEC} * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag → new-session flag → running sum = session id → per-session
+    aggregates. One shuffle on user_id; the streaming twin is
+    session_window() with a watermark (tests/test_streaming_windows).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    x = e.withColumn(
+        "new_sess",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_SEC * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    s = x.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch form of
+    window(ts, '1 hour') (streaming twin with watermark in tests)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL (h) HOUR for h in range(0, 3)])
+               AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY window_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (3 h length, 1 h slide): every event lands in 3
+    windows. Spark's window() does the expansion natively; the oracle
+    unnests the same 3 bucket starts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "3 hours", "1 hour").getField("start").alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_hourly_active",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def events_hourly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct actives — count-distinct under a time window
+    (the approx_count_distinct twin keeps state bounded in streaming).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+        F.countDistinct("user_id").alias("active_users"), F.count("*").alias("n_events")
+    )

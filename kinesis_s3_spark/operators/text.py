@@ -14,10 +14,11 @@ from pyspark.sql import functions as F
 
 from kinesis_s3_spark.functions.text import (
     LANG_STOPWORDS,
+    argmax_lang,
     fingerprint,
     ngrams_from_tokens,
-    predict_lang,
     quality_signals,
+    stopword_hits_from_tokens,
     token_count,
     tokens,
 )
@@ -135,10 +136,19 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic word soup, so this checks the OPERATOR (deterministic
     argmax over class scores), not linguistic accuracy."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toks = docs.withColumn("toks", tokens(F.lower(F.col("text"))))
+    scored = toks.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
-        predict_lang(F.col("text")).alias("pred_lang"),
+        *[
+            stopword_hits_from_tokens(F.col("toks"), lang).alias(f"s_{lang}")
+            for lang in LANG_STOPWORDS
+        ],
+    )
+    return scored.select(
+        "doc_id",
+        "true_lang",
+        argmax_lang({lang: F.col(f"s_{lang}") for lang in LANG_STOPWORDS}).alias("pred_lang"),
     )
 
 

@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the scale-design contract (SURVEY §4) —
+pushdown, pruning, broadcast strategy, no cartesian products — checked
+on the real optimized plans, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from kinesis_s3_spark.plans.inspect import (
+    assert_no_cartesian,
+    explain_str,
+    pushed_filters,
+    scan_columns,
+    uses_broadcast,
+)
+from tests.conftest import SF_SMOKE
+
+Q = entrymod.queries()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = Q["q1_pricing_summary"](spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    cols = scan_columns(df)[0]
+    assert "l_orderkey" not in cols  # unused columns pruned from the scan
+    assert set(cols) <= {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ("join_broadcast_dims", "q5_region_revenue", "join_argmin_supplier"):
+        assert uses_broadcast(Q[name](spark, SF_SMOKE)), name
+
+
+def test_selective_filters_pushed(spark):
+    df = Q["q3_shipping_priority"](spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    assert any("c_mktsegment" in p for p in pushed), pushed
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_topk_no_global_sort(spark):
+    plan = explain_str(Q["sort_topk_global"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh_bucketed", "events_asof_join"],
+)
+def test_lsh_style_ops_avoid_cartesian(spark, name):
+    """Candidate generation must be an equi-join on bucket/band/user —
+    a CartesianProduct in the plan means the blocking broke."""
+    assert_no_cartesian(Q[name](spark, SF_SMOKE))
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in explain_str(Q["join_semi"](spark, SF_SMOKE))
+    assert "LeftAnti" in explain_str(Q["join_anti"](spark, SF_SMOKE))
+
+
+def test_mapinpandas_is_arrow_batched(spark):
+    plan = explain_str(Q["mm_image_decode_stub"](spark, SF_SMOKE))
+    assert "MapInPandas" in plan
