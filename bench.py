@@ -36,6 +36,10 @@ HEADLINE = [
     "dedup_exact",
     "text_token_stats",
     "text_langid",
+    "events_asof_join",
+    "events_sessionize",
+    "agg_percentiles",
+    "agg_stats_suite",
     "ann_multi_query_topk",
     "ann_lsh_bucketed",
     "mm_image_decode_stub",
