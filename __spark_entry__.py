@@ -24,8 +24,10 @@ from kinesis_s3_spark.operators.registry import ORACLES, QUERIES  # noqa: E402
 
 _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.etl",
+    "kinesis_s3_spark.operators.enriched",
     "kinesis_s3_spark.operators.events",
     "kinesis_s3_spark.operators.scalar",
+    "kinesis_s3_spark.operators.approx",
     "kinesis_s3_spark.operators.dedup",
     "kinesis_s3_spark.operators.text",
     "kinesis_s3_spark.operators.ann",

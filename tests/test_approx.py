@@ -1,0 +1,46 @@
+"""Accuracy contracts for the approximate operators: relative error
+vs the exact operators (the meaningful check for sketches, which have
+no cross-engine oracle)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF_CORRECT
+
+Q = entrymod.queries()
+
+
+def test_approx_distinct_within_2pct(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in Q["approx_distinct_users"](spark, SF_CORRECT).collect()
+    }
+    from kinesis_s3_spark.sources.tables import load_table
+
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex <= 0.02, (k, approx[k], ex)
+
+
+def test_approx_percentile_within_1pct(spark):
+    approx = {
+        r["o_orderpriority"]: (r["approx_median"], r["approx_p90"])
+        for r in Q["approx_percentile_price"](spark, SF_CORRECT).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["median_price"], r["p90_price"])
+        for r in Q["agg_percentiles"](spark, SF_CORRECT).collect()
+    }
+    for k, (em, e9) in exact.items():
+        am, a9 = approx[k]
+        assert abs(am - em) / em <= 0.01, (k, am, em)
+        assert abs(a9 - e9) / e9 <= 0.01, (k, a9, e9)
