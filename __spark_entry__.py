@@ -28,6 +28,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.events",
     "kinesis_s3_spark.operators.scalar",
     "kinesis_s3_spark.operators.approx",
+    "kinesis_s3_spark.operators.urls",
     "kinesis_s3_spark.operators.dedup",
     "kinesis_s3_spark.operators.text",
     "kinesis_s3_spark.operators.ann",

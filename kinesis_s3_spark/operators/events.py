@@ -126,7 +126,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -140,7 +140,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
 
@@ -155,7 +155,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT window_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM expanded GROUP BY window_start
     """,
 )
@@ -168,7 +168,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "3 hours", "1 hour").getField("start").alias("window_start"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
 

@@ -9,7 +9,7 @@ makes the inventory auditable line-by-line against SURVEY.md §2.
 Determinism rules enforced by convention here:
 - every aggregate / computed column is aliased identically in both the
   DataFrame code and the oracle SQL;
-- floating-point SUMs go through DECIMAL(38,6) so the result does not
+- floating-point SUMs go through DECIMAL(18,6) so the result does not
   depend on addition order (Spark and DuckDB both sum decimals
   exactly, then the cast to DOUBLE picks the same nearest double);
 - rankings / top-k always carry a unique tie-break column.

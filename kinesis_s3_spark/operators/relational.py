@@ -14,7 +14,7 @@ Scale notes per operator are inline; the general rules:
 - dimension joins (region/nation) are explicit ``broadcast()``;
 - fact-fact joins shuffle on their keys and rely on AQE skew handling;
 - top-k is Window + filter (no global sort of the full data);
-- float SUMs run in DECIMAL(38,6) for addition-order determinism.
+- float SUMs run in DECIMAL(18,6) for addition-order determinism.
 """
 
 from __future__ import annotations
@@ -28,13 +28,13 @@ from kinesis_s3_spark.sources.tables import load_table
 
 # --- deterministic float aggregation helpers -------------------------------
 
-DEC = "decimal(38,6)"
+DEC = "decimal(18,6)"
 
 
 def dsum(col: Column | str) -> Column:
     """Order-independent SUM over doubles: exact decimal accumulation,
     then one cast to the nearest double. Matches the oracle pattern
-    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)."""
+    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(DEC)).cast("double")
 
@@ -46,11 +46,11 @@ def davg(col: Column | str) -> Column:
 
 
 def DSUM(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def DAVG(expr: str) -> str:
-    return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"
+    return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr}))"
 
 
 # --- aggregation ------------------------------------------------------------
@@ -142,7 +142,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -158,7 +158,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -223,7 +223,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name AS region, n_name AS nation,
            COUNT(*) AS customer_cnt,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -252,7 +252,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -293,7 +293,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n_name AS nation,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -368,7 +368,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            CAST(COUNT(o_orderkey) AS BIGINT) AS order_cnt,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 0) AS DOUBLE) AS total_spend
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -397,7 +397,7 @@ def join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('expensive', 1200.0, 1e9)
     )
     SELECT band, COUNT(*) AS part_cnt,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
     FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band
     """,
@@ -505,7 +505,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_spend
@@ -562,7 +562,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            supp_rev, cnt
     FROM (
       SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS supp_rev,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS supp_rev,
              COUNT(*) AS cnt
       FROM lineitem GROUP BY l_suppkey
     )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
-DEC = "decimal(38,6)"
+DEC = "decimal(18,6)"
 
 
 @query(
@@ -245,10 +245,10 @@ def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS p1,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS p1,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -323,7 +323,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     partial AS (
       SELECT l_returnflag, salt, COUNT(*) AS cnt,
-             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sq
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
       FROM salted GROUP BY l_returnflag, salt
     )
     SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS cnt,
