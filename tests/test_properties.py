@@ -1,0 +1,48 @@
+"""Property-based tests (hypothesis) for the pure scalar core — the
+reference's spec tests cover fixed fixtures (SURVEY §5); properties
+cover the input space."""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesis_s3_spark.functions.paths import base_filename, decorate_directory_with_time
+
+TS = st.datetimes(
+    min_value=datetime(1970, 1, 1), max_value=datetime(2100, 1, 1)
+).map(lambda d: d.replace(tzinfo=timezone.utc))
+
+
+@settings(max_examples=200, deadline=None)
+@given(t=TS)
+def test_decorate_known_tokens_roundtrip(t):
+    out = decorate_directory_with_time("a/{YYYY}/{MM}/{dd}/{HH}/{mm}/{ss}/z", t)
+    assert out == t.strftime("a/%Y/%m/%d/%H/%M/%S/z")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    t=TS,
+    literal=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=12
+    ),
+)
+def test_decorate_never_leaves_braces(t, literal):
+    """Any template fully resolves: no braces survive, unknown tokens
+    degrade to their literal text (DynamicPath.scala:55-58 contract)."""
+    out = decorate_directory_with_time("p/{" + literal + "}/s", t)
+    assert "{" not in out and "}" not in out
+
+
+@settings(max_examples=100, deadline=None)
+@given(t=TS, first=st.integers(0, 10**9), last=st.integers(0, 10**9))
+def test_base_filename_shape(t, first, last):
+    """Name always ends yyyy-MM-dd-HHmmss-first-last and never doubles
+    slashes (KinesisS3Emitter.scala:226-244 contract)."""
+    out = base_filename(t, str(first), str(last), output_directory="out//dir")
+    assert re.search(rf"\d{{4}}-\d{{2}}-\d{{2}}-\d{{6}}-{first}-{last}$", out)
+    assert "//" not in out
