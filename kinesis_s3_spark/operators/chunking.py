@@ -1,0 +1,143 @@
+"""Training-data preparation operators: document chunking, vocabulary
+building, benchmark-contamination screening.
+
+The last mile of an LLM data pipeline after dedup/quality/lang-ID:
+split documents into overlapping token-window chunks, build a
+frequency-ranked vocabulary, and screen the corpus for benchmark
+n-gram contamination — all as declarative DataFrame ops with DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_s3_spark.functions.text import ngrams_from_tokens, tokens
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(range(0, greatest((len(toks) - 1) // {CHUNK_STRIDE} + 1, 1))) AS chunk_idx,
+             toks
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(toks[chunk_idx*{CHUNK_STRIDE}+1 : chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')
+             AS chunk_text,
+           CAST(least(len(toks) - chunk_idx*{CHUNK_STRIDE}, {CHUNK_TOKENS}) AS INT) AS n_tokens
+    FROM c
+    WHERE chunk_idx*{CHUNK_STRIDE} < len(toks) OR chunk_idx = 0
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunks (32 tokens, stride 24): the
+    context-window packing step. One tokenize + one explode per doc;
+    chunk count rows out, no shuffle at all (embarrassingly parallel
+    with the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn("toks", tokens(F.col("text")))
+    n_chunks = F.greatest(
+        F.floor((F.size("toks") - 1) / CHUNK_STRIDE).cast("int") + 1, F.lit(1)
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).filter((F.col("chunk_idx") * CHUNK_STRIDE < F.size("toks")) | (F.col("chunk_idx") == 0))
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.size("toks") - F.col("chunk_idx") * CHUNK_STRIDE, F.lit(CHUNK_TOKENS)
+        ).cast("int").alias("n_tokens"),
+    )
+
+
+@query(
+    "text_vocabulary",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    f AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word)
+    SELECT word, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS INT) AS vocab_id
+    FROM f
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (word → id): explode + count +
+    global rank. Scale: the count reduces to |vocab| rows before the
+    single-partition rank — ranking never touches raw tokens; for
+    web-scale vocabularies, cut the tail with a HAVING before ranking.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.withColumn("toks", tokens(F.lower(F.col("text")))).select(
+        F.explode("toks").alias("word")
+    )
+    f = w.groupBy("word").agg(F.count("*").alias("freq"))
+    return f.select(
+        "word",
+        "freq",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "word")).cast("int").alias("vocab_id"),
+    )
+
+
+# A tiny deterministic "benchmark set": 5-gram probes drawn from the
+# corpus vocabulary shape; in production this is the eval-set shingle
+# table (heldout benchmarks), broadcast to every executor.
+_BENCH_NGRAMS = (
+    "key agg row scan slow",
+    "window merge spark merge batch",
+    "the quick brown fox jumps",
+)
+
+
+@query(
+    "dedup_contamination",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                     for i in range(1, greatest(len(toks) - 3, 1))])) AS gram
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT doc_id, gram AS benchmark_ngram
+    FROM g
+    WHERE gram IN ({", ".join(repr(s) for s in _BENCH_NGRAMS)})
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: documents containing any
+    benchmark 5-gram. The benchmark set is broadcast (it is always
+    tiny vs the corpus); the corpus side streams through one explode +
+    hash semi-join — linear, no shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.withColumn("toks", tokens(F.lower(F.col("text"))))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(ngrams_from_tokens(F.col("toks"), 5))).alias("gram"),
+        )
+    )
+    bench = F.broadcast(
+        spark.createDataFrame([(s,) for s in _BENCH_NGRAMS], "gram string")
+    )
+    return g.join(bench, "gram").select("doc_id", F.col("gram").alias("benchmark_ngram"))
