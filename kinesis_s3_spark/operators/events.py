@@ -103,11 +103,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # NTZ-safe gap: timestamp difference as an interval comparison
+    # (no unix_micros — that requires LTZ and would drag the session
+    # timezone into the semantics)
+    gap = F.col("ts") - F.lag("ts").over(w)
     x = e.withColumn(
         "new_sess",
         F.when(
-            gap_us.isNull() | (gap_us > SESSION_GAP_SEC * 1_000_000), F.lit(1)
+            gap.isNull() | (gap > F.expr(f"INTERVAL {SESSION_GAP_SEC} SECONDS")), F.lit(1)
         ).otherwise(F.lit(0)),
     )
     s = x.withColumn(

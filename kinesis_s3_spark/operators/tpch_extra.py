@@ -226,24 +226,24 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(COUNT(*) OVER (
-             PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
-             RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1995-01-01', o_orderdate)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT)
              AS orders_last_90d
     FROM orders
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event time: orders in the trailing 90 days per
-    customer (value-based frame, not row-based — duplicate dates
-    share a frame). Ordered on epoch micros so both engines use the
-    same numeric range arithmetic."""
+    customer (value-based frame, not row-based — duplicate dates share
+    a frame). Ordered on integer day offsets, which keeps the range
+    arithmetic timezone-free (epoch micros would drag the session TZ
+    through the NTZ→LTZ cast)."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        # parquet yields TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ is
-        # UTC, so the instant is unchanged) for unix_micros
-        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
-        .rangeBetween(-90 * 24 * 3600 * 1_000_000, 0)
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")))
+        .rangeBetween(-90, 0)
     )
     return o.select(
         "o_orderkey",

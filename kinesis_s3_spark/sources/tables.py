@@ -42,7 +42,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # build a TIMESTAMP_NTZ (not timestamp_micros → LTZ): NTZ
+            # arithmetic is session-timezone-free, matching how DuckDB
+            # and the other parquet tables treat these naive timestamps
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
