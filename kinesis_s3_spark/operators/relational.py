@@ -83,19 +83,32 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    # 5 decimal sums, averages derived from the same sums post-agg
+    # (identical values to davg(), half the decimal accumulator work)
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("_sp"),
+            F.sum(disc_price.cast(DEC)).alias("_sdp"),
+            F.sum(charge.cast(DEC)).alias("_sc"),
+            F.sum(F.col("l_discount").cast(DEC)).alias("_sd"),
             F.count("*").alias("count_order"),
         )
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / n).alias("avg_qty"),
+        (F.col("_sp").cast("double") / n).alias("avg_price"),
+        (F.col("_sd").cast("double") / n).alias("avg_disc"),
+        "count_order",
     )
 
 
