@@ -115,7 +115,7 @@ def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(exp(l_discount), 6) AS exp_v,
            ROUND(pow(l_quantity, 2), 6) AS pow_v,
            CAST(l_quantity AS BIGINT) % 7 AS mod_v,
-           sign(l_discount - 0.05) AS sign_v,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_v,
            greatest(l_discount, l_tax) AS max_rate,
            least(l_discount, l_tax) AS min_rate
     FROM lineitem

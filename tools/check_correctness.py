@@ -24,9 +24,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # match values to 9 significant-ish decimals; the real driver
-        # hashes exact values, so we ALSO report max abs diff separately
-        return f"{v:.9g}"
+        # BIT-EXACT comparison: the determinism rules (decimal sums,
+        # shared rounding, TZ-free timestamps) are designed to make
+        # results identical to the last ulp — hold the line here so
+        # drift is caught before the driver's value-hash sees it
+        return repr(v)
     return str(v)
 
 
