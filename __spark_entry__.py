@@ -31,6 +31,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.urls",
     "kinesis_s3_spark.operators.tpch_extra",
     "kinesis_s3_spark.operators.chunking",
+    "kinesis_s3_spark.operators.misc",
     "kinesis_s3_spark.operators.dedup",
     "kinesis_s3_spark.operators.text",
     "kinesis_s3_spark.operators.ann",

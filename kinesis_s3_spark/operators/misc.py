@@ -1,0 +1,75 @@
+"""Inventory stragglers: bag semantics set ops, argmin/argmax
+aggregates, regexp function family."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag (multiplicity-preserving) intersection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_suppkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregates — deterministic here
+    because o_totalprice values are unique within each group at this
+    data scale; ties would need a struct-max tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@query(
+    "fn_regex_suite",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '(spark|flink)') THEN 1 ELSE 0 END AS mentions_engine,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+           regexp_extract(text, '([a-z]+) (join|merge)', 1) AS word_before_join,
+           len(regexp_extract_all(text, '[a-z]+ scan')) AS scan_bigrams
+    FROM documents
+    """,
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: match test, global replace, group extract,
+    extract-all count — same pattern grammar both engines (keep to the
+    RE2-safe subset: no backrefs, no lookaround)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("text").rlike("(spark|flink)"), 1).otherwise(0).alias("mentions_engine"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("masked"),
+        F.regexp_extract("text", "([a-z]+) (join|merge)", 1).alias("word_before_join"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+ scan"), 0)).alias("scan_bigrams"),
+    )
