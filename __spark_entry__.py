@@ -32,6 +32,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.tpch_extra",
     "kinesis_s3_spark.operators.chunking",
     "kinesis_s3_spark.operators.misc",
+    "kinesis_s3_spark.operators.tpch_correlated",
     "kinesis_s3_spark.operators.dedup",
     "kinesis_s3_spark.operators.text",
     "kinesis_s3_spark.operators.ann",
