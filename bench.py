@@ -50,6 +50,57 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def loader_throughput(spark, sf_dir: str) -> dict[str, float]:
+    """The reference's actual job, measured: synthesize self-describing
+    JSON records from events and push one batch through the full emit
+    path (row_type partition + gzip text sink + bad-row split).
+    Reported as rows/sec and MB/sec of payload — the reference's
+    per-shard ceiling is 1 MiB/s (BASELINE.md §2)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.operators.etl import _SDJ_SPARK
+    from kinesis_s3_spark.sinks.emitter import emit
+    from kinesis_s3_spark.sources.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="bench_emit_")
+    try:
+        cfg = from_dict(
+            {
+                "purpose": "SELF_DESCRIBING",
+                "input": {"stream_name": "bench"},
+                "output": {
+                    "s3": {"path": f"{out}/good", "compression": "GZIP"},
+                    "bad_path": f"{out}/bad",
+                },
+            }
+        )
+        one = (
+            load_table(spark, sf_dir, "events")
+            .withColumn("value", F.expr(_SDJ_SPARK))
+            .select("value")
+        )
+        # 10-fold batch: a micro-batch large enough that per-job fixed
+        # costs (~1-2 s) don't dominate the steady-state rate
+        batch = one
+        for _ in range(9):
+            batch = batch.unionByName(one)
+        n_bytes = batch.agg(F.sum(F.length("value"))).collect()[0][0]
+        t0 = time.time()
+        meta = emit(batch, batch_id=0, cfg=cfg)
+        dt = time.time() - t0
+        return {
+            "rows_per_sec": round(meta.count / dt),
+            "payload_mb_per_sec": round(n_bytes / 1e6 / dt, 1),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -73,6 +124,8 @@ def main() -> None:
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    loader = loader_throughput(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -83,6 +136,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "loader": loader,
             }
         )
     )

@@ -79,6 +79,11 @@ class S3OutputConfig:
     filename_prefix: str | None = None
     partition_for_purpose: bool = True  # partition SDJ batches by row_type
     max_timeout_ms: int = 120_000  # retry window; maps to query restart
+    # writer tasks per partition value: 1 = one object per row_type per
+    # flush (reference behavior, KinesisS3Emitter.scala:72); >1 trades
+    # object count for parallel compression — the file-count/throughput
+    # knob at scale
+    writers_per_partition: int = 4
 
 
 @dataclass(frozen=True)
@@ -166,6 +171,7 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
                     filename_prefix=s3.get("filename_prefix"),
                     partition_for_purpose=bool(s3.get("partition_for_purpose", True)),
                     max_timeout_ms=int(s3.get("max_timeout_ms", 120_000)),
+                    writers_per_partition=int(s3.get("writers_per_partition", 4)),
                 ),
                 bad_path=out.get("bad_path"),
             ),

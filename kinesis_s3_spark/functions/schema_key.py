@@ -37,16 +37,34 @@ def schema_key_parts(value: Column) -> dict[str, Column]:
     }
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``bound`` ONCE and
+    reference it many times in ``body``. Catalyst does not CSE a
+    repeated subexpression across When/regexp branches, so inlining an
+    expensive expression (a JSON parse) N times costs N evaluations
+    per row; a single-element transform() makes it a lambda variable,
+    evaluated once by construction."""
+    return F.get(F.transform(F.array(bound), body), 0)
+
+
 def row_type_col(value: Column, is_failed: Column | None = None) -> Column:
     """The partition key: ``vendor.name/format-model``, or
     ``unpartitioned`` when the record is not a valid self-describing
     JSON, or ``reading_error`` for already-failed records
-    (Common.scala:62-70)."""
-    p = schema_key_parts(value)
-    partition = F.when(
-        (p["vendor"] != "") & (p["name"] != "") & (p["format"] != "") & (p["model"] != ""),
-        F.concat(p["vendor"], F.lit("."), p["name"], F.lit("/"), p["format"], F.lit("-"), p["model"]),
-    ).otherwise(F.lit(UNPARTITIONED))
+    (Common.scala:62-70). The JSON parse runs once per row (hot path:
+    every record of every micro-batch goes through this)."""
+
+    def build(uri: Column) -> Column:
+        vendor = F.regexp_extract(uri, _IGLU_RE, 1)
+        name = F.regexp_extract(uri, _IGLU_RE, 2)
+        fmt = F.regexp_extract(uri, _IGLU_RE, 3)
+        model = F.regexp_extract(uri, _IGLU_RE, 4)
+        return F.when(
+            (vendor != "") & (name != "") & (fmt != "") & (model != ""),
+            F.concat(vendor, F.lit("."), name, F.lit("/"), fmt, F.lit("-"), model),
+        ).otherwise(F.lit(UNPARTITIONED))
+
+    partition = _let(F.get_json_object(value, "$.schema"), build)
     if is_failed is not None:
         partition = F.when(is_failed, F.lit(READING_ERROR)).otherwise(partition)
     return partition

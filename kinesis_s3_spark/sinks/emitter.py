@@ -103,23 +103,27 @@ def emit(
 
         good = df.filter(~F.col("is_bad"))
         if n - n_bad > 0:
+            # bounded writer fan-out: k tasks per row_type value — the
+            # file-count vs compression-parallelism knob (k=1 reproduces
+            # the reference's one-object-per-partition-per-flush,
+            # KinesisS3Emitter.scala:72; k>1 keeps all cores compressing
+            # when there are few row types)
+            k = max(1, cfg.output.s3.writers_per_partition)
+            routed = good.select(ROW_TYPE_COL, "value").repartition(
+                F.col(ROW_TYPE_COL), F.pmod(F.crc32(F.col("value")), F.lit(k))
+            )
             if cfg.output.s3.compression is Compression.GZIP:
-                # one writer task per row_type (small-file guard); the
-                # text sink emits newline-delimited gzip members exactly
-                # like GZIPOutputStream framing in the reference
+                # the text sink emits newline-delimited gzip members
+                # exactly like GZIPOutputStream framing in the reference
                 (
-                    good.select(ROW_TYPE_COL, "value")
-                    .repartition(ROW_TYPE_COL)
-                    .write.partitionBy(ROW_TYPE_COL)
+                    routed.write.partitionBy(ROW_TYPE_COL)
                     .option("compression", "gzip")
                     .mode("append")
                     .text(batch_dir)
                 )
             else:
                 (
-                    good.select(ROW_TYPE_COL, "value")
-                    .repartition(ROW_TYPE_COL)
-                    .write.partitionBy(ROW_TYPE_COL)
+                    routed.write.partitionBy(ROW_TYPE_COL)
                     .option("compression", "zstd")
                     .mode("append")
                     .parquet(batch_dir)
