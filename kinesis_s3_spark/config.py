@@ -151,6 +151,15 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
             )
         buf = d.get("buffer", {})
         mon = d.get("monitoring", {})
+        # the reference's bad output is a mandatory config field
+        # (Config.scala: Output(s3, bad)); purposes that can produce
+        # per-record failures must have somewhere to dead-letter them
+        if purpose is not Purpose.RAW and not (out.get("bad_path") or out.get("bad")):
+            raise ConfigError(
+                "config.output.bad_path is required for purpose "
+                f"{purpose.value} (bad rows would otherwise be dropped; "
+                "the reference dead-letters them to a Kinesis bad stream)"
+            )
         return LoaderConfig(
             purpose=purpose,
             input=InputConfig(

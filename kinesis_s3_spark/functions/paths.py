@@ -26,9 +26,13 @@ _TOKEN = re.compile(r"\{([^{}]*)\}")
 # reference's "invalid pattern keeps literal text" behavior,
 # DynamicPath.scala:55-58 via try/catch).
 _JAVA_TO_STRFTIME = {
-    "YYYY": "%Y",
+    # Java 'Y' is WEEK-BASED year (DateTimeFormatter): Dec 29-31 can
+    # belong to the next week-based year. glibc strftime %G/%g are the
+    # ISO week-based equivalents, matching the reference's behavior at
+    # year boundaries (DynamicPath.scala token semantics).
+    "YYYY": "%G",
     "yyyy": "%Y",
-    "YY": "%y",
+    "YY": "%g",
     "yy": "%y",
     "MM": "%m",
     "dd": "%d",

@@ -21,5 +21,10 @@ def collector_tstamp_col(tsv_line: Column) -> Column:
     # element_at via get(): short lines → NULL, not an ANSI index error
     field = F.get(F.split(tsv_line, "\t"), COLLECTOR_TSTAMP_IDX)
     # try_to_timestamp: unparseable → NULL instead of ANSI error — the
-    # Either.Left branch of Common.getTstamp
-    return F.try_to_timestamp(field, F.lit("yyyy-MM-dd HH:mm:ss"))
+    # Either.Left branch of Common.getTstamp. The pattern-less fallback
+    # accepts fractional seconds ("2020-11-26 00:01:05.123"), matching
+    # the reference's Instant.parse of "[.SSS]" payloads.
+    return F.coalesce(
+        F.try_to_timestamp(field, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(field),
+    )

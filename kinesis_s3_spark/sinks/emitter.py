@@ -7,16 +7,25 @@ each group to one compressed in-memory stream, uploads to a
 time-decorated key, and dead-letters per-record failures as bad rows.
 
 Spark-first translation:
-- grouping           → a ``row_type`` column + ``partitionBy`` on write
-                       (one dynamic-partition write, no driver loop);
+- grouping           → ``row_type``/``row_subtype`` columns +
+                       ``partitionBy`` on write (one dynamic-partition
+                       write, no driver loop). The partition string
+                       ``vendor.name/format-model`` (RowType.scala:28)
+                       is split at the slash into TWO partition columns
+                       so the written layout nests
+                       ``row_type=vendor.name/row_subtype=format-model/``
+                       like the reference's key prefix, instead of a
+                       single percent-escaped directory;
 - gzip serializer    → the text sink with gzip codec (O10,
                        GZipSerializer.scala:24-49) — newline-delimited
                        records, byte-identical framing;
 - LZO serializer     → parquet+zstd (splittable output; SURVEY §7
                        risk 4 documents LZO as out of scope);
 - in-memory streams + manual retry loop (O14) → task-local streaming
-  writers + the file-sink commit protocol (exactly-once, strictly
-  stronger than the reference's at-least-once);
+  writers + per-batch overwrite: each batch owns its
+  ``batch_id={id}`` directory and a replayed batch OVERWRITES it, so
+  crash-replay is idempotent (effectively exactly-once for file
+  outputs, vs the reference's at-least-once);
 - time-decorated key → ``decorate_directory_with_time`` on the batch's
   upload instant, driver-side (O12);
 - bad rows           → ``bad_row_json_col`` JSON to the dead-letter
@@ -29,6 +38,7 @@ Scale: the only shuffle is the optional pre-write repartition on
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -42,6 +52,12 @@ from kinesis_s3_spark.functions.schema_key import row_type_col
 from kinesis_s3_spark.functions.timestamps import collector_tstamp_col
 
 ROW_TYPE_COL = "row_type"
+ROW_SUBTYPE_COL = "row_subtype"
+# partition value for rows whose type has no format-model component
+# (unpartitioned / reading_error — RowType.scala:24,32 have no slash)
+NO_SUBTYPE = "-"
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -109,39 +125,69 @@ def emit(
             # KinesisS3Emitter.scala:72; k>1 keeps all cores compressing
             # when there are few row types)
             k = max(1, cfg.output.s3.writers_per_partition)
-            routed = good.select(ROW_TYPE_COL, "value").repartition(
-                F.col(ROW_TYPE_COL), F.pmod(F.crc32(F.col("value")), F.lit(k))
+            # split "vendor.name/format-model" at the slash so the write
+            # nests two directory levels (reference key layout,
+            # RowType.scala:28) instead of one percent-escaped level
+            typed = good.select(
+                F.substring_index(F.col(ROW_TYPE_COL), "/", 1).alias(ROW_TYPE_COL),
+                F.when(
+                    F.col(ROW_TYPE_COL).contains("/"),
+                    F.substring_index(F.col(ROW_TYPE_COL), "/", -1),
+                )
+                .otherwise(F.lit(NO_SUBTYPE))
+                .alias(ROW_SUBTYPE_COL),
+                "value",
             )
+            routed = typed.repartition(
+                F.col(ROW_TYPE_COL),
+                F.col(ROW_SUBTYPE_COL),
+                F.pmod(F.crc32(F.col("value")), F.lit(k)),
+            )
+            # mode=overwrite into the per-batch_id dir: a batch replayed
+            # after a crash/restart REPLACES its previous (possibly
+            # partial) output instead of appending duplicates
             if cfg.output.s3.compression is Compression.GZIP:
                 # the text sink emits newline-delimited gzip members
                 # exactly like GZIPOutputStream framing in the reference
                 (
-                    routed.write.partitionBy(ROW_TYPE_COL)
+                    routed.write.partitionBy(ROW_TYPE_COL, ROW_SUBTYPE_COL)
                     .option("compression", "gzip")
-                    .mode("append")
+                    .mode("overwrite")
                     .text(batch_dir)
                 )
             else:
                 (
-                    routed.write.partitionBy(ROW_TYPE_COL)
+                    routed.write.partitionBy(ROW_TYPE_COL, ROW_SUBTYPE_COL)
                     .option("compression", "zstd")
-                    .mode("append")
+                    .mode("overwrite")
                     .parquet(batch_dir)
                 )
 
-        if n_bad > 0 and cfg.output.bad_path:
-            bad = df.filter(F.col("is_bad")).select(
-                bad_row_json_col(
-                    F.coalesce(F.col("value"), F.lit("")),
-                    F.array(F.lit("Cannot deserialize record")),
-                ).alias("value")
-            )
-            (
-                bad.coalesce(1)
-                .write.mode("append")
-                .option("compression", "gzip")
-                .text(f"{cfg.output.bad_path.rstrip('/')}/batch_id={batch_id}")
-            )
+        if n_bad > 0:
+            if cfg.output.bad_path:
+                bad = df.filter(F.col("is_bad")).select(
+                    bad_row_json_col(
+                        F.coalesce(F.col("value"), F.lit("")),
+                        F.array(F.lit("Cannot deserialize record")),
+                    ).alias("value")
+                )
+                (
+                    bad.coalesce(1)
+                    .write.mode("overwrite")
+                    .option("compression", "gzip")
+                    .text(f"{cfg.output.bad_path.rstrip('/')}/batch_id={batch_id}")
+                )
+            else:
+                # the reference's bad sink is mandatory (Config.scala
+                # Output(s3, bad)); without one, failed records are data
+                # loss — make it loud, never silent
+                logger.warning(
+                    "DROPPING %d bad rows in batch %d: output.bad_path is "
+                    "not configured (the reference dead-letters these to a "
+                    "Kinesis bad stream)",
+                    n_bad,
+                    batch_id,
+                )
 
         return BatchMeta(
             batch_id=batch_id,

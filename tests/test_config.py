@@ -81,6 +81,9 @@ def test_defaults():
         (lambda d: d.update(purpose="WAT"), "purpose 'WAT'"),
         (lambda d: d["output"]["s3"].update(compression="LZ4"), "compression"),
         (lambda d: d["input"].update(position="MIDDLE"), "position"),
+        # bad output is mandatory for purposes that can fail records
+        # (reference Config.scala: Output(s3, bad) is not optional)
+        (lambda d: d["output"].pop("bad_path"), "bad_path"),
     ],
 )
 def test_invalid_config_messages(mutate, needle):

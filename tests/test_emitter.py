@@ -52,9 +52,13 @@ def test_gzip_roundtrip_partitioned(spark, tmp_path):
 
     assert meta.count == 5 and meta.bad_count == 0
     base = str(tmp_path / "out" / "batch_id=7")
-    acme1 = _read_gzip_lines(f"{base}/row_type=com.acme1.example1*/*.gz")
+    # nested key layout: vendor.name / format-model as TWO directory
+    # levels (RowType.scala:28 partition string, un-escaped)
+    acme1 = _read_gzip_lines(
+        f"{base}/row_type=com.acme1.example1/row_subtype=jsonschema-2/*.gz"
+    )
     assert sorted(acme1) == sorted(SDJ_ROWS[:2])
-    unpart = _read_gzip_lines(f"{base}/row_type=unpartitioned/*.gz")
+    unpart = _read_gzip_lines(f"{base}/row_type=unpartitioned/*/*.gz")
     assert sorted(unpart) == sorted(SDJ_ROWS[3:])
     # every input byte shows up in exactly one partition
     everything = _read_gzip_lines(f"{base}/**/*.gz")
@@ -109,5 +113,48 @@ def test_unpartitioned_purpose_raw(spark, tmp_path):
     cfg = _cfg(tmp_path, purpose="RAW")
     df = spark.createDataFrame([("anything",), ("at all",)], "value string")
     emit(df, batch_id=3, cfg=cfg)
-    lines = _read_gzip_lines(str(tmp_path / "out" / "batch_id=3" / "row_type=unpartitioned" / "*.gz"))
+    lines = _read_gzip_lines(
+        str(tmp_path / "out" / "batch_id=3" / "row_type=unpartitioned" / "*" / "*.gz")
+    )
     assert sorted(lines) == ["anything", "at all"]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-running the same batch_id (crash-replay) overwrites the
+    per-batch directory instead of appending duplicates — the
+    idempotent upgrade over the reference's at-least-once."""
+    cfg = _cfg(tmp_path)
+    df = spark.createDataFrame([(v,) for v in SDJ_ROWS], "value string")
+    emit(df, batch_id=9, cfg=cfg)
+    emit(df, batch_id=9, cfg=cfg)  # replay
+    everything = _read_gzip_lines(str(tmp_path / "out" / "batch_id=9" / "**" / "*.gz"))
+    assert sorted(everything) == sorted(SDJ_ROWS)
+
+
+def test_bad_rows_without_bad_path_warns(spark, tmp_path, caplog):
+    """No bad_path configured (RAW purpose permits it): dropped bad
+    rows must be loudly logged, never silent data loss."""
+    import logging
+
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t"},
+            "output": {"s3": {"path": str(tmp_path / "out")}},
+        }
+    )
+    df = spark.createDataFrame([("ok",), (None,)], "value string")
+    with caplog.at_level(logging.WARNING, logger="kinesis_s3_spark.sinks.emitter"):
+        meta = emit(df, batch_id=4, cfg=cfg)
+    assert meta.bad_count == 1
+    assert any("DROPPING 1 bad rows" in r.message for r in caplog.records)
+
+
+def test_fractional_second_tstamp(spark, tmp_path):
+    """Millisecond collector timestamps parse (reference Instant.parse
+    accepts '[.SSS]'); the earliest-tstamp metric must not lose them."""
+    cfg = _cfg(tmp_path, purpose="ENRICHED_EVENTS")
+    rows = [("app\tpc\t0\t2020-11-26 00:01:05.123\tx",), ("app\tpc\t0\t2020-11-26 00:01:06\ty",)]
+    meta = emit(spark.createDataFrame(rows, "value string"), batch_id=5, cfg=cfg)
+    assert meta.earliest_tstamp is not None
+    assert meta.earliest_tstamp.strftime("%H:%M:%S.%f") == "00:01:05.123000"

@@ -20,8 +20,19 @@ TS = st.datetimes(
 @settings(max_examples=200, deadline=None)
 @given(t=TS)
 def test_decorate_known_tokens_roundtrip(t):
-    out = decorate_directory_with_time("a/{YYYY}/{MM}/{dd}/{HH}/{mm}/{ss}/z", t)
+    # {yyyy} is calendar year; {YYYY} is week-based year (Java 'Y'
+    # semantics) — tested separately below
+    out = decorate_directory_with_time("a/{yyyy}/{MM}/{dd}/{HH}/{mm}/{ss}/z", t)
     assert out == t.strftime("a/%Y/%m/%d/%H/%M/%S/z")
+
+
+@settings(max_examples=200, deadline=None)
+@given(t=TS)
+def test_week_based_year_token(t):
+    """{YYYY} follows ISO week-based year (diverges from calendar year
+    around Dec 29 - Jan 3, matching Java DateTimeFormatter 'Y')."""
+    out = decorate_directory_with_time("{YYYY}", t)
+    assert out == str(t.isocalendar()[0])
 
 
 @settings(max_examples=200, deadline=None)
