@@ -87,9 +87,23 @@ class S3OutputConfig:
 
 
 @dataclass(frozen=True)
+class BadOutputConfig:
+    """Config.scala:155 — the bad (dead-letter) output. ``kind``
+    selects the sink: "kinesis" = per-record putRecord with startup
+    stream probe (KinesisSink.scala:49-107), "file" = gzip NDJSON
+    path (dev/test analogue)."""
+
+    kind: str = "file"  # "file" | "kinesis"
+    path: str | None = None  # file sink target
+    stream_name: str | None = None  # kinesis sink target
+    region: str | None = None
+
+
+@dataclass(frozen=True)
 class OutputConfig:
     s3: S3OutputConfig
-    bad_path: str | None = None  # dead-letter sink (Config.scala:155)
+    bad_path: str | None = None  # back-compat shorthand for bad.kind=file
+    bad: BadOutputConfig | None = None  # dead-letter sink (Config.scala:155)
 
 
 @dataclass(frozen=True)
@@ -160,6 +174,29 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
                 f"{purpose.value} (bad rows would otherwise be dropped; "
                 "the reference dead-letters them to a Kinesis bad stream)"
             )
+        bad_cfg: BadOutputConfig | None = None
+        if out.get("bad") is not None:
+            b = out["bad"]
+            kind = b.get("kind", "file").strip().lower()
+            if kind not in ("file", "kinesis"):
+                raise ConfigError(
+                    f"output.bad.kind {kind!r} is not one of ['file', 'kinesis']"
+                )
+            if kind == "kinesis" and not b.get("stream_name"):
+                raise ConfigError(
+                    "output.bad.stream_name is required when output.bad.kind "
+                    "is 'kinesis'"
+                )
+            if kind == "file" and not b.get("path"):
+                raise ConfigError(
+                    "output.bad.path is required when output.bad.kind is 'file'"
+                )
+            bad_cfg = BadOutputConfig(
+                kind=kind,
+                path=b.get("path"),
+                stream_name=b.get("stream_name"),
+                region=b.get("region"),
+            )
         return LoaderConfig(
             purpose=purpose,
             input=InputConfig(
@@ -182,7 +219,9 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
                     max_timeout_ms=int(s3.get("max_timeout_ms", 120_000)),
                     writers_per_partition=int(s3.get("writers_per_partition", 4)),
                 ),
-                bad_path=out.get("bad_path"),
+                bad_path=out.get("bad_path")
+                or (bad_cfg.path if bad_cfg and bad_cfg.kind == "file" else None),
+                bad=bad_cfg,
             ),
             buffer=BufferConfig(
                 byte_limit=int(buf.get("byte_limit", 2048)),

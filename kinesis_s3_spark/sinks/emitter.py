@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from kinesis_s3_spark.config import Compression, LoaderConfig, Purpose
 from kinesis_s3_spark.functions.badrows import bad_row_json_col
+from kinesis_s3_spark.sinks.badrows_sink import build_bad_sink
 from kinesis_s3_spark.functions.paths import decorate_directory_with_time
 from kinesis_s3_spark.functions.schema_key import row_type_col
 from kinesis_s3_spark.functions.timestamps import collector_tstamp_col
@@ -99,10 +100,18 @@ def emit(
     batch_id: int,
     cfg: LoaderConfig,
     now: datetime | None = None,
+    bad_sink=None,
 ) -> BatchMeta:
     """The foreachBatch body. Returns the flush Meta that monitoring
-    consumes (KinesisS3Emitter.scala:74-75 → StatsD.report)."""
+    consumes (KinesisS3Emitter.scala:74-75 → StatsD.report).
+
+    ``bad_sink``: a pre-built dead-letter sink (O17). The loader
+    builds it ONCE at startup so the Kinesis stream probe runs before
+    the query starts (S3Loader.scala:39); when None it is derived from
+    config per call (batch-mode convenience)."""
     now = now or datetime.now(timezone.utc)
+    if bad_sink is None:
+        bad_sink = build_bad_sink(cfg)
     df = _with_result_columns(batch_df, cfg).cache()
     try:
         agg = df.agg(
@@ -164,19 +173,14 @@ def emit(
                 )
 
         if n_bad > 0:
-            if cfg.output.bad_path:
+            if bad_sink is not None:
                 bad = df.filter(F.col("is_bad")).select(
                     bad_row_json_col(
                         F.coalesce(F.col("value"), F.lit("")),
                         F.array(F.lit("Cannot deserialize record")),
                     ).alias("value")
                 )
-                (
-                    bad.coalesce(1)
-                    .write.mode("overwrite")
-                    .option("compression", "gzip")
-                    .text(f"{cfg.output.bad_path.rstrip('/')}/batch_id={batch_id}")
-                )
+                bad_sink.store_batch(bad, batch_id)
             else:
                 # the reference's bad sink is mandatory (Config.scala
                 # Output(s3, bad)); without one, failed records are data

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kinesis_s3_spark.config import InitialPosition, LoaderConfig
+from kinesis_s3_spark.sinks.badrows_sink import build_bad_sink
 from kinesis_s3_spark.sinks.emitter import emit
 
 
@@ -96,9 +97,13 @@ def run_loader(
     call ``.awaitTermination()`` on the result to block like the
     reference's main loop)."""
     stream = build_stream(spark, cfg)
+    # build the dead-letter sink EAGERLY: the Kinesis stream
+    # exists/ACTIVE probe must fail the app at startup, before the
+    # query runs (S3Loader.scala:39, KinesisSink.scala:49)
+    bad_sink = build_bad_sink(cfg)
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
-        meta = emit(batch_df, batch_id, cfg)
+        meta = emit(batch_df, batch_id, cfg, bad_sink=bad_sink)
         if on_flush is not None:
             on_flush(meta)
 
