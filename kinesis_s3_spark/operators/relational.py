@@ -23,34 +23,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_s3_spark.operators._decimal import DAVG, DEC, DSUM, davg, dsum  # noqa: F401
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
-
-# --- deterministic float aggregation helpers -------------------------------
-
-DEC = "decimal(18,6)"
-
-
-def dsum(col: Column | str) -> Column:
-    """Order-independent SUM over doubles: exact decimal accumulation,
-    then one cast to the nearest double. Matches the oracle pattern
-    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
-
-
-def davg(col: Column | str) -> Column:
-    """avg = decimal-sum / count, evaluated in double (deterministic)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
-
-
-def DSUM(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
-
-
-def DAVG(expr: str) -> str:
-    return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr}))"
 
 
 # --- aggregation ------------------------------------------------------------

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_s3_spark.operators.registry import query
-from kinesis_s3_spark.operators.relational import DSUM
+from kinesis_s3_spark.operators._decimal import DSUM
 from kinesis_s3_spark.sources.tables import load_table
 
 

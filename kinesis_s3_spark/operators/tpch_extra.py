@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_s3_spark.operators.registry import query
-from kinesis_s3_spark.operators.relational import DEC, DSUM, dsum
+from kinesis_s3_spark.operators._decimal import DEC, DSUM, dsum
 from kinesis_s3_spark.sources.tables import load_table
 
 
