@@ -31,6 +31,19 @@ JACCARD_THRESHOLD = 0.7
 SIMHASH_BITS = 60  # 15 hex chars of md5 → sign-safe in a BIGINT
 SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 identical 15-bit chunk
 
+# The two pairwise verifies below are quadratic BY DESIGN (they are the
+# sf-scale oracle anchors the bucketed paths are measured against), so
+# they refuse to run past these sizes instead of silently melting a
+# cluster. The scale paths are dedup_minhash_lsh / ann_lsh_bucketed.
+EMBEDDING_PAIRWISE_MAX_ROWS = 50_000  # ≤ ~1.25e9 candidate pairs
+JACCARD_BLOCK_MAX_ROWS = 10_000  # per blocking-key quadratic bound
+
+
+class PairwiseScaleError(ValueError):
+    """Raised when a quadratic oracle-anchor query is pointed at data
+    past its guard cap — the caller should use the bucketed scale path
+    (dedup_minhash_lsh / ann_lsh_bucketed) instead."""
+
 
 # --- exact -------------------------------------------------------------------
 
@@ -341,6 +354,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = docs.withColumn("toks", tokens(F.lower(F.col("text")))).select(
         "doc_id", "source", F.array_distinct(ngrams_from_tokens(F.col("toks"), 3)).alias("gs")
     )
+    biggest = docs.groupBy("source").count().agg(F.max("count")).first()[0] or 0
+    if biggest > JACCARD_BLOCK_MAX_ROWS:
+        raise PairwiseScaleError(
+            f"dedup_ngram_jaccard: largest 'source' block has {biggest} docs "
+            f"(> {JACCARD_BLOCK_MAX_ROWS}); the within-block verify is quadratic — "
+            "use dedup_minhash_lsh for corpus-scale near-dup detection"
+        )
     a, b = ws.alias("a"), ws.alias("b")
     inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs"))).cast("double")
     union = (
@@ -385,8 +405,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.4 over all pairs — the
     exact baseline the banded/LSH ANN path (operators/ann.py) is
     measured against. The pairwise join is the sf-scale oracle
-    anchor; at 100 TB the candidate set comes from ann_lsh_bucketed."""
+    anchor; at 100 TB the candidate set comes from ann_lsh_bucketed.
+    Guarded: refuses to run past EMBEDDING_PAIRWISE_MAX_ROWS vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > EMBEDDING_PAIRWISE_MAX_ROWS:
+        raise PairwiseScaleError(
+            f"dedup_embedding_cosine: {n} vectors (> {EMBEDDING_PAIRWISE_MAX_ROWS}); "
+            "the all-pairs verify is quadratic — use ann_lsh_bucketed for "
+            "corpus-scale embedding near-dup candidates"
+        )
     a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
     return (

@@ -30,21 +30,24 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argminmax",
     oracle="""
     SELECT o_orderpriority,
-           arg_max(o_orderkey, o_totalprice) AS priciest_order,
-           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           MAX(struct_pack(p := o_totalprice, k := o_orderkey)).k AS priciest_order,
+           MIN(struct_pack(p := o_totalprice, k := o_orderkey)).k AS cheapest_order,
            MAX(o_totalprice) AS max_price,
            MIN(o_totalprice) AS min_price
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (argmax/argmin) aggregates — deterministic here
-    because o_totalprice values are unique within each group at this
-    data scale; ties would need a struct-max tie-break."""
+    """argmax/argmin via struct max/min: both engines order structs
+    lexicographically (price first, then orderkey), so ties on price
+    deterministically resolve to the largest (argmax) / smallest
+    (argmin) orderkey — unlike max_by/min_by, which pick an arbitrary
+    row on ties."""
     o = load_table(spark, sf_dir, "orders")
+    pk = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
     return o.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max(pk)["k"].alias("priciest_order"),
+        F.min(pk)["k"].alias("cheapest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )

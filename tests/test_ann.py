@@ -1,72 +1,72 @@
 """ANN quality tests: the LSH path is graded against the brute-force
-baseline (recall), not just shape — plus determinism of the seeded
-hyperplanes."""
+baseline (gated recall@10 ≥ 0.9 at sf0.1), not just shape — plus
+determinism of the seeded hyperplanes."""
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 
 import __spark_entry__ as entrymod
 
-from kinesis_s3_spark.operators.ann import DIM, N_PLANES, hyperplanes, lsh_bucket
+from kinesis_s3_spark.operators.ann import (
+    BITS_PER_TABLE,
+    DIM,
+    N_TABLES,
+    N_PLANES,
+    lsh_table_buckets,
+    planes_matrix,
+)
 from kinesis_s3_spark.sources.tables import load_table
 from tests.conftest import SF_CORRECT
+
+SF_RECALL = "/root/testdata/sf0.1"
 
 Q = entrymod.queries()
 
 
-def test_hyperplanes_deterministic():
-    p1, p2 = hyperplanes(), hyperplanes()
-    assert p1 == p2
-    assert len(p1) == N_PLANES and all(len(p) == DIM for p in p1)
-    flat = [c for p in p1 for c in p]
-    assert all(-1.0 <= c <= 1.0 for c in flat)
-    assert len(set(flat)) > DIM  # actually varied, not degenerate
+def test_planes_matrix_deterministic():
+    p1, p2 = planes_matrix(), planes_matrix()
+    assert p1 is p2 or np.array_equal(p1, p2)
+    assert p1.shape == (DIM, N_PLANES)
+    assert float(p1.min()) >= -1.0 and float(p1.max()) <= 1.0
+    assert len(np.unique(p1)) > DIM  # actually varied, not degenerate
 
 
 def test_bucket_distribution(spark):
-    """Buckets should spread vectors (not collapse into one bucket)."""
+    """Each table's buckets should spread vectors (not collapse)."""
     emb = load_table(spark, SF_CORRECT, "embeddings")
-    buckets = emb.select(lsh_bucket(F.col("embedding")).alias("b"))
-    n_buckets = buckets.distinct().count()
-    assert n_buckets >= 16  # of 64 possible for 6 planes
+    sig = emb.select(
+        "vec_id", F.posexplode(lsh_table_buckets(F.col("embedding"))).alias("t", "b")
+    )
+    per_table = (
+        sig.groupBy("t").agg(F.countDistinct("b").alias("nb")).collect()
+    )
+    assert len(per_table) == N_TABLES
+    for r in per_table:
+        # ≥ 1/4 of the 256 possible buckets occupied per table at 500 vectors
+        assert r["nb"] >= (1 << BITS_PER_TABLE) // 4, (r["t"], r["nb"])
 
 
-def test_lsh_finds_bucket_local_neighbors(spark):
-    """Within-bucket top-3 must be a subset of the brute-force top-k
-    ordering for the same query when restricted to that bucket — and
-    cosines must agree exactly (same scoring code path)."""
+def test_lsh_cosines_match_bruteforce_scoring(spark):
+    """LSH results score candidates with the same cosine code path as
+    brute force — overlapping (query, vector) pairs must agree."""
     brute = {
-        (r["vec_id"]): r["cosine"]
+        r["vec_id"]: r["cosine"]
         for r in Q["ann_bruteforce_topk"](spark, SF_CORRECT).collect()
     }
     lsh = Q["ann_lsh_bucketed"](spark, SF_CORRECT).filter(F.col("q_id") == 0).collect()
+    assert lsh, "LSH returned nothing for q_id=0"
     for r in lsh:
         if r["vec_id"] in brute:
             assert abs(r["cosine"] - brute[r["vec_id"]]) < 1e-9
 
 
-def test_recall_vs_bruteforce(spark):
-    """Multi-probe LSH (bucket + all 1-bit flips) on ~uniform
-    synthetic vectors: assert the probed candidate set captures
-    brute-force top-10 neighbors well above the random-candidate floor
-    (candidates/N) — similar vectors agree with the query on most
-    hyperplane signs, so neighbors concentrate in low-hamming buckets."""
-    emb = load_table(spark, SF_CORRECT, "embeddings")
-    n = emb.count()
-    sig = emb.withColumn("b", lsh_bucket(F.col("embedding"))).cache()
-    buckets = {r["vec_id"]: r["b"] for r in sig.select("vec_id", "b").collect()}
-    brute = {
-        (r["q_id"], r["vec_id"])
-        for r in Q["ann_multi_query_topk"](spark, SF_CORRECT).collect()
-    }
-    total_hits = total_floor = 0.0
-    for q_id in range(5):
-        probes = {buckets[q_id]} | {buckets[q_id] ^ (1 << j) for j in range(6)}
-        cand = {v for v, b in buckets.items() if b in probes and v != q_id}
-        top = {v for (q, v) in brute if q == q_id}
-        total_hits += len(top & cand)
-        total_floor += len(cand) / n * len(top)
-    # aggregated over the query set: the probed candidate sets must
-    # capture exact neighbors well above the random-candidate floor
-    assert total_hits > 1.5 * total_floor, (total_hits, total_floor)
+def test_recall_at_10_gate(spark):
+    """The headline ANN quality gate: multi-table multi-probe LSH must
+    reach recall@10 ≥ 0.9 against brute force at sf0.1 (2000 vectors,
+    near-isotropic — the hard case for LSH)."""
+    rows = Q["ann_recall_lsh"](spark, SF_RECALL).collect()
+    assert len(rows) == 5
+    recalls = {r["q_id"]: r["recall_at_10"] for r in rows}
+    assert min(recalls.values()) >= 0.9, recalls

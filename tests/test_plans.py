@@ -67,3 +67,23 @@ def test_semi_anti_join_strategies(spark):
 def test_mapinpandas_is_arrow_batched(spark):
     plan = explain_str(Q["mm_image_decode_stub"](spark, SF_SMOKE))
     assert "MapInPandas" in plan
+
+
+def test_quadratic_dedups_are_guarded(spark, monkeypatch):
+    """The two pairwise oracle anchors must refuse oversized inputs —
+    no unbounded all-pairs join is reachable from the registry."""
+    from kinesis_s3_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "EMBEDDING_PAIRWISE_MAX_ROWS", 10)
+    with pytest.raises(dd.PairwiseScaleError, match="ann_lsh_bucketed"):
+        Q["dedup_embedding_cosine"](spark, SF_SMOKE)
+
+    monkeypatch.setattr(dd, "JACCARD_BLOCK_MAX_ROWS", 3)
+    with pytest.raises(dd.PairwiseScaleError, match="dedup_minhash_lsh"):
+        Q["dedup_ngram_jaccard"](spark, SF_SMOKE)
+
+
+def test_quadratic_dedups_run_under_cap(spark):
+    """Guards must not fire at oracle scale."""
+    assert Q["dedup_embedding_cosine"](spark, SF_SMOKE).count() >= 0
+    assert Q["dedup_ngram_jaccard"](spark, SF_SMOKE).count() >= 0
