@@ -110,8 +110,8 @@ class OutputConfig:
 class BufferConfig:
     """Config.scala:172 — flush thresholds. In Spark, time_limit_ms is
     the micro-batch trigger; record_limit caps records per trigger;
-    byte_limit is a documented semantic difference (SURVEY §7 risk 1).
-    """
+    byte_limit bounds every output object's uncompressed payload via
+    the writer's maxRecordsPerFile roll (sinks/emitter.py)."""
 
     byte_limit: int = 2048
     record_limit: int = 10
@@ -167,7 +167,13 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
         mon = d.get("monitoring", {})
         # the reference's bad output is a mandatory config field
         # (Config.scala: Output(s3, bad)); purposes that can produce
-        # per-record failures must have somewhere to dead-letter them
+        # per-record failures must have somewhere to dead-letter them.
+        # DELIBERATE RELAXATION vs the reference (where Output(s3, bad)
+        # is unconditional): RAW is exempt because its only bad-row
+        # source is a NULL payload, which many RAW deployments (e.g.
+        # file replays) cannot produce — but a RAW batch that DOES hit
+        # one without a sink drops it with a loud emitter warning
+        # (sinks/emitter.py), never silently.
         if purpose is not Purpose.RAW and not (out.get("bad_path") or out.get("bad")):
             raise ConfigError(
                 "config.output.bad_path is required for purpose "

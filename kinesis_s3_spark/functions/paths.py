@@ -28,8 +28,13 @@ _TOKEN = re.compile(r"\{([^{}]*)\}")
 _JAVA_TO_STRFTIME = {
     # Java 'Y' is WEEK-BASED year (DateTimeFormatter): Dec 29-31 can
     # belong to the next week-based year. glibc strftime %G/%g are the
-    # ISO week-based equivalents, matching the reference's behavior at
-    # year boundaries (DynamicPath.scala token semantics).
+    # ISO week-based equivalents (DynamicPath.scala token semantics).
+    # Locale caveat: the reference's output is LOCALE-DEPENDENT — its
+    # DateTimeFormatter uses the JVM default locale's WeekFields, so
+    # e.g. en-US (Sunday start, minimalDays=1) diverges from ISO around
+    # Dec 26 - Jan 3. %G matches the ISO/ROOT-adjacent behavior — a
+    # reasonable canonical choice, identical to the reference only in
+    # ISO-week locales.
     "YYYY": "%G",
     "yyyy": "%Y",
     "YY": "%g",

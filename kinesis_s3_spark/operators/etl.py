@@ -258,6 +258,67 @@ def etl_buffer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_buffer_flush_bytes",
+    oracle="""
+    WITH sized AS (
+      SELECT user_id, ts, event_id,
+             length(props) + length(event_type) AS rec_bytes,
+             SUM(length(props) + length(event_type)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM events
+    )
+    SELECT user_id,
+           CAST((cum - rec_bytes) // 2048 AS BIGINT) AS flush_id,
+           COUNT(*) AS record_cnt,
+           CAST(SUM(rec_bytes) AS BIGINT) AS byte_cnt,
+           MIN(ts) AS earliest_tstamp
+    FROM sized
+    GROUP BY user_id, CAST((cum - rec_bytes) // 2048 AS BIGINT)
+    """,
+)
+def etl_buffer_flush_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: byte-limit buffer flush boundaries (byteLimit=2048, the
+    config default) replayed deterministically: records bucket by the
+    cumulative byte offset BEFORE each record, so every flush group
+    holds < byteLimit bytes of preceding records plus the one that
+    crosses the boundary — i.e. group bytes <= byteLimit + max_record,
+    the same bound the reference's flush-after-add gives an object
+    (BasicMemoryBuffer byteCount >= byteLimit check,
+    KinesisS3Pipeline.scala:41-42). The runtime analogue is the
+    maxRecordsPerFile roll in sinks/emitter.py.
+
+    Scale: one window shuffle on the shard key (user_id), same
+    partitioning the micro-batch already has."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rec_bytes = F.length("props") + F.length("event_type")
+    sized = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        rec_bytes.alias("rec_bytes"),
+        F.sum(rec_bytes).over(w).alias("cum"),
+    )
+    return (
+        sized.withColumn(
+            "flush_id", F.floor((F.col("cum") - F.col("rec_bytes")) / 2048).cast("long")
+        )
+        .groupBy("user_id", "flush_id")
+        .agg(
+            F.count("*").alias("record_cnt"),
+            F.sum("rec_bytes").cast("long").alias("byte_cnt"),
+            F.min("ts").alias("earliest_tstamp"),
+        )
+    )
+
+
+@query(
     "etl_bad_row_envelope",
     oracle="""
     SELECT event_id,

@@ -56,12 +56,17 @@ def _default_client_factory_for(region: str | None):
 
 
 def _stream_is_active(client, stream_name: str) -> bool:
-    """describe_stream → status == ACTIVE; a missing stream is False,
-    not an error (KinesisSink.streamExists, KinesisSink.scala:57-72)."""
+    """describe_stream → status == ACTIVE; a MISSING stream is False,
+    not an error, but auth/network/endpoint failures PROPAGATE with
+    their real message — the reference catches only
+    ResourceNotFoundException too (KinesisSink.scala:57-72)."""
     try:
         desc = client.describe_stream(StreamName=stream_name)
-    except Exception:
-        return False
+    except Exception as e:
+        code = getattr(e, "response", {}).get("Error", {}).get("Code") if hasattr(e, "response") else None
+        if code == "ResourceNotFoundException" or type(e).__name__ == "ResourceNotFoundException":
+            return False
+        raise
     status = (
         desc.get("StreamDescription", {}).get("StreamStatus")
         if isinstance(desc, dict)
@@ -70,14 +75,21 @@ def _stream_is_active(client, stream_name: str) -> bool:
     return status == "ACTIVE"
 
 
+# Kinesis PutRecords hard API limit (records per request)
+PUT_RECORDS_BATCH = 500
+
+
 @dataclass
 class KinesisBadRowSink:
-    """Per-record put_record dead-letter sink (KinesisSink.scala:74-107).
+    """Batched put_records dead-letter sink (KinesisSink.scala:74-107
+    semantics, batched transport: 500-record PutRecords requests — two
+    orders of magnitude fewer API calls than per-record put_record
+    when a poisoned batch is large, same fire-and-forget contract).
 
     ``client_factory`` must be a picklable zero-arg callable returning
     an object with ``describe_stream(StreamName=)`` and
-    ``put_record(StreamName=, Data=, PartitionKey=)`` (the boto3
-    surface). It is invoked once per executor partition.
+    ``put_records(StreamName=, Records=[{Data, PartitionKey}, ...])``
+    (the boto3 surface). It is invoked once per executor partition.
     """
 
     stream_name: str
@@ -98,26 +110,48 @@ class KinesisBadRowSink:
 
     def store_batch(self, bad_df: DataFrame, batch_id: int) -> None:
         """Dead-letter every row of ``bad_df`` (single ``value`` string
-        column). Runs on executors; per-record failures are logged and
-        NOT retried (fire-and-forget, KinesisSink.scala:97-107)."""
+        column). Runs on executors; failures — whole requests or the
+        per-record FailedRecordCount entries in a PutRecords response —
+        are logged and NOT retried (fire-and-forget,
+        KinesisSink.scala:97-107)."""
         stream, factory = self.stream_name, self.client_factory
 
         def put_partition(rows) -> None:
             client = None
             log = logging.getLogger(__name__)
+            buf: list[dict] = []
+
+            def flush() -> None:
+                if not buf:
+                    return
+                try:
+                    resp = client.put_records(StreamName=stream, Records=list(buf))
+                    failed = (resp or {}).get("FailedRecordCount", 0)
+                    if failed:
+                        log.error(
+                            "%d/%d bad rows failed to dead-letter to %s "
+                            "(not retried)", failed, len(buf), stream,
+                        )
+                except Exception as e:  # fire-and-forget: log, no retry
+                    log.error(
+                        "Writing %d bad rows to %s failed: %s", len(buf), stream, e
+                    )
+                buf.clear()
+
             for row in rows:
                 if client is None:
                     client = factory()
-                try:
-                    client.put_record(
-                        StreamName=stream,
-                        Data=row["value"].encode("utf-8"),
+                buf.append(
+                    {
+                        "Data": row["value"].encode("utf-8"),
                         # random key spreads bad rows across shards
                         # (KinesisSink.scala:98, CHANGELOG #180)
-                        PartitionKey=str(random.randint(-(2**31), 2**31 - 1)),
-                    )
-                except Exception as e:  # fire-and-forget: log, no retry
-                    log.error("Writing bad row to %s failed: %s", stream, e)
+                        "PartitionKey": str(random.randint(-(2**31), 2**31 - 1)),
+                    }
+                )
+                if len(buf) >= PUT_RECORDS_BATCH:
+                    flush()
+            flush()
 
         bad_df.foreachPartition(put_partition)
 

@@ -101,6 +101,7 @@ def emit(
     cfg: LoaderConfig,
     now: datetime | None = None,
     bad_sink=None,
+    run_id: str | None = None,
 ) -> BatchMeta:
     """The foreachBatch body. Returns the flush Meta that monitoring
     consumes (KinesisS3Emitter.scala:74-75 → StatsD.report).
@@ -108,7 +109,17 @@ def emit(
     ``bad_sink``: a pre-built dead-letter sink (O17). The loader
     builds it ONCE at startup so the Kinesis stream probe runs before
     the query starts (S3Loader.scala:39); when None it is derived from
-    config per call (batch-mode convenience)."""
+    config per call (batch-mode convenience).
+
+    ``now``: the batch's time decoration instant. For replay-idempotent
+    output with ``date_format`` set, this MUST be batch-stable — the
+    loader passes RunMeta.batch_time(batch_id) (first-seen time,
+    replayed verbatim); wall-clock here is only the batch-mode default.
+
+    ``run_id``: checkpoint-lifetime namespace (RunMeta.run_id). When
+    set, output nests under ``run=<id>/batch_id=<n>`` so a reset
+    checkpoint (batch ids restarting at 0) can never overwrite a prior
+    run's committed directories."""
     now = now or datetime.now(timezone.utc)
     if bad_sink is None:
         bad_sink = build_bad_sink(cfg)
@@ -118,12 +129,17 @@ def emit(
             F.count("*").alias("n"),
             F.sum(F.col("is_bad").cast("int")).alias("n_bad"),
             F.min("_tstamp").alias("earliest"),
+            # largest framed record (value + newline) — sizes the
+            # byteLimit file roll below; same single aggregation pass
+            F.max(F.when(~F.col("is_bad"), F.length("value") + 1)).alias("max_rec"),
         ).collect()[0]
         n, n_bad = agg["n"] or 0, agg["n_bad"] or 0
 
         out_dir = cfg.output.s3.path.rstrip("/")
         if cfg.output.s3.date_format:
             out_dir = f"{out_dir}/{decorate_directory_with_time(cfg.output.s3.date_format, now)}"
+        if run_id:
+            out_dir = f"{out_dir}/run={run_id}"
         batch_dir = f"{out_dir}/batch_id={batch_id}"
 
         good = df.filter(~F.col("is_bad"))
@@ -152,25 +168,31 @@ def emit(
                 F.col(ROW_SUBTYPE_COL),
                 F.pmod(F.crc32(F.col("value")), F.lit(k)),
             )
+            writer = routed.write.partitionBy(ROW_TYPE_COL, ROW_SUBTYPE_COL).mode(
+                "overwrite"
+            )
+            # O4 buffer.byteLimit (Config.scala:172, BasicMemoryBuffer
+            # flush when byteCount >= byteLimit): bound every output
+            # object's UNCOMPRESSED payload by byteLimit via the file
+            # writer's own roll — maxRecordsPerFile sized from the
+            # batch's largest record, so records_per_file * max_rec <=
+            # byteLimit. A single record larger than byteLimit still
+            # gets its own file (the reference, too, always flushes at
+            # least one record per object). No extra shuffle or pass.
+            if cfg.buffer.byte_limit and agg["max_rec"]:
+                writer = writer.option(
+                    "maxRecordsPerFile",
+                    max(1, cfg.buffer.byte_limit // int(agg["max_rec"])),
+                )
             # mode=overwrite into the per-batch_id dir: a batch replayed
             # after a crash/restart REPLACES its previous (possibly
             # partial) output instead of appending duplicates
             if cfg.output.s3.compression is Compression.GZIP:
                 # the text sink emits newline-delimited gzip members
                 # exactly like GZIPOutputStream framing in the reference
-                (
-                    routed.write.partitionBy(ROW_TYPE_COL, ROW_SUBTYPE_COL)
-                    .option("compression", "gzip")
-                    .mode("overwrite")
-                    .text(batch_dir)
-                )
+                writer.option("compression", "gzip").text(batch_dir)
             else:
-                (
-                    routed.write.partitionBy(ROW_TYPE_COL, ROW_SUBTYPE_COL)
-                    .option("compression", "zstd")
-                    .mode("overwrite")
-                    .parquet(batch_dir)
-                )
+                writer.option("compression", "zstd").parquet(batch_dir)
 
         if n_bad > 0:
             if bad_sink is not None:

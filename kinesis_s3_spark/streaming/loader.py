@@ -29,6 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 from kinesis_s3_spark.config import InitialPosition, LoaderConfig
 from kinesis_s3_spark.sinks.badrows_sink import build_bad_sink
 from kinesis_s3_spark.sinks.emitter import emit
+from kinesis_s3_spark.streaming.runmeta import RunMeta
 
 
 def build_stream(spark: SparkSession, cfg: LoaderConfig) -> DataFrame:
@@ -101,9 +102,22 @@ def run_loader(
     # exists/ACTIVE probe must fail the app at startup, before the
     # query runs (S3Loader.scala:39, KinesisSink.scala:49)
     bad_sink = build_bad_sink(cfg)
+    # replay-safety sidecar (streaming/runmeta.py): run-unique output
+    # namespace + batch-stable date decoration, both required for the
+    # per-batch overwrite in emit() to be truly idempotent
+    run_meta = (
+        RunMeta(spark, cfg.checkpoint_location) if cfg.checkpoint_location else None
+    )
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
-        meta = emit(batch_df, batch_id, cfg, bad_sink=bad_sink)
+        meta = emit(
+            batch_df,
+            batch_id,
+            cfg,
+            now=run_meta.batch_time(batch_id) if run_meta else None,
+            bad_sink=bad_sink,
+            run_id=run_meta.run_id if run_meta else None,
+        )
         if on_flush is not None:
             on_flush(meta)
 

@@ -158,3 +158,71 @@ def test_fractional_second_tstamp(spark, tmp_path):
     meta = emit(spark.createDataFrame(rows, "value string"), batch_id=5, cfg=cfg)
     assert meta.earliest_tstamp is not None
     assert meta.earliest_tstamp.strftime("%H:%M:%S.%f") == "00:01:05.123000"
+
+
+def test_byte_limit_bounds_object_size(spark, tmp_path):
+    """O4 buffer.byteLimit: every output object's uncompressed payload
+    must stay within byteLimit (one oversized record still gets its own
+    object, like the reference's flush-of-at-least-one)."""
+    byte_limit = 200
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t"},
+            "output": {
+                "s3": {"path": str(tmp_path / "out"), "compression": "GZIP"},
+                "bad_path": str(tmp_path / "bad"),
+            },
+            "buffer": {"byte_limit": byte_limit},
+        }
+    )
+    rows = [(f"record-{i:04d}-" + "x" * 40,) for i in range(40)]  # ~52 B each
+    emit(spark.createDataFrame(rows, "value string"), batch_id=11, cfg=cfg)
+
+    files = sorted(glob.glob(str(tmp_path / "out" / "batch_id=11" / "**" / "*.gz"), recursive=True))
+    assert len(files) > 4  # the roll actually fired (40*52 B ≈ 10 × limit)
+    seen = []
+    for f in files:
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+        payload = sum(len(line) + 1 for line in lines)
+        assert payload <= byte_limit or len(lines) == 1, (f, payload)
+        seen.extend(lines)
+    assert sorted(seen) == sorted(r[0] for r in rows)  # nothing lost to the roll
+
+
+def test_runmeta_replay_stable(spark, tmp_path):
+    """RunMeta: run_id survives re-instantiation on the same checkpoint
+    (crash-restart) and batch times replay verbatim; a wiped checkpoint
+    mints a FRESH run_id so batch_id=0 of the new run can never
+    overwrite the old run's commits."""
+    from kinesis_s3_spark.streaming.runmeta import RunMeta
+
+    ckpt = str(tmp_path / "ckpt")
+    m1 = RunMeta(spark, ckpt)
+    t0 = m1.batch_time(0)
+    m2 = RunMeta(spark, ckpt)  # restart against same checkpoint
+    assert m2.run_id == m1.run_id
+    assert m2.batch_time(0) == t0  # replayed batch keeps its decoration time
+
+    m3 = RunMeta(spark, str(tmp_path / "ckpt2"))  # checkpoint reset
+    assert m3.run_id != m1.run_id
+
+
+def test_replay_idempotent_with_date_format(spark, tmp_path):
+    """The round-2 defect: with date_format set, a replay using the
+    RunMeta-stable time must land in (and overwrite) the SAME
+    time-decorated directory — no duplicate output across dirs."""
+    from kinesis_s3_spark.streaming.runmeta import RunMeta
+
+    cfg = _cfg(tmp_path, date_format="{YYYY}/{MM}/{dd}/{HH}")
+    meta = RunMeta(spark, str(tmp_path / "ckpt"))
+    df = spark.createDataFrame([(v,) for v in SDJ_ROWS], "value string")
+    emit(df, batch_id=2, cfg=cfg, now=meta.batch_time(2), run_id=meta.run_id)
+    emit(df, batch_id=2, cfg=cfg, now=meta.batch_time(2), run_id=meta.run_id)  # replay
+
+    everything = _read_gzip_lines(str(tmp_path / "out" / "**" / "*.gz"))
+    assert sorted(everything) == sorted(SDJ_ROWS)  # exactly once, not twice
+    # and the run namespace is part of the layout
+    dirs = glob.glob(str(tmp_path / "out" / "**" / f"run={meta.run_id}" / "batch_id=2"), recursive=True)
+    assert len(dirs) == 1
