@@ -120,13 +120,16 @@ class BufferConfig:
 
 @dataclass(frozen=True)
 class MonitoringConfig:
-    """Config.scala monitoring — StatsD + lifecycle tracking."""
+    """Config.scala monitoring — StatsD + Snowplow lifecycle tracking
+    (monitoring.snowplow.{collector,appId} in config.hocon.sample:58)."""
 
     statsd_host: str | None = None
     statsd_port: int = 8125
     statsd_prefix: str = "snowplow.s3loader"
     statsd_tags: dict[str, str] = field(default_factory=dict)
     heartbeat_interval_ms: int = 300_000  # SnowplowTracking.scala:55
+    snowplow_collector: str | None = None  # e.g. "http://snplow.acme.ru:80"
+    snowplow_app_id: str = "kinesis-s3-spark"
 
 
 @dataclass(frozen=True)
@@ -240,6 +243,10 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
                 statsd_prefix=mon.get("statsd_prefix", "snowplow.s3loader"),
                 statsd_tags=dict(mon.get("statsd_tags", {})),
                 heartbeat_interval_ms=int(mon.get("heartbeat_interval_ms", 300_000)),
+                snowplow_collector=(mon.get("snowplow") or {}).get("collector"),
+                snowplow_app_id=(mon.get("snowplow") or {}).get(
+                    "app_id", (mon.get("snowplow") or {}).get("appId", "kinesis-s3-spark")
+                ),
             ),
             checkpoint_location=d.get("checkpoint_location"),
         )
@@ -251,12 +258,36 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
 
 def load(path: str | Path) -> LoaderConfig:
     """Config.load equivalent (Config.scala:51-60): file → dataclass,
-    or a ConfigError whose message pinpoints the problem."""
+    or a ConfigError whose message pinpoints the problem.
+
+    Accepts three formats from the one entry point:
+    - native JSON (this engine's snake_case schema);
+    - the reference's HOCON (config.hocon.sample syntax — comments,
+      optional commas, unquoted keys) via the subset reader in
+      config_hocon.py;
+    - JSON in the reference's camelCase layout.
+    Reference-layout fields are mapped onto the native schema before
+    validation, so existing reference config files work unchanged."""
     p = Path(path)
     if not p.exists():
         raise ConfigError(f"config file {p} does not exist")
+    # lazy import: config_hocon imports ConfigError from this module
+    from kinesis_s3_spark.config_hocon import (  # noqa: PLC0415
+        looks_like_reference_layout,
+        parse_hocon,
+        reference_dict_to_native,
+    )
+
+    text = p.read_text()
     try:
-        data = json.loads(p.read_text())
-    except json.JSONDecodeError as e:
-        raise ConfigError(f"config file {p} is not valid JSON: {e}") from e
+        data = json.loads(text)
+    except json.JSONDecodeError as json_err:
+        if p.suffix == ".json":
+            raise ConfigError(f"config file {p} is not valid JSON: {json_err}") from json_err
+        try:
+            data = parse_hocon(text)
+        except ConfigError as hocon_err:
+            raise ConfigError(f"config file {p}: {hocon_err}") from hocon_err
+    if looks_like_reference_layout(data):
+        data = reference_dict_to_native(data)
     return from_dict(data)

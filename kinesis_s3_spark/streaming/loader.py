@@ -30,6 +30,7 @@ from kinesis_s3_spark.config import InitialPosition, LoaderConfig
 from kinesis_s3_spark.sinks.badrows_sink import build_bad_sink
 from kinesis_s3_spark.sinks.emitter import emit
 from kinesis_s3_spark.streaming.runmeta import RunMeta
+from kinesis_s3_spark.streaming.tracking import SnowplowTracker
 
 
 def build_stream(spark: SparkSession, cfg: LoaderConfig) -> DataFrame:
@@ -92,12 +93,27 @@ def run_loader(
     cfg: LoaderConfig,
     on_flush=None,
     query_name: str = "kinesis-s3-loader",
+    tracker: SnowplowTracker | None = None,
 ) -> StreamingQuery:
     """Wire source → trigger → foreachBatch(emit) → checkpoint and
     start the query (the executor.run() analogue, S3Loader.scala:63-68;
     call ``.awaitTermination()`` on the result to block like the
-    reference's main loop)."""
+    reference's main loop).
+
+    ``tracker``: a pre-built SnowplowTracker (tests inject one with a
+    captured ``send``); when None and monitoring.snowplow.collector is
+    configured, one is built from config. Started here — app_initialized
+    + the 300 s heartbeat thread — mirroring initializeSnowplowTracking
+    running before the KCL worker (S3Loader.scala:44-47)."""
     stream = build_stream(spark, cfg)
+    if tracker is None and cfg.monitoring.snowplow_collector:
+        tracker = SnowplowTracker(
+            cfg.monitoring.snowplow_collector,
+            cfg.monitoring.snowplow_app_id,
+            heartbeat_interval_ms=cfg.monitoring.heartbeat_interval_ms,
+        )
+    if tracker is not None:
+        tracker.start()
     # build the dead-letter sink EAGERLY: the Kinesis stream
     # exists/ACTIVE probe must fail the app at startup, before the
     # query runs (S3Loader.scala:39, KinesisSink.scala:49)
