@@ -28,9 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kinesis_s3_spark.operators.registry import ORACLES, QUERIES  # noqa: E402
 
 _OPTIONAL_MODULES = (
+    # changed/added this round first (need fresh gate rows) ...
     "kinesis_s3_spark.operators.dedup",
-    "kinesis_s3_spark.operators.text",
     "kinesis_s3_spark.operators.ann",
+    "kinesis_s3_spark.operators.etl",
+    "kinesis_s3_spark.operators.enriched",
+    # ... then families that have never had a driver-gate row ...
+    "kinesis_s3_spark.operators.text",
     "kinesis_s3_spark.operators.multimodal",
     "kinesis_s3_spark.operators.chunking",
     "kinesis_s3_spark.operators.tpch_extra",
@@ -38,8 +42,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.misc",
     "kinesis_s3_spark.operators.urls",
     "kinesis_s3_spark.operators.approx",
-    "kinesis_s3_spark.operators.etl",
-    "kinesis_s3_spark.operators.enriched",
+    # ... longest-green families last
     "kinesis_s3_spark.operators.events",
     "kinesis_s3_spark.operators.scalar",
     "kinesis_s3_spark.operators.relational",

@@ -375,6 +375,115 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- duplicate-cluster resolution (connected components) ---------------------
+
+# label propagation converges in O(component diameter) rounds; dup
+# clusters are shallow (near-clique), so this is a backstop, not a
+# working bound
+_CLUSTER_MAX_ITERS = 15
+
+
+@query(
+    "dedup_cluster_resolve",
+    oracle=f"""
+    WITH RECURSIVE
+    ws AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS gs
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    sh AS (SELECT doc_id, unnest(gs) AS s FROM ws),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS m
+      FROM sh, (SELECT unnest(range(0, {N_HASHES})) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) AS ms FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b,
+             md5(ms[b*{ROWS_PER_BAND}+1] || ms[b*{ROWS_PER_BAND}+2] || ms[b*{ROWS_PER_BAND}+3]) AS bk
+      FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.d1, c.d2
+      FROM cand c JOIN ws g1 ON c.d1 = g1.doc_id JOIN ws g2 ON c.d2 = g2.doc_id
+      WHERE CAST(len(list_intersect(g1.gs, g2.gs)) AS DOUBLE) /
+            (len(g1.gs) + len(g2.gs) - len(list_intersect(g1.gs, g2.gs)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lab FROM documents
+      UNION
+      SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id, (MIN(lab) = node) AS keep
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of a real dedup pipeline: near-dup PAIRS (from
+    MinHash+LSH) → connected components → one kept representative per
+    cluster (the minimum doc_id). Every doc gets (cluster_id, keep);
+    singletons keep themselves.
+
+    Spark-first: iterative min-label propagation — labels start as each
+    node's own id; each round every node takes the min of its own and
+    its neighbors' labels; stop when a round changes nothing. Rounds ≈
+    cluster diameter (near-dup clusters are shallow near-cliques, so
+    2-3 rounds in practice; hard cap as a backstop). Each round is one
+    equi-join of the label frame against the (small) edge list + one
+    min-aggregate — no Python, no driver-side graph. The DuckDB oracle
+    computes the same component minima with a recursive CTE, so the
+    gate checks the WHOLE chain: shingles → signatures → bands →
+    verified pairs → components → keep flags."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).toDF("a", "b").cache()
+
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
+    labels = labels.cache()
+    for _ in range(_CLUSTER_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .groupBy(edges["b"].alias("node2"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("lab") == F.col("node")).alias("keep"),
+    )
+
+
 # --- embedding cosine ----------------------------------------------------------
 
 

@@ -70,3 +70,11 @@ def test_recall_at_10_gate(spark):
     assert len(rows) == 5
     recalls = {r["q_id"]: r["recall_at_10"] for r in rows}
     assert min(recalls.values()) >= 0.9, recalls
+
+
+def test_ivf_recall_at_10_gate(spark):
+    """Same gate for the IVF path (16 centroids, 6 probed)."""
+    rows = Q["ann_recall_ivf"](spark, SF_RECALL).collect()
+    assert len(rows) == 5
+    recalls = {r["q_id"]: r["recall_at_10"] for r in rows}
+    assert min(recalls.values()) >= 0.9, recalls
