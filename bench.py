@@ -44,6 +44,8 @@ HEADLINE = [
     "ann_multi_query_topk",
     "ann_lsh_bucketed",
     "ann_recall_lsh",
+    "ann_ivf_topk",
+    "dedup_cluster_resolve",
     "etl_buffer_flush_bytes",
     "mm_image_decode_stub",
 ]

@@ -51,7 +51,13 @@ def test_topk_no_global_sort(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_minhash_lsh", "dedup_simhash_pairs", "ann_lsh_bucketed", "events_asof_join"],
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "ann_lsh_bucketed",
+        "events_asof_join",
+        "dedup_cluster_resolve",
+    ],
 )
 def test_lsh_style_ops_avoid_cartesian(spark, name):
     """Candidate generation must be an equi-join on bucket/band/user —

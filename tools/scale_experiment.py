@@ -34,6 +34,9 @@ QUERIES = [
     "agg_distinct",
     "window_topk_per_group",
     "dedup_minhash_lsh",
+    "dedup_cluster_resolve",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "events_asof_join",
     "text_vocabulary",
 ]
@@ -72,10 +75,12 @@ def run(spark, sf_dir: str) -> dict[str, float]:
     q = entrymod.queries()
     times = {}
     for name in QUERIES:
-        df = q[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm
+        # time CONSTRUCTION + materialization: iterative operators
+        # (dedup_cluster_resolve) execute jobs while building the frame,
+        # so timing only the final write would undercount them
+        q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 2)
     return times
 
