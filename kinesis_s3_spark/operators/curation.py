@@ -1,0 +1,265 @@
+"""Corpus-curation operators (north-star extension; no reference
+analogue — the training-data-pipeline surface BASELINE.json asks for):
+Gopher-style repetition filters, temperature-scaled mixture weighting,
+deterministic stratified sampling, greedy sequence packing.
+
+Scale notes (100 TB):
+- repetition stats are explode→two-stage agg (partial map-side combine
+  keeps the shuffle at |doc × distinct-word| not |tokens|);
+- mixture weighting aggregates to |sources| rows (tiny) before the
+  single-partition window — bounded by the source catalogue, not data;
+- stratified sampling is a pure map-side filter (no shuffle at all);
+- packing windows are partitioned per source shard, never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.functions.text import ngrams_from_tokens, token_count, tokens
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+_CTX = 2048  # packing context length (tokens)
+
+
+@query(
+    "text_gopher_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+    ),
+    words AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(MAX(c) AS BIGINT) AS top_word_cnt,
+             COUNT(*) AS n_distinct_words
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+1], ' ')
+                     for i in range(1, greatest(len(t), 1))]) AS g
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0)
+    ),
+    gc AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_cnt
+      FROM gc GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_words,
+           ROUND(w.top_word_cnt / CAST(w.n_words AS DOUBLE), 6) AS top_word_frac,
+           ROUND((w.n_words - w.n_distinct_words) / CAST(w.n_words AS DOUBLE), 6)
+             AS dup_word_frac,
+           ROUND(g.top_bigram_cnt / CAST(g.n_bigrams AS DOUBLE), 6)
+             AS top_bigram_frac,
+           (w.top_word_cnt / CAST(w.n_words AS DOUBLE) <= 0.2
+            AND g.top_bigram_cnt / CAST(g.n_bigrams AS DOUBLE) <= 0.18)
+             AS keep
+    FROM words w JOIN grams g USING (doc_id)
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1,
+    adapted word-level for a single-line corpus): most-frequent-word
+    fraction, duplicate-word fraction, most-frequent-bigram fraction,
+    and a keep/drop verdict.
+
+    explode → (doc_id, token) → two-stage agg; partial aggregation
+    combines per-doc counts map-side so the shuffle carries distinct
+    (doc, word) pairs, not raw tokens.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .withColumn("t", tokens(F.lower(F.col("text"))))
+    )
+    wc = (
+        docs.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    words = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_cnt"),
+        F.count("*").alias("n_distinct_words"),
+    )
+    gc = (
+        docs.select("doc_id", F.explode(ngrams_from_tokens(F.col("t"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    grams = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_cnt")
+    )
+    twf = F.col("top_word_cnt") / F.col("n_words").cast("double")
+    tbf = F.col("top_bigram_cnt") / F.col("n_bigrams").cast("double")
+    return words.join(grams, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(twf, 6).alias("top_word_frac"),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words").cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.round(tbf, 6).alias("top_bigram_frac"),
+        ((twf <= 0.2) & (tbf <= 0.18)).alias("keep"),
+    )
+
+
+@query(
+    "curation_mixture_temperature",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+               AS total_tokens,
+             CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(38,12)) AS w
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS nat_frac,
+           ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 6)
+             AS temp_frac
+    FROM per_src
+    """,
+)
+def curation_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (T=2: weight ∝
+    count^(1/2), the multilingual-sampling trick from mBERT/XLM-R) next
+    to natural frequencies.
+
+    The window runs over the aggregated |sources| rows (tiny, bounded
+    by the catalogue — ~20 here, maybe thousands at 100 TB), never over
+    raw documents. sqrt weights pass through DECIMAL(38,12) so the
+    cross-row sum is exact and order-independent (see registry
+    determinism rules).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.sqrt(F.count("*").cast("double")).cast("decimal(38,12)").alias("w"),
+    )
+    all_rows = Window.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(all_rows).cast("double"), 6).alias(
+            "nat_frac"
+        ),
+        F.round(
+            F.col("w").cast("double") / F.sum("w").over(all_rows).cast("double"), 6
+        ).alias("temp_frac"),
+    )
+
+
+@query(
+    "curation_stratified_sample",
+    oracle="""
+    SELECT doc_id, source, bucket, rate_bp
+    FROM (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+               AS bucket,
+             1000 + 400 * (CAST(substr(source, 4) AS BIGINT) % 8) AS rate_bp
+      FROM documents
+    )
+    WHERE bucket < rate_bp
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep-rates (basis
+    points) applied via an md5 hash bucket of doc_id — reproducible
+    across runs/engines, unlike rand()-based sample().
+
+    Pure map-side filter: no shuffle, fully pushes into the scan
+    pipeline; at 100 TB this is the only sampling shape that avoids a
+    global pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 10000
+    rate = 1000 + 400 * (F.substring("source", 4, 10).cast("long") % 8)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            bucket.alias("bucket"),
+            rate.alias("rate_bp"),
+        )
+        .where(F.col("bucket") < F.col("rate_bp"))
+    )
+
+
+@query(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT source,
+           CAST(FLOOR((cum_tokens - n_tokens) / {_CTX}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           ROUND(SUM(n_tokens) / {_CTX}.0, 6) AS fill_ratio
+    FROM cum
+    GROUP BY source, bin_id
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: docs stream in doc_id order
+    within each source shard and fill 2048-token context windows; a
+    doc belongs to the bin where it STARTS (so a straddling doc can
+    push fill_ratio past 1 — the standard concat-then-chunk packing).
+
+    The running sum is windowed PER SOURCE (the shard a packer would
+    actually own), never a global single-partition window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.groupBy(
+            "source",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(float(_CTX)))
+            .cast("long")
+            .alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(float(_CTX)), 6).alias("fill_ratio"),
+        )
+    )

@@ -202,6 +202,86 @@ def text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared PII regexes — restricted to the Java-regex ∩ RE2 common
+# subset (char classes, bounded quantifiers, \d, \b; no lookarounds)
+# so Spark and DuckDB match identical spans.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,3}-\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "text_pii_mask",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || doc_id || '@ex' || (doc_id % 7)
+                  || '.com or call +' || (1 + doc_id % 90)
+                  || '-' || lpad(CAST(100 + doc_id % 900 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from ' || (10 + doc_id % 200) || '.' || (doc_id % 256)
+                  || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256)
+               AS aug
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(aug, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(aug, '{_PII_IP}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS masked_fp,
+           length(regexp_replace(regexp_replace(regexp_replace(aug,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS masked_len
+    FROM aug
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking (emails, intl phone numbers, IPv4) — the
+    redaction pass every training-data pipeline runs before tokenizing.
+
+    The synthetic corpus carries no real PII, so the query injects
+    deterministic doc_id-derived spans first, then detects and masks
+    them; the md5 of the full masked text is value-gated, proving both
+    engines found and replaced the *identical* spans. All JVM-side
+    regexp expressions — one scan, no shuffle, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(col):  # ANSI mode: concat wants explicit numeric→string casts
+        return col.cast("string")
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), s(d), F.lit("@ex"), s(d % 7), F.lit(".com or call +"),
+        s(d % 90 + 1), F.lit("-"),
+        F.lpad(s(d % 900 + 100), 3, "0"), F.lit("-"),
+        F.lpad(s(d % 1000), 3, "0"), F.lit("-"),
+        F.lpad(s(d % 10000), 4, "0"),
+        F.lit(" from "), s(d % 200 + 10), F.lit("."), s(d % 256),
+        F.lit("."), s((d * 7) % 256), F.lit("."), s((d * 13) % 256),
+    )
+    a = docs.select("doc_id", aug.alias("aug"))
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return a.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("aug", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count("aug", F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.md5(masked).alias("masked_fp"),
+        F.length(masked).cast("long").alias("masked_len"),
+    )
+
+
 @query(
     "text_token_bpe_regex",
     oracle="""

@@ -1,0 +1,79 @@
+"""Curation operators: semantic invariants beyond the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.operators.curation import (
+    curation_mixture_temperature,
+    curation_pack_sequences,
+    curation_stratified_sample,
+    text_gopher_repetition,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_mixture_fracs_sum_to_one(spark):
+    rows = curation_mixture_temperature(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r["nat_frac"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_frac"] for r in rows) - 1.0) < 1e-4
+    # temperature flattens: low-count sources gain weight vs natural
+    lo = min(rows, key=lambda r: r["n_docs"])
+    hi = max(rows, key=lambda r: r["n_docs"])
+    if lo["n_docs"] < hi["n_docs"]:
+        assert lo["temp_frac"] >= lo["nat_frac"]
+        assert hi["temp_frac"] <= hi["nat_frac"]
+
+
+def test_pack_conserves_tokens_and_bins_contiguous(spark):
+    from kinesis_s3_spark.functions.text import token_count
+    from kinesis_s3_spark.sources.tables import load_table
+
+    packed = curation_pack_sequences(spark, SF_SMOKE)
+    per_src = {
+        r["source"]: r
+        for r in packed.groupBy("source")
+        .agg(
+            F.sum("bin_tokens").alias("tot"),
+            F.min("bin_id").alias("lo"),
+            F.max("bin_id").alias("hi"),
+            F.count("*").alias("n_bins"),
+        )
+        .collect()
+    }
+    truth = {
+        r["source"]: r["tot"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("tot"))
+        .collect()
+    }
+    assert per_src.keys() == truth.keys()
+    for src, r in per_src.items():
+        assert r["tot"] == truth[src]  # every token lands in exactly one bin
+        assert r["lo"] == 0
+        assert r["n_bins"] == r["hi"] - r["lo"] + 1  # no bin gaps
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark):
+    a = {r["doc_id"] for r in curation_stratified_sample(spark, SF_SMOKE).collect()}
+    b = {r["doc_id"] for r in curation_stratified_sample(spark, SF_SMOKE).collect()}
+    assert a == b and a  # reproducible, non-empty
+    rates = (
+        curation_stratified_sample(spark, SF_SMOKE)
+        .select("source", "rate_bp")
+        .distinct()
+        .collect()
+    )
+    assert all(1000 <= r["rate_bp"] <= 1000 + 400 * 7 for r in rates)
+
+
+def test_gopher_fracs_bounded(spark):
+    rows = text_gopher_repetition(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["top_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_word_frac"] < 1.0
+        assert 0.0 < r["top_bigram_frac"] <= 1.0
+        assert isinstance(r["keep"], bool)

@@ -113,3 +113,37 @@ class TestCollectorTstamp:
         df = spark.createDataFrame(rows, "value string")
         got = df.select(collector_tstamp_col(F.col("value")).alias("t")).collect()
         assert all(r["t"] is None for r in got)
+
+
+class TestPiiMask:
+    """text_pii_mask: injected spans must all be detected, and the
+    masked text must carry no residual PII-shaped substrings."""
+
+    def test_all_spans_detected_and_masked(self, spark):
+        from kinesis_s3_spark.operators.text import text_pii_mask
+
+        rows = text_pii_mask(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert r["n_emails"] >= 1
+            assert r["n_phones"] >= 1
+            assert r["n_ips"] >= 1
+
+    def test_mask_is_idempotent(self, spark):
+        # masking literal PII strings directly (unit-level, no table)
+        from pyspark.sql import functions as F
+
+        from kinesis_s3_spark.operators.text import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+        df = spark.createDataFrame(
+            [("mail a.b+c@test-x.io call +44-201-555-0199 ip 10.0.255.7 end",)],
+            "s string",
+        )
+        masked = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("s"), _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE, "<PHONE>"),
+            _PII_IP, "<IP>")
+        got = df.select(masked.alias("m")).collect()[0]["m"]
+        assert got == "mail <EMAIL> call <PHONE> ip <IP> end"
+        assert "@" not in got and "10.0" not in got
