@@ -93,3 +93,24 @@ def test_quadratic_dedups_run_under_cap(spark):
     """Guards must not fire at oracle scale."""
     assert Q["dedup_embedding_cosine"](spark, SF_SMOKE).count() >= 0
     assert Q["dedup_ngram_jaccard"](spark, SF_SMOKE).count() >= 0
+
+
+def test_curation_scans_prune_text(spark):
+    """Sampling decisions never read the text column; PII masking reads
+    only (doc_id, text) — pruning reaches the parquet scan."""
+    assert scan_columns(Q["curation_stratified_sample"](spark, SF_SMOKE)) == [
+        ["doc_id", "source"]
+    ]
+    assert scan_columns(Q["text_pii_mask"](spark, SF_SMOKE)) == [["doc_id", "text"]]
+
+
+def test_gopher_repetition_no_cartesian(spark):
+    assert_no_cartesian(Q["text_gopher_repetition"](spark, SF_SMOKE))
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """The packing running-sum must be per-source, never a global
+    single-partition window."""
+    plan = explain_str(Q["curation_pack_sequences"](spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan, plan[:2000]
