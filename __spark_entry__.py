@@ -30,6 +30,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.enriched",
     "kinesis_s3_spark.operators.text",
     "kinesis_s3_spark.operators.curation",
+    "kinesis_s3_spark.operators.embeddings",
     "kinesis_s3_spark.operators.multimodal",
     "kinesis_s3_spark.operators.chunking",
     "kinesis_s3_spark.operators.tpch_extra",
@@ -60,6 +61,8 @@ _GATE_FIRST = [
     "curation_mixture_temperature",
     "curation_stratified_sample",
     "curation_pack_sequences",
+    "emb_normalize_quantize",
+    "emb_label_centroids",
     "dedup_cluster_resolve",
     "ann_ivf_topk",
     "ann_recall_ivf",
