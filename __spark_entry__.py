@@ -61,6 +61,7 @@ _GATE_FIRST = [
     "curation_mixture_temperature",
     "curation_stratified_sample",
     "curation_pack_sequences",
+    "curation_pipeline_funnel",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

@@ -48,6 +48,11 @@ HEADLINE = [
     "dedup_cluster_resolve",
     "etl_buffer_flush_bytes",
     "mm_image_decode_stub",
+    "text_pii_mask",
+    "text_gopher_repetition",
+    "curation_pack_sequences",
+    "curation_pipeline_funnel",
+    "emb_normalize_quantize",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

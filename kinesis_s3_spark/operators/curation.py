@@ -263,3 +263,118 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens") / F.lit(float(_CTX)), 6).alias("fill_ratio"),
         )
     )
+
+
+_Q_THRESHOLD = 0.82  # quality keep threshold (median-ish on this corpus)
+
+
+@query(
+    "curation_pipeline_funnel",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+             md5(array_to_string(list_sort(string_split_regex(trim(lower(text)), '\\s+')), ' '))
+               AS fp,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket,
+             1000 + 400 * (CAST(substr(source, 4) AS BIGINT) % 8) AS rate_bp
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id, n_tokens, fp, bucket, rate_bp,
+             (n_alpha / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)
+              - 0.5 * (n_punct / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+              - 0.3 * (n_digit / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+              - 0.2 * (n_upper / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)))
+               >= {_Q_THRESHOLD} AS pass_q
+      FROM s
+    ),
+    canon AS (
+      SELECT *,
+             doc_id = MIN(CASE WHEN pass_q THEN doc_id END)
+                        OVER (PARTITION BY fp) AS is_canon,
+             bucket < rate_bp AS pass_s
+      FROM flags
+    )
+    SELECT COUNT(*) AS n_raw,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_raw,
+           CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN pass_q THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_quality,
+           CAST(SUM(CASE WHEN pass_q AND is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+           CAST(SUM(CASE WHEN pass_q AND is_canon THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tok_dedup,
+           CAST(SUM(CASE WHEN pass_q AND is_canon AND pass_s THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sample,
+           CAST(SUM(CASE WHEN pass_q AND is_canon AND pass_s THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tok_sample
+    FROM canon
+    """,
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline as ONE declarative plan: quality
+    gate → exact-normalized dedup (canonical = min doc_id per
+    fingerprint among quality survivors) → stratified hash sample,
+    reporting the doc/token funnel at every stage in a single row.
+
+    One scan computes all per-doc signals; the only shuffle is the
+    fingerprint window (keyed by content hash — uniform) plus the final
+    1-row aggregate. This is the shape the full 100 TB curation job
+    takes: each stage is a column, not a materialized intermediate
+    dataset."""
+    from kinesis_s3_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    safe_n = F.when(n == 0, F.lit(1.0)).otherwise(n)
+
+    def ratio(pat: str):
+        return (
+            n - F.length(F.regexp_replace("text", pat, ""))
+        ) / safe_n
+
+    score = (
+        ratio("[a-zA-Z]")
+        - 0.5 * ratio(r"[!-/:-@\[-`{-~]")
+        - 0.3 * ratio("[0-9]")
+        - 0.2 * ratio("[A-Z]")
+    )
+    flags = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % 10000
+        ).alias("bucket"),
+        (1000 + 400 * (F.substring("source", 4, 10).cast("long") % 8)).alias("rate_bp"),
+        (score >= _Q_THRESHOLD).alias("pass_q"),
+    )
+    w = Window.partitionBy("fp")
+    canon = flags.select(
+        "*",
+        (
+            F.col("doc_id")
+            == F.min(F.when(F.col("pass_q"), F.col("doc_id"))).over(w)
+        ).alias("is_canon"),
+        (F.col("bucket") < F.col("rate_bp")).alias("pass_s"),
+    )
+    q, c, s = F.col("pass_q"), F.col("is_canon"), F.col("pass_s")
+    t = F.col("n_tokens")
+    return canon.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(t).cast("long").alias("tok_raw"),
+        F.sum(F.when(q, 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(q, t).otherwise(0)).cast("long").alias("tok_quality"),
+        F.sum(F.when(q & c, 1).otherwise(0)).cast("long").alias("n_dedup"),
+        F.sum(F.when(q & c, t).otherwise(0)).cast("long").alias("tok_dedup"),
+        F.sum(F.when(q & c & s, 1).otherwise(0)).cast("long").alias("n_sample"),
+        F.sum(F.when(q & c & s, t).otherwise(0)).cast("long").alias("tok_sample"),
+    )

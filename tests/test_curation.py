@@ -77,3 +77,12 @@ def test_gopher_fracs_bounded(spark):
         assert 0.0 <= r["dup_word_frac"] < 1.0
         assert 0.0 < r["top_bigram_frac"] <= 1.0
         assert isinstance(r["keep"], bool)
+
+
+def test_pipeline_funnel_monotone(spark):
+    from kinesis_s3_spark.operators.curation import curation_pipeline_funnel
+
+    r = curation_pipeline_funnel(spark, SF_SMOKE).collect()[0]
+    assert r["n_raw"] >= r["n_quality"] >= r["n_dedup"] >= r["n_sample"] >= 0
+    assert r["tok_raw"] >= r["tok_quality"] >= r["tok_dedup"] >= r["tok_sample"] >= 0
+    assert r["n_sample"] > 0  # the pipeline keeps something

@@ -39,6 +39,9 @@ QUERIES = [
     "ann_ivf_topk",
     "events_asof_join",
     "text_vocabulary",
+    "text_gopher_repetition",
+    "curation_pack_sequences",
+    "emb_normalize_quantize",
 ]
 
 KEY_OFFSETS = {
