@@ -1,0 +1,58 @@
+"""Read back what the emitter wrote — the downstream half of the
+reference's contract.
+
+The reference's S3 objects are consumed by downstream batch jobs
+(shredder / warehouse loaders reading
+``s3://.../row_type=vendor.name/row_subtype=format-model/...``). A
+user switching engines needs the same read path: this module turns an
+emit() output tree back into a DataFrame, with the directory layout
+recovered as real columns and the reference's combined RowType
+partition string (``vendor.name/format-model``, RowType.scala:28)
+reconstructed.
+
+Scale: Spark's file source does the listing/partition discovery in
+parallel and prunes ``batch_id``/``row_type`` predicates at the
+directory level — filtering on a recovered partition column never
+touches the excluded objects' bytes (the same trick the §2 inventory
+uses for parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.sinks.emitter import NO_SUBTYPE, ROW_SUBTYPE_COL, ROW_TYPE_COL
+
+
+def read_archive(
+    spark: SparkSession,
+    path: str,
+    compression: str = "GZIP",
+) -> DataFrame:
+    """Load an emit() output tree rooted at ``path`` (the directory
+    holding ``batch_id=*/`` or ``run=*/batch_id=*/`` children; with
+    ``date_format`` set, point at one decorated directory — mixed
+    literal/partition layouts are a Hive-layout limitation, not ours).
+
+    Returns columns:
+    - ``value``      the record line (GZIP) or stored columns (parquet)
+    - ``batch_id``   recovered from the directory name (long)
+    - ``row_type``   the reference's combined partition string,
+                     ``vendor.name/format-model`` (or ``unpartitioned``
+                     / ``reading_error`` with no subtype)
+    - plus ``run`` when the tree is run-namespaced.
+    """
+    reader = spark.read.option("basePath", path)
+    if compression.upper() == "GZIP":
+        df = reader.text(path)
+    else:
+        df = reader.parquet(path)
+    combined = F.when(
+        F.col(ROW_SUBTYPE_COL) != NO_SUBTYPE,
+        F.concat_ws("/", ROW_TYPE_COL, ROW_SUBTYPE_COL),
+    ).otherwise(F.col(ROW_TYPE_COL))
+    keep = [c for c in df.columns if c not in (ROW_TYPE_COL, ROW_SUBTYPE_COL)]
+    return df.select(*keep, combined.alias(ROW_TYPE_COL)).withColumn(
+        "batch_id", F.col("batch_id").cast("long")
+    )
