@@ -65,6 +65,8 @@ _GATE_FIRST = [
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",
+    "dedup_incremental",
+    "events_funnel_steps",
     "ann_ivf_topk",
     "ann_recall_ivf",
     "ann_recall_lsh",

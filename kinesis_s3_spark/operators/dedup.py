@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_s3_spark.functions.text import ngrams_from_tokens, normalized_text, tokens
+from kinesis_s3_spark.functions.text import (
+    fingerprint,
+    ngrams_from_tokens,
+    normalized_text,
+    tokens,
+)
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -531,4 +536,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4))
         .filter(F.col("cosine") >= 0.4)
         .select("v1", "v2", "cosine")
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(array_to_string(list_sort(
+               string_split_regex(trim(lower(text)), '\\s+')), ' ')) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(
+               string_split_regex(trim(lower(text)), '\\s+')), ' ')) AS fp
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT b.fp, MIN(b.doc_id) AS first_doc, COUNT(*) AS n_in_batch
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    WHERE c.fp IS NULL
+    GROUP BY b.fp
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: new batch (odd doc_ids) deduped
+    against the already-ingested corpus (even doc_ids) AND within
+    itself — the shape every recurring crawl/training-data refresh
+    runs: anti-join on content fingerprint, then canonical-per-group.
+
+    Both the anti-join and the groupBy key on the md5 fingerprint —
+    uniform hash keys, no skew; at 100 TB the corpus side is a
+    fingerprint-only projection (16 bytes/doc), not the documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    return (
+        batch.join(corpus, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_in_batch"))
     )

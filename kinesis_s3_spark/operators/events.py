@@ -193,3 +193,81 @@ def events_hourly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
         F.countDistinct("user_id").alias("active_users"), F.count("*").alias("n_events")
     )
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS fv
+      FROM events
+    ),
+    s2 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'click' AND fv < ts THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS fc
+      FROM s1
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS r_view,
+             MAX(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS r_click,
+             MAX(CASE WHEN event_type = 'purchase' AND fc < ts THEN 1 ELSE 0 END)
+               AS r_purchase
+      FROM s2 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(r_view) AS BIGINT) AS n_view,
+           CAST(SUM(r_click) AS BIGINT) AS n_click_after_view,
+           CAST(SUM(r_purchase) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    increasing event time): how many users reach each step.
+
+    The sequential dependency is encoded as two running-min window
+    passes over the SAME (user, time) sort — one shuffle + one sort
+    total, then the per-user flags collapse on the already-established
+    partitioning. The naive encoding (3 self-joins on user with
+    inequality conditions) would be O(events²) within hot users; this
+    is linear."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("fv"),
+    )
+    s2 = s1.withColumn(
+        "fc",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("fv") < F.col("ts")), F.col("ts"))
+        ).over(w),
+    )
+    per_user = s2.groupBy("user_id").agg(
+        F.max(F.when(F.col("fv").isNotNull(), 1).otherwise(0)).alias("r_view"),
+        F.max(F.when(F.col("fc").isNotNull(), 1).otherwise(0)).alias("r_click"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("fc") < F.col("ts")), 1
+            ).otherwise(0)
+        ).alias("r_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("r_view").cast("long").alias("n_view"),
+        F.sum("r_click").cast("long").alias("n_click_after_view"),
+        F.sum("r_purchase").cast("long").alias("n_full_funnel"),
+    )

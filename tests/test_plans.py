@@ -114,3 +114,15 @@ def test_pack_sequences_window_is_partitioned(spark):
     plan = explain_str(Q["curation_pack_sequences"](spark, SF_SMOKE))
     assert "Window" in plan
     assert "hashpartitioning(source" in plan, plan[:2000]
+
+
+def test_funnel_single_data_shuffle(spark):
+    """Both running-min windows and the per-user agg must share ONE
+    hashpartitioning(user_id) exchange (plus only the 1-row final
+    agg's singlePartition)."""
+    plan = explain_str(Q["events_funnel_steps"](spark, SF_SMOKE))
+    assert plan.count("hashpartitioning(user_id") <= 1, plan[:3000]
+
+
+def test_dedup_incremental_no_cartesian(spark):
+    assert_no_cartesian(Q["dedup_incremental"](spark, SF_SMOKE))
