@@ -76,6 +76,7 @@ _GATE_FIRST = [
     "agg_argminmax",
     "etl_buffer_flush_bytes",
     "etl_enriched_parse",
+    "fn_map_suite",
     # -- (2) never driver-gated through round 2 --
     "dedup_exact",
     "dedup_exact_normalized",

@@ -351,3 +351,43 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("cnt"),
         F.sum("sq").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "fn_map_suite",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props)) AS n_keys,
+           CAST(props->>'k' AS BIGINT) AS k_val,
+           array_to_string(list_sort(list_append(json_keys(props), 'uid')), ',')
+             AS merged_keys,
+           CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 ELSE 0 END
+             + CASE WHEN user_id > 50 THEN 1 ELSE 0 END AS n_big_vals
+    FROM events
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: from_json to MapType, map_keys /
+    element_at / create_map / map_concat / map_filter — the map-column
+    surface SURVEY §2's scalar inventory lists next to array/json.
+
+    The oracle states the same semantics over the raw JSON (DuckDB maps
+    are keyed differently), so the gate checks VALUES while the Spark
+    side exercises the real map operators."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    withm = e.select(
+        "event_id",
+        "user_id",
+        m.alias("m"),
+        F.map_concat(
+            m, F.create_map(F.lit("uid"), F.col("user_id").cast("bigint"))
+        ).alias("m2"),
+    )
+    return withm.select(
+        "event_id",
+        F.size("m").cast("long").alias("n_keys"),
+        F.element_at("m", "k").alias("k_val"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m2"))).alias("merged_keys"),
+        F.size(F.map_filter("m2", lambda _, v: v > 50)).cast("long").alias("n_big_vals"),
+    )
