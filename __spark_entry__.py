@@ -62,6 +62,7 @@ _GATE_FIRST = [
     "curation_stratified_sample",
     "curation_pack_sequences",
     "curation_pipeline_funnel",
+    "curation_source_report",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

@@ -53,6 +53,9 @@ HEADLINE = [
     "curation_pack_sequences",
     "curation_pipeline_funnel",
     "emb_normalize_quantize",
+    "events_funnel_steps",
+    "dedup_incremental",
+    "fn_map_suite",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

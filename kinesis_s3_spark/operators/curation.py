@@ -378,3 +378,85 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(q & c & s, 1).otherwise(0)).cast("long").alias("n_sample"),
         F.sum(F.when(q & c & s, t).otherwise(0)).cast("long").alias("tok_sample"),
     )
+
+
+@query(
+    "curation_source_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             length(text) AS n,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+             md5(array_to_string(list_sort(string_split_regex(trim(lower(text)), '\\s+')), ' '))
+               AS fp
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, n_tokens, fp,
+             (n_alpha / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)
+              - 0.5 * (n_punct / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+              - 0.3 * (n_digit / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+              - 0.2 * (n_upper / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))) AS q
+      FROM s
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_quality,
+           CAST(SUM(CASE WHEN q >= {_Q_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_quality,
+           COUNT(DISTINCT fp) AS n_unique,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM scored GROUP BY source
+    """,
+)
+def curation_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: volume, token totals, mean
+    quality (exact decimal mean), quality pass-rate, distinct-content
+    count, token-length extremes — the triage table a data curator
+    reads before setting mixture weights.
+
+    One scan; a single groupBy(source) with a count-distinct on the
+    content fingerprint (Expand + two-phase agg — the standard
+    distinct-agg plan, partial-combined map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    safe_n = F.when(n == 0, F.lit(1.0)).otherwise(n)
+
+    def ratio(pat: str):
+        return (n - F.length(F.regexp_replace("text", pat, ""))) / safe_n
+
+    score = (
+        ratio("[a-zA-Z]")
+        - 0.5 * ratio(r"[!-/:-@\[-`{-~]")
+        - 0.3 * ratio("[0-9]")
+        - 0.2 * ratio("[A-Z]")
+    )
+    from kinesis_s3_spark.functions.text import fingerprint
+
+    scored = docs.select(
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+        score.alias("q"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(38,12)")).cast("double") / F.count("*"), 6
+        ).alias("mean_quality"),
+        F.sum(F.when(F.col("q") >= _Q_THRESHOLD, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_quality"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )

@@ -86,3 +86,15 @@ def test_pipeline_funnel_monotone(spark):
     assert r["n_raw"] >= r["n_quality"] >= r["n_dedup"] >= r["n_sample"] >= 0
     assert r["tok_raw"] >= r["tok_quality"] >= r["tok_dedup"] >= r["tok_sample"] >= 0
     assert r["n_sample"] > 0  # the pipeline keeps something
+
+
+def test_source_report_consistency(spark):
+    from kinesis_s3_spark.operators.curation import curation_source_report
+
+    rows = curation_source_report(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_unique"] <= r["n_docs"]
+        assert 0 <= r["n_pass_quality"] <= r["n_docs"]
+        assert r["min_tokens"] <= r["max_tokens"]
+        assert 0.0 < r["mean_quality"] <= 1.0
