@@ -63,6 +63,10 @@ _GATE_FIRST = [
     "curation_pack_sequences",
     "curation_pipeline_funnel",
     "curation_source_report",
+    "curation_length_histogram",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "agg_mode_per_user",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

@@ -460,3 +460,72 @@ def curation_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+_HIST_WIDTH = 64  # tokens per bucket
+_HIST_CAP = 15  # last bucket is open-ended
+
+
+@query(
+    "curation_length_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT source, n_tokens,
+             LEAST(CAST(FLOOR(n_tokens / {_HIST_WIDTH}.0) AS BIGINT), {_HIST_CAP})
+               AS bucket
+      FROM t
+    ),
+    g AS (
+      SELECT source, bucket,
+             bucket * {_HIST_WIDTH} AS lo_tokens,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM b GROUP BY 1, 2
+    )
+    SELECT source, bucket, lo_tokens, n_docs, sum_tokens,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6)
+             AS share
+    FROM g
+    """,
+)
+def curation_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per source: fixed-width 64-token buckets
+    with an open-ended top bucket, doc counts, token mass, and each
+    bucket's share of its source — the length-distribution view a
+    curator checks before choosing sequence length / packing budget.
+
+    Single scan + one groupBy on the bounded (source, bucket) grid;
+    bucketing is plain integer arithmetic (no width_bucket UDF), so it
+    stays inside whole-stage codegen and the agg map-side-combines to
+    ≤ sources×16 rows before the shuffle. The share window runs on
+    that already-tiny frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = token_count(F.col("text"))
+    b = F.least(
+        F.floor(nt / F.lit(float(_HIST_WIDTH))).cast("long"), F.lit(_HIST_CAP).cast("long")
+    )
+    g = (
+        docs.select("source", nt.alias("n_tokens"), b.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .withColumn("lo_tokens", (F.col("bucket") * _HIST_WIDTH).cast("long"))
+    )
+    share = F.sum("n_docs").over(Window.partitionBy("source"))
+    return g.select(
+        "source",
+        "bucket",
+        "lo_tokens",
+        "n_docs",
+        "sum_tokens",
+        F.round(F.col("n_docs").cast("double") / share.cast("double"), 6).alias("share"),
+    )

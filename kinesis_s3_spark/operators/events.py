@@ -271,3 +271,90 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r_click").cast("long").alias("n_click_after_view"),
         F.sum("r_purchase").cast("long").alias("n_full_funnel"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    c AS (
+      SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM d
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           datediff('day', cohort_day, day) AS day_offset,
+           COUNT(*) AS n_active
+    FROM c GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day
+    (cohort), counted on each subsequent active day as an offset from
+    the cohort day — the classic product-analytics triangle.
+
+    Plan: dedupe to (user, day) FIRST (map-side combine shrinks the
+    shuffle to ≤ users×days rows), then one unbounded window on
+    user_id supplies the cohort day without a self-join, then a small
+    groupBy on (cohort, offset). Because (user, day) is unique, the
+    final COUNT(*) is exactly the distinct-user count — no
+    count-distinct Expand needed. Two data shuffles total, both on
+    keys that stay uniform at 100 TB (user_id, then a
+    bounded-cardinality (cohort, offset) grid)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    c = d.withColumn("cohort_day", F.min("day").over(Window.partitionBy("user_id")))
+    return (
+        c.groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count("*").cast("long").alias("n_active"))
+        # date → string for the oracle compare (pandas renders a bare
+        # DATE and a midnight TIMESTAMP differently across engines)
+        .withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    g AS (
+      SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type)
+                 AS DOUBLE), 6) AS p
+    FROM g
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (prev_type → next_type) bigrams and normalize
+    each row to a transition probability — sequence mining for
+    behavioral data, and the bigram primitive a training-data pipeline
+    uses for sequence statistics.
+
+    One shuffle on user_id for the LEAD window (ordered by ts with
+    event_id as the unique tie-break), then an aggregation that
+    collapses to ≤ |types|² rows, so the second window (row
+    normalization over prev_type) runs on a trivially small frame.
+    Division is exact-int over exact-int in IEEE double — bit-stable
+    across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    g = s.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return g.withColumn(
+        "p", F.round(F.col("n").cast("double") / total.cast("double"), 6)
+    )

@@ -76,3 +76,35 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", "([a-z]+) (join|merge)", 1).alias("word_before_join"),
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+ scan"), 0)).alias("scan_bigrams"),
     )
+
+
+@query(
+    "agg_mode_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           MAX(struct_pack(n := n, t := event_type)).t AS modal_type,
+           MAX(struct_pack(n := n, t := event_type)).n AS n_modal
+    FROM c GROUP BY user_id
+    """,
+)
+def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, with a deterministic
+    tie-break: count first, then the lexicographically largest value —
+    encoded as struct-max so both engines resolve ties identically
+    (DuckDB's native mode() picks an arbitrary value on ties, like
+    max_by; see agg_argminmax for the same pattern).
+
+    Two map-side-combinable aggregations on uniform keys
+    ((user, type) then user) — no Expand, no window, scales as two
+    shrinking shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    nt = F.struct(F.col("n"), F.col("event_type").alias("t"))
+    return c.groupBy("user_id").agg(
+        F.max(nt)["t"].alias("modal_type"),
+        F.max(nt)["n"].alias("n_modal"),
+    )

@@ -98,3 +98,20 @@ def test_source_report_consistency(spark):
         assert 0 <= r["n_pass_quality"] <= r["n_docs"]
         assert r["min_tokens"] <= r["max_tokens"]
         assert 0.0 < r["mean_quality"] <= 1.0
+
+
+def test_length_histogram_shares(spark):
+    from collections import defaultdict
+
+    from kinesis_s3_spark.operators.curation import curation_length_histogram
+
+    rows = curation_length_histogram(spark, SF_SMOKE).collect()
+    assert rows
+    share_by_source = defaultdict(float)
+    for r in rows:
+        assert 0 <= r["bucket"] <= 15
+        assert r["lo_tokens"] == r["bucket"] * 64
+        assert r["n_docs"] > 0
+        share_by_source[r["source"]] += r["share"]
+    for source, total in share_by_source.items():
+        assert abs(total - 1.0) < 1e-4, f"{source} shares sum to {total}"
