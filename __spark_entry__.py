@@ -67,6 +67,16 @@ _GATE_FIRST = [
     "events_retention_cohorts",
     "events_transition_matrix",
     "agg_mode_per_user",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q16_supplier_part_counts",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

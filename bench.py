@@ -56,6 +56,8 @@ HEADLINE = [
     "events_funnel_steps",
     "dedup_incremental",
     "fn_map_suite",
+    "events_retention_cohorts",
+    "curation_length_histogram",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

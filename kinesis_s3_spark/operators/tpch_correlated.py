@@ -1,8 +1,11 @@
-"""Correlated-subquery TPC-H shapes (Q15/Q17/Q18/Q21/Q22 adapted):
-the patterns that stress Catalyst's subquery decorrelation — scalar
-subqueries correlated on a group key, HAVING-gated IN subqueries,
-multi-EXISTS with inequality correlation, and aggregate-vs-aggregate
-comparison.
+"""Correlated-subquery TPC-H shapes (Q2/Q11/Q15/Q16/Q17/Q18/Q20/Q21/
+Q22 adapted to the driver schema, which has no partsupp): the patterns
+that stress Catalyst's subquery decorrelation — correlated scalar
+MIN/aggregates, group-vs-global-scalar thresholds, NOT IN blacklists,
+HAVING-gated IN subqueries, multi-EXISTS with inequality correlation,
+and aggregate-vs-aggregate comparison. Together with relational.py
+(Q1/Q3/Q5) and tpch_extra.py (Q4/Q6-Q10/Q12-Q14/Q19), all 22 TPC-H
+query shapes are registered and oracle-gated.
 """
 
 from __future__ import annotations
@@ -163,4 +166,276 @@ def q22_global_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    rcost AS (
+      SELECT l_partkey, l_suppkey, unit_cost
+      FROM cost
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, s_acctbal, unit_cost
+    FROM part
+    JOIN rcost    ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size = 15
+      AND unit_cost = (SELECT MIN(unit_cost) FROM rcost x
+                       WHERE x.l_partkey = rcost.l_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part of a given size, the cheapest
+    supplier within a region — the correlated-scalar-MIN pattern. The
+    driver schema has no partsupp, so the part↔supplier link and unit
+    cost come from lineitem history (min extendedprice/quantity per
+    pair); the join graph and decorrelation shape are Q2's.
+
+    Spark plan: per-pair min (one shuffle on (part, supp)), region
+    prune via broadcast dims, then the correlated MIN becomes a
+    per-part min + equi-join back — ties (both engines) return every
+    minimal supplier, like the original query. Doubles compare
+    bit-equal because both engines compute the same IEEE division and
+    min."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rcost = (
+        cost.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "l_suppkey", "unit_cost")
+    )
+    best = rcost.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        rcost.join(
+            best,
+            (F.col("l_partkey") == F.col("bp")) & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "unit_cost")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH value AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, val
+    FROM value
+    WHERE val > (SELECT CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) * 0.001
+                 FROM value)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of
+    the GLOBAL total — group-level aggregate gated by a scalar
+    aggregate over the same derived table (no partsupp; value =
+    lineitem extendedprice within a nation set).
+
+    The per-part aggregate is computed once and reused for both sides
+    (Spark reuses the exchange); the global sum is a 1-row broadcast,
+    so the gate adds no second scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    value = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("val"))
+    )
+    threshold = value.agg(
+        (F.sum(F.col("val").cast("decimal(18,6)")).cast("double") * 0.001).alias("thr")
+    )
+    return (
+        value.join(F.broadcast(threshold), F.col("val") > F.col("thr"))
+        .select(F.col("l_partkey").alias("partkey"), "val")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can supply each part
+    profile, excluding a blacklist via NOT IN (negative balance stands
+    in for the original's complaint-comment filter; the part↔supplier
+    relation comes from lineitem).
+
+    NOT IN over a non-nullable key → left-anti join against the tiny
+    blacklist (broadcast); count-distinct collapses duplicate
+    (part, supp) pairs with the standard two-phase Expand plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_part_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped a
+      WHERE qty > (SELECT CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) * 0.3
+                   FROM shipped b WHERE b.l_partkey = a.l_partkey)
+    )
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominated (>30% of) a year's
+    shipments of any 'small%' part — correlated aggregate-vs-aggregate
+    gate feeding a semi join (availqty>½·shipped in the original; the
+    dominance ratio keeps the same nested-subquery decorrelation).
+
+    Plan: one (part, supp) aggregate, a per-part total derived FROM
+    that aggregate (re-aggregation of the small intermediate, not a
+    rescan), equi-join gate, then a semi join into supplier."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shipped = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("tp")).agg(
+        (F.sum(F.col("qty").cast("decimal(18,6)")).cast("double") * 0.3).alias("thr")
+    )
+    dominant = shipped.join(
+        totals, (F.col("l_partkey") == F.col("tp")) & (F.col("qty") > F.col("thr"))
+    ).select("l_suppkey")
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the LAST to ship in
+    multi-supplier finalized orders (shipdate stands in for the
+    missing commit/receipt dates) — the EXISTS + NOT-EXISTS pair with
+    inequality correlation, the hardest decorrelation in the suite.
+
+    Both subqueries hash-join on l_orderkey with the supplier/date
+    inequalities as residual conditions (semi then anti) — no
+    per-order cartesian. Top-20 with (numwait, s_name) tie-break plans
+    as TakeOrderedAndProject."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_suppkey").alias("sk1"),
+        F.col("l_shipdate").alias("d1"),
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    base = (
+        l1.join(o, F.col("o_orderkey") == F.col("k1"))
+        .join(l2, (F.col("k2") == F.col("k1")) & (F.col("sk2") != F.col("sk1")), "left_semi")
+        .join(
+            l3,
+            (F.col("k3") == F.col("k1"))
+            & (F.col("sk3") != F.col("sk1"))
+            & (F.col("d3") > F.col("d1")),
+            "left_anti",
+        )
+        .join(s, F.col("s_suppkey") == F.col("sk1"))
+    )
+    return (
+        base.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )

@@ -126,3 +126,35 @@ def test_funnel_single_data_shuffle(spark):
 
 def test_dedup_incremental_no_cartesian(spark):
     assert_no_cartesian(Q["dedup_incremental"](spark, SF_SMOKE))
+
+
+def test_q6_full_pushdown(spark):
+    """Q6 is the pushdown litmus test: every predicate reaches the
+    parquet scan and only the referenced columns are read."""
+    df = Q["q6_forecast_revenue"](spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    joined = " ".join(pushed)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, pushed
+    assert set(scan_columns(df)[0]) <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+
+
+def test_tpch_wide_joins_broadcast_dims(spark):
+    for name in ("q7_volume_shipping", "q8_market_share", "q9_product_profit"):
+        assert uses_broadcast(Q[name](spark, SF_SMOKE)), name
+        assert_no_cartesian(Q[name](spark, SF_SMOKE))
+
+
+def test_q21_semi_anti_no_cartesian(spark):
+    plan = explain_str(Q["q21_waiting_suppliers"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert_no_cartesian(Q["q21_waiting_suppliers"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q2_q20_correlated_no_cartesian(spark):
+    for name in ("q2_min_cost_supplier", "q20_part_promotion", "q11_important_parts"):
+        assert_no_cartesian(Q[name](spark, SF_SMOKE))
