@@ -77,6 +77,8 @@ _GATE_FIRST = [
     "q16_supplier_part_counts",
     "q20_part_promotion",
     "q21_waiting_suppliers",
+    "fn_bitwise_suite",
+    "agg_listagg",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

@@ -108,3 +108,30 @@ def agg_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(nt)["t"].alias("modal_type"),
         F.max(nt)["n"].alias("n_modal"),
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with a DETERMINISTIC element order:
+    collect_list is partition-order-dependent, so the list is sorted
+    before joining — the only portable way to make string aggregation
+    reproducible across engines and run-to-run on a cluster."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )

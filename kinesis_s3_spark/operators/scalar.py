@@ -391,3 +391,35 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.map_keys("m2"))).alias("merged_keys"),
         F.size(F.map_filter("m2", lambda _, v: v > 50)).cast("long").alias("n_big_vals"),
     )
+
+
+@query(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & o_custkey AS b_and,
+           o_orderkey | o_custkey AS b_or,
+           xor(o_orderkey, o_custkey) AS b_xor,
+           o_orderkey << 2 AS b_shl,
+           o_orderkey >> 3 AS b_shr,
+           bit_count(o_orderkey) AS b_pop,
+           ~o_orderkey AS b_not
+    FROM orders
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (AND/OR/XOR/shifts/popcount/NOT) —
+    pure codegen expressions; these are the primitives the simhash and
+    pigeonhole-blocking operators build on."""
+    o = load_table(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(c).alias("b_and"),
+        k.bitwiseOR(c).alias("b_or"),
+        k.bitwiseXOR(c).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+        F.bit_count(k).alias("b_pop"),
+        F.bitwise_not(k).alias("b_not"),
+    )
