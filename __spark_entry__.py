@@ -79,6 +79,7 @@ _GATE_FIRST = [
     "q21_waiting_suppliers",
     "fn_bitwise_suite",
     "agg_listagg",
+    "approx_error_bounds",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

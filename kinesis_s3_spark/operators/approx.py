@@ -2,10 +2,11 @@
 
 Approximate ops (HyperLogLog++ count-distinct, t-digest percentiles)
 are the bounded-memory path for streaming and monster groups; their
-results are ALGORITHM-specific, so they carry no DuckDB oracle (the
-driver records the weaker rows-only check) — instead
-tests/test_approx.py asserts relative error against the exact
-operators, which IS the meaningful contract for a sketch.
+raw results are ALGORITHM-specific, so the raw queries carry no DuckDB
+oracle (the driver records the weaker rows-only check). The accuracy
+contract IS gated, though: ``approx_error_bounds`` compares each
+sketch to the exact operator in one pass and the oracle pins the
+tolerance flags, and tests/test_approx.py asserts relative error too.
 """
 
 from __future__ import annotations
@@ -82,4 +83,38 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("approx_p90"),
+    )
+
+
+@query(
+    "approx_error_bounds",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           true AS hll_ok,
+           true AS pctl_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch accuracy contract as a GATED query: HLL++ distinct
+    (rsd 1%) and t-digest median must land within 5% of the exact
+    answers computed in the same pass. The oracle pins the exact
+    counts and expects every tolerance flag TRUE — so the driver's
+    value-hash now covers the approx operators' accuracy, not just
+    their row counts (which is all a sketch can promise
+    cross-engine)."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("hll_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_med"),
+        F.expr("approx_percentile(value, 0.5)").alias("approx_med"),
+    )
+    rel = lambda a, b: F.abs(a - b) / F.abs(b)  # noqa: E731
+    return g.select(
+        "event_type",
+        "exact_users",
+        (rel(F.col("hll_users"), F.col("exact_users")) <= 0.05).alias("hll_ok"),
+        (rel(F.col("approx_med"), F.col("exact_med")) <= 0.05).alias("pctl_ok"),
     )
