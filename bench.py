@@ -58,6 +58,8 @@ HEADLINE = [
     "fn_map_suite",
     "events_retention_cohorts",
     "curation_length_histogram",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -42,6 +42,9 @@ QUERIES = [
     "text_gopher_repetition",
     "curation_pack_sequences",
     "emb_normalize_quantize",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "events_retention_cohorts",
 ]
 
 KEY_OFFSETS = {
