@@ -80,6 +80,7 @@ _GATE_FIRST = [
     "fn_bitwise_suite",
     "agg_listagg",
     "approx_error_bounds",
+    "curation_hash_split",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

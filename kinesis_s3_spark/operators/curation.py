@@ -529,3 +529,56 @@ def curation_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_tokens",
         F.round(F.col("n_docs").cast("double") / share.cast("double"), 6).alias("share"),
     )
+
+
+@query(
+    "curation_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               AS bucket,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1, 2
+    """,
+)
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content-stable
+    hash bucket: md5(doc_id) mod 100 — the split every training
+    pipeline needs, reproducible across runs, engines, and cluster
+    sizes because it depends only on the key, never on partitioning or
+    row order. Reported per source so imbalance is visible.
+
+    Pure map + one bounded groupBy ((source, split) ≤ sources×3);
+    at 100 TB the same expression tags each row in the scan stage and
+    the split materializes via partitionBy("split") writes — no
+    shuffle beyond the report agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "source", split.alias("split"), token_count(F.col("text")).alias("n_tokens")
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -115,3 +115,22 @@ def test_length_histogram_shares(spark):
         share_by_source[r["source"]] += r["share"]
     for source, total in share_by_source.items():
         assert abs(total - 1.0) < 1e-4, f"{source} shares sum to {total}"
+
+
+def test_hash_split_proportions(spark):
+    from collections import defaultdict
+
+    from kinesis_s3_spark.operators.curation import curation_hash_split
+
+    rows = curation_hash_split(spark, SF_SMOKE).collect()
+    totals = defaultdict(int)
+    for r in rows:
+        assert r["split"] in {"train", "val", "test"}
+        totals[r["split"]] += r["n_docs"]
+    n = sum(totals.values())
+    assert n > 0
+    # 80/10/10 within generous tolerance at smoke scale
+    assert 0.6 < totals["train"] / n < 0.95
+    # re-run is bit-identical (the split depends only on doc_id)
+    again = curation_hash_split(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
