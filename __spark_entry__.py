@@ -81,6 +81,8 @@ _GATE_FIRST = [
     "agg_listagg",
     "approx_error_bounds",
     "curation_hash_split",
+    "text_unigram_surprisal",
+    "events_zscore_anomaly",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

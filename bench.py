@@ -60,6 +60,7 @@ HEADLINE = [
     "curation_length_histogram",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    "text_unigram_surprisal",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -358,3 +358,53 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.withColumn(
         "p", F.round(F.col("n").cast("double") / total.cast("double"), 6)
     )
+
+
+@query(
+    "events_zscore_anomaly",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS m,
+             CAST(SUM(CAST(n AS DECIMAL(18,6))) AS DOUBLE) AS sn,
+             CAST(SUM(CAST(n * n AS DECIMAL(18,6))) AS DOUBLE) AS sn2
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type, hr, n,
+           ROUND((n - sn / m) / sqrt(sn2 / m - (sn / m) * (sn / m)), 6) AS z
+    FROM h JOIN s USING (event_type)
+    WHERE ABS((n - sn / m) / sqrt(sn2 / m - (sn / m) * (sn / m))) > 2
+    """,
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: hourly event counts more than 2
+    population standard deviations from their type's mean. Mean and
+    variance come from exact decimal power sums (the agg_stats_suite
+    pattern), so z is a deterministic function of exact integers —
+    sqrt and division are IEEE-exact, no cross-engine drift.
+
+    Plan: one (type, hour) aggregation; the per-type moment aggregate
+    collapses to |types| rows and broadcasts back — the detector adds
+    no second shuffle over the data. (Spark recomputes the small
+    hourly subtree for both sides; at 100 TB persist it or reuse the
+    events_hourly_active rollup.)"""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    s = h.groupBy("event_type").agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("n").cast("decimal(18,6)")).cast("double").alias("sn"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(18,6)")).cast("double").alias("sn2"),
+    )
+    j = h.join(F.broadcast(s), "event_type")
+    mean = F.col("sn") / F.col("m")
+    z = (F.col("n") - mean) / F.sqrt(F.col("sn2") / F.col("m") - mean * mean)
+    return (
+        j.filter(F.abs(z) > 2)
+        .select("event_type", "hr", "n", F.round(z, 6).alias("z"))
+    )

@@ -304,3 +304,58 @@ def text_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         token_count(F.col("text")).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    f AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+    t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM w),
+    s AS (
+      SELECT doc_id, ROUND(-ln(freq / total), 6) AS surp
+      FROM w JOIN f USING (word) CROSS JOIN t
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_surprisal
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (−ln p(token) under the
+    corpus unigram model) — the cheap perplexity proxy used to rank
+    documents for quality/typicality before any neural scoring. High
+    surprisal = rare vocabulary (jargon, noise, other languages); low
+    = boilerplate.
+
+    Two aggregations over the exploded token stream (word frequencies,
+    then the 1-row total as a broadcast), a frequency join back, and a
+    per-doc mean — all map-side-combinable. Surprisal is rounded to
+    6 dp per token BEFORE the decimal mean (transcendental-determinism
+    rule), so the result is partition-order-independent and
+    cross-engine stable. At 100 TB, cut the vocab tail with a HAVING
+    and broadcast it."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    f = w.groupBy("word").agg(F.count("*").alias("freq"))
+    t = w.agg(F.count("*").cast("double").alias("total"))
+    s = (
+        w.join(f, "word")
+        .join(F.broadcast(t))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("freq") / F.col("total")), 6).alias("surp"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("surp").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_surprisal"),
+    )
