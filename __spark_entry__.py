@@ -83,6 +83,8 @@ _GATE_FIRST = [
     "curation_hash_split",
     "text_unigram_surprisal",
     "events_zscore_anomaly",
+    "dedup_embedding_lsh",
+    "dedup_recall_embedding_lsh",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",
@@ -142,13 +144,55 @@ def _ordered(d: dict) -> dict:
     return head | {k: v for k, v in d.items() if k not in head}
 
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``kinesis_s3_spark`` importable on Python workers no matter
+    what cwd the driver process runs from.
+
+    Module-level Pandas UDFs (ann.py, multimodal/codecs.py) are
+    cloudpickled BY REFERENCE, so the worker re-imports the package;
+    workers only inherit the repo on sys.path when the driver happens
+    to run from /root/repo. The cluster-correct fix is the same thing
+    spark-submit --py-files does: ship a zip of the package once per
+    SparkContext via addPyFile (workers prepend it to sys.path at task
+    launch). Idempotent and cheap (~100 kB zip, built once)."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "kinesis_s3_spark_pyfiles.zip")
+    pkg = os.path.join(_REPO_DIR, "kinesis_s3_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _REPO_DIR))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
+    _ship_package(spark)
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _ordered(QUERIES)
+    return {k: _shipped(v) for k, v in _ordered(QUERIES).items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -61,6 +61,7 @@ HEADLINE = [
     "q9_product_profit",
     "q21_waiting_suppliers",
     "text_unigram_surprisal",
+    "dedup_embedding_lsh",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
-from kinesis_s3_spark.operators.dedup import cosine_sim
+from kinesis_s3_spark.operators.dedup import cosine_sim, dedup_embedding_cosine
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -459,4 +459,137 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(truth["q_id"], approx["a_vec"])
     return hits.groupBy("q_id").agg(
         F.round(F.count("a_vec").cast("double") / TOP_K, 4).alias("recall_at_10")
+    )
+
+
+# --- embedding near-dup pairs at scale (LSH-bucketed) ------------------------
+
+EMB_DEDUP_THRESHOLD = 0.4  # this corpus's near-dup band tops out at ~0.51
+
+# candidate pairs = share an exact bucket OR a hamming-1 neighbor in ANY
+# of the 16 tables. Probing exists for THIS corpus: its "duplicates" sit
+# at the noise floor (cosine 0.43-0.51, per-bit flip p≈0.36 → exact-bucket
+# pair recall ~0.36); production near-dups (cosine ≥ 0.85, p≈0.12) hit
+# ≥ 0.99 recall with NO probes, and the probe arm can be dropped.
+_EMB_PAIR_CAND_SQL = f"""
+    probes AS (
+      SELECT vec_id, t,
+             unnest([bucket] || [xor(bucket, 1 << i) for i in range(0, {BITS_PER_TABLE})]) AS probe
+      FROM sig
+    ),
+    pcand AS (
+      SELECT DISTINCT p.vec_id AS v1, s.vec_id AS v2
+      FROM probes p JOIN sig s ON p.t = s.t AND p.probe = s.bucket AND p.vec_id < s.vec_id
+    )
+"""
+
+_EMB_DEDUP_LSH_SQL = f"""
+    WITH {_LSH_SIG_SQL},
+    {_EMB_PAIR_CAND_SQL}
+    SELECT c.v1, c.v2,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM pcand c
+    JOIN embeddings a ON c.v1 = a.vec_id
+    JOIN embeddings b ON c.v2 = b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+          >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH-candidate near-dup pair pipeline (Spark side of
+    _EMB_DEDUP_LSH_SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = (
+        emb.withColumn("buckets", lsh_table_buckets(F.col("embedding")))
+        .select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+    )
+    probes = sig.select(
+        F.col("vec_id").alias("v1"),
+        F.col("t").alias("pt"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(BITS_PER_TABLE)],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        probes.join(
+            sig.select(F.col("vec_id").alias("v2"), "t", F.col("bucket").alias("b2")),
+            (F.col("pt") == F.col("t"))
+            & (F.col("probe") == F.col("b2"))
+            & (F.col("v1") < F.col("v2")),
+        )
+        .select("v1", "v2")
+        .distinct()
+    )
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .withColumn("cosine", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4))
+        .filter(F.col("cosine") >= EMB_DEDUP_THRESHOLD)
+        .select("v1", "v2", "cosine")
+    )
+
+
+@query("dedup_embedding_lsh", oracle=_EMB_DEDUP_LSH_SQL)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup PAIRS at corpus scale — the production path
+    that replaces the guarded all-pairs `dedup_embedding_cosine`
+    (dedup.py): candidates only from vectors sharing an LSH bucket
+    (hamming ≤ 1, any of 16 tables), exact cosine verify + threshold
+    on candidates only. The whole pipeline — md5-seeded planes →
+    signatures → bucket equi-join → verify — is recomputed by the
+    DuckDB oracle, so the gate checks it end-to-end.
+
+    Scale: the signature pass is one Arrow matmul per partition
+    (linear); candidates come from a (table, bucket) equi-join whose
+    output follows TRUE near-dup density, never corpus² — bucket keys
+    are sign-pattern-uniform on isotropic noise, and duplicate mass
+    concentrates in shared buckets by construction. On this synthetic
+    noise-floor corpus the hamming-1 probe arm inflates candidates
+    (measured + gated by dedup_recall_embedding_lsh); at production
+    thresholds it can be dropped (see _EMB_PAIR_CAND_SQL note).
+    100 TB: same plan; monster buckets (true dup explosions) get the
+    band-key salt documented in dedup.py."""
+    return _emb_lsh_pairs(spark, sf_dir)
+
+
+@query(
+    "dedup_recall_embedding_lsh",
+    oracle=f"""
+    WITH truth AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+            >= {EMB_DEDUP_THRESHOLD}
+    ),
+    approx AS ({_EMB_DEDUP_LSH_SQL})
+    SELECT COUNT(*) AS n_true,
+           COUNT(a.v1) AS n_found,
+           ROUND(CAST(COUNT(a.v1) AS DOUBLE) / COUNT(*), 4) AS pair_recall
+    FROM truth t LEFT JOIN approx a ON t.v1 = a.v1 AND t.v2 = a.v2
+    """,
+)
+def dedup_recall_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of the LSH dedup path vs the exact all-pairs truth
+    (the guarded oracle anchor) — the measured number that keeps
+    `dedup_embedding_lsh`'s parameters honest, mirroring
+    ann_recall_lsh. tests/test_ann.py asserts ≥ 0.9. Runs the
+    quadratic truth, so it inherits the EMBEDDING_PAIRWISE_MAX_ROWS
+    guard — a gate-scale measurement, not a production operator."""
+    truth = dedup_embedding_cosine(spark, sf_dir).select("v1", "v2")
+    approx = _emb_lsh_pairs(spark, sf_dir).select(
+        F.col("v1").alias("a1"), F.col("v2").alias("a2")
+    )
+    hits = truth.join(
+        approx, (truth["v1"] == approx["a1"]) & (truth["v2"] == approx["a2"]), "left"
+    )
+    return hits.agg(
+        F.count("*").alias("n_true"),
+        F.count("a1").alias("n_found"),
+        F.round(F.count("a1").cast("double") / F.count("*"), 4).alias("pair_recall"),
     )

@@ -78,3 +78,28 @@ def test_ivf_recall_at_10_gate(spark):
     assert len(rows) == 5
     recalls = {r["q_id"]: r["recall_at_10"] for r in rows}
     assert min(recalls.values()) >= 0.9, recalls
+
+
+def test_embedding_lsh_pair_recall_gate(spark):
+    """The LSH dedup path must find ≥ 0.9 of the exact cosine ≥ 0.4
+    pairs on the worst-case noise-floor corpus (true pairs at cosine
+    0.43-0.51). Measured at sf0.01, where the exact all-pairs truth is
+    cheap; production-threshold recall is strictly higher (module
+    docstring analysis)."""
+    row = Q["dedup_recall_embedding_lsh"](spark, SF_CORRECT).collect()[0]
+    assert row["n_true"] > 0
+    assert row["pair_recall"] >= 0.9, row
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    """Every LSH-found pair must appear in the exact baseline with the
+    identical cosine: the LSH path may only MISS pairs, never invent
+    or mis-score one."""
+    exact = {
+        (r["v1"], r["v2"]): r["cosine"]
+        for r in Q["dedup_embedding_cosine"](spark, SF_CORRECT).collect()
+    }
+    lsh = Q["dedup_embedding_lsh"](spark, SF_CORRECT).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert exact[(r["v1"], r["v2"])] == r["cosine"]

@@ -55,6 +55,7 @@ def test_topk_no_global_sort(spark):
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
         "ann_lsh_bucketed",
+        "dedup_embedding_lsh",
         "events_asof_join",
         "dedup_cluster_resolve",
     ],
