@@ -85,6 +85,8 @@ _GATE_FIRST = [
     "events_zscore_anomaly",
     "dedup_embedding_lsh",
     "dedup_recall_embedding_lsh",
+    "text_tfidf_topk",
+    "emb_kmeans",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

@@ -62,6 +62,8 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "text_unigram_surprisal",
     "dedup_embedding_lsh",
+    "text_tfidf_topk",
+    "emb_kmeans",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

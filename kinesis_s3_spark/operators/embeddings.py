@@ -115,3 +115,157 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("centroid"),
     )
+
+
+# --- k-means (Lloyd's iterations) --------------------------------------------
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2  # seed-assign → update, twice; output = assignment under c2
+
+# one Lloyd round in SQL: assignment under centroid set {p_cent} → the
+# re-computed centroid lists. Distances are ROUND(·, 4) BEFORE the
+# argmin with cid as tie-break (the IVF-assignment determinism rule);
+# means go through DECIMAL(38,12) and ROUND(·, 6) (emb_label_centroids
+# rule) so the next round's centroids are bit-identical across engines.
+_KM_ASSIGN_SQL = """
+  {a} AS (
+    SELECT vec_id, cid{dist_col} FROM (
+      SELECT vv.vec_id, c.cid,
+             ROUND(vv.ee - 2 * list_dot_product(vv.e, c.c)
+                   + list_dot_product(c.c, c.c), 4) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY vv.vec_id
+               ORDER BY ROUND(vv.ee - 2 * list_dot_product(vv.e, c.c)
+                              + list_dot_product(c.c, c.c), 4) ASC, c.cid
+             ) AS rn
+      FROM vv, {c} c
+    ) WHERE rn = 1
+  )
+"""
+
+_KM_UPDATE_SQL = """
+  {f} AS (
+    SELECT a.cid, generate_subscripts(v.e, 1) - 1 AS pos,
+           CAST(unnest(v.e) AS DECIMAL(38,12)) AS x
+    FROM v JOIN {a} a USING (vec_id)
+  ),
+  {m} AS (
+    SELECT cid, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS cx
+    FROM {f} GROUP BY cid, pos
+  ),
+  {c} AS (SELECT cid, list(cx ORDER BY pos) AS c FROM {m} GROUP BY cid)
+"""
+
+_KMEANS_SQL = (
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vv AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM v),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {K_CLUSTERS}),
+    """
+    + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="")
+    + ","
+    + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1")
+    + ","
+    + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="")
+    + ","
+    + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2")
+    + ","
+    + _KM_ASSIGN_SQL.format(a="a2", c="c2", dist_col=", dist")
+    + """
+    SELECT vec_id, cid AS cluster, dist FROM a2
+    """
+)
+
+
+def _dot(v1, v2):
+    """Left-to-right double dot product — the summation order DuckDB's
+    list_dot_product uses (cosine_sim precedent)."""
+    return F.aggregate(
+        F.zip_with(v1, v2, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _km_assign(vv: DataFrame, cents: list[tuple[int, list[float]]], with_dist: bool) -> DataFrame:
+    """Assignment pass: broadcast the k×d centroid literal, score every
+    (vector, centroid) pair in the scan, keep the per-vector argmin."""
+    from pyspark.sql.window import Window
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    scored = (
+        vv.select("vec_id", "e", "ee", F.explode(cent_lit).alias("cs"))
+        .select(
+            "vec_id",
+            "e",
+            F.col("cs.cid").alias("cid"),
+            F.round(
+                F.col("ee")
+                - 2 * _dot(F.col("e"), F.col("cs.c"))
+                + _dot(F.col("cs.c"), F.col("cs.c")),
+                4,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    out = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    cols = ["vec_id", "e", "cid"] + (["dist"] if with_dist else [])
+    return out.select(*cols)
+
+
+@query("emb_kmeans", oracle=_KMEANS_SQL)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column (k=8, 2 iterations,
+    deterministic seeds = vec_id < k): the iterative-ML shape the IVF
+    index's 'real' training step would use. The DuckDB oracle unrolls
+    both iterations as a CTE chain, so the gate checks every
+    assignment AND every recomputed centroid bit-for-bit.
+
+    Spark-first loop: each iteration is (1) an assignment pass — the
+    k×d centroid LITERAL is scored against every vector inside the
+    scan (no join, no shuffle of vectors) with the per-vector argmin
+    as a (vec_id)-window row_number; (2) an update pass — posexplode →
+    groupBy(cid, pos) decimal means (map-side combined, |k|×dim output
+    rows), collected to the driver (k×d doubles — the one legitimately
+    driver-sized object) and re-broadcast as the next literal.
+    Determinism: dist² = ee − 2·e·c + |c|² with every dot in DuckDB's
+    left-to-right order, rounded to 4 dp before the cid-tie-broken
+    argmin; centroid means decimal-summed and rounded to 6 dp.
+    100 TB: identical plan per round — two scans and one |k|×dim
+    shuffle per iteration, cluster count bounded by the literal size
+    (k ≲ 10⁴ before broadcast cost matters; beyond that the centroid
+    set becomes a broadcast join, same semantics)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vv = emb.select(
+        "vec_id", _vec_d(F.col("embedding")).alias("e")
+    ).withColumn("ee", _dot(F.col("e"), F.col("e")))
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["e"]])
+        for r in vv.filter(F.col("vec_id") < K_CLUSTERS).select("vec_id", "e").collect()
+    ]
+    for _ in range(KMEANS_ITERS):
+        assigned = _km_assign(vv, cents, with_dist=False)
+        flat = assigned.select(
+            "cid", F.posexplode("e").alias("pos", "xd")
+        ).select("cid", "pos", F.col("xd").cast(_DEC).alias("x"))
+        means = (
+            flat.groupBy("cid", "pos")
+            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cx"])
+        cents = [
+            (cid, [pos_map[p] for p in sorted(pos_map)])
+            for cid, pos_map in sorted(by_cid.items())
+        ]
+    return _km_assign(vv, cents, with_dist=True).select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    )

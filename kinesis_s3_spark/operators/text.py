@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_s3_spark.functions.text import (
     LANG_STOPWORDS,
@@ -358,4 +359,63 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("surp").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
         ).alias("avg_surprisal"),
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM w),
+    scored AS (
+      SELECT t.doc_id, t.word,
+             ROUND(t.tf * ln(n.n_docs / d.df), 6) AS tfidf
+      FROM tf t JOIN df d USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, rank FROM (
+      SELECT doc_id, word, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by tf-idf (tf × ln(N/df)) — the
+    classic corpus keyword extractor, used for topic tagging and
+    per-domain content summaries in curation reports.
+
+    Three shuffles, each on a uniform key and map-side combined:
+    (doc, word) term counts, word document frequencies (|vocab| rows —
+    the frequency join back is a broadcast for any real vocabulary),
+    and the per-doc top-3 window (WindowGroupLimit caps per-group
+    state). The idf is rounded WITH the tf product to 6 dp — ln on the
+    same double ratio is bit-identical across engines (surprisal
+    precedent). 100 TB: identical plan; df frame stays |vocab|-sized,
+    the only data-sized shuffles are the two (doc, word) aggregations."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    w = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = w.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n = w.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", "rank")
     )

@@ -29,3 +29,40 @@ def test_label_centroids_shape(spark):
     n_by_label = {r["label"]: r["n"] for r in rows}
     assert all(n >= 1 for n in n_by_label.values())
     assert all(-1.0 <= r["centroid"] <= 1.0 for r in rows)
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    """Every vector gets exactly one cluster; clusters come from the
+    seeded id range; the result is a genuine partition (sizes sum to
+    N) and non-degenerate (more than one non-empty cluster)."""
+    from kinesis_s3_spark.operators.embeddings import K_CLUSTERS, emb_kmeans
+
+    rows = emb_kmeans(spark, SF_SMOKE).collect()
+    n_vecs = len({r["vec_id"] for r in rows})
+    assert len(rows) == n_vecs  # one assignment per vector
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(K_CLUSTERS))
+    assert len(clusters) > 1
+    assert all(r["dist"] >= 0.0 for r in rows)
+
+
+def test_kmeans_iterations_reduce_inertia(spark):
+    """Lloyd's guarantee: total within-cluster distance under the
+    final centroids is no worse than under the seed assignment (each
+    step is a local improvement; rounding noise bounded by 1e-3)."""
+    from kinesis_s3_spark.operators import embeddings as E
+
+    final = sum(r["dist"] for r in E.emb_kmeans(spark, SF_SMOKE).collect())
+    vv = (
+        E.load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", E._vec_d(E.F.col("embedding")).alias("e"))
+        .withColumn("ee", E._dot(E.F.col("e"), E.F.col("e")))
+    )
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["e"]])
+        for r in vv.filter(E.F.col("vec_id") < E.K_CLUSTERS).select("vec_id", "e").collect()
+    ]
+    seed_total = sum(
+        r["dist"] for r in E._km_assign(vv, seeds, with_dist=True).collect()
+    )
+    assert final <= seed_total + 1e-3, (final, seed_total)

@@ -45,6 +45,9 @@ QUERIES = [
     "q9_product_profit",
     "q21_waiting_suppliers",
     "events_retention_cohorts",
+    "text_unigram_surprisal",
+    "events_zscore_anomaly",
+    "dedup_embedding_lsh",
 ]
 
 KEY_OFFSETS = {
@@ -92,9 +95,15 @@ def run(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    # --only q1,q2: measure a subset; --no-replicate: reuse /tmp/scale10
+    global QUERIES
+    args = sys.argv[1:]
+    if "--only" in args:
+        QUERIES = args[args.index("--only") + 1].split(",")
     spark = get_spark("scale-exp")
     spark.sparkContext.setLogLevel("ERROR")
-    replicate(spark)
+    if "--no-replicate" not in args or not os.path.isdir(OUT):
+        replicate(spark)
     small = run(spark, BASE)
     big = run(spark, OUT)
     report = {
@@ -106,6 +115,8 @@ def main() -> None:
         for name in QUERIES
     }
     print(json.dumps(report, indent=2))
+    with open("/tmp/scale_report.json", "w") as f:
+        json.dump(report, f, indent=2)
 
 
 if __name__ == "__main__":
