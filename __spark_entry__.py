@@ -87,6 +87,7 @@ _GATE_FIRST = [
     "dedup_recall_embedding_lsh",
     "text_tfidf_topk",
     "emb_kmeans",
+    "events_ewma",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

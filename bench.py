@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "text_tfidf_topk",
     "emb_kmeans",
+    "events_ewma",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -408,3 +408,52 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(F.abs(z) > 2)
         .select("event_type", "hr", "n", F.round(z, 6).alias("z"))
     )
+
+
+@query(
+    "events_ewma",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+             ) AS l
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(list_reduce(l::DOUBLE[], (acc, x) -> (acc + x) * 0.5), 9) AS ewma
+    FROM v
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (alpha = 1/2,
+    s_1 = x_1, s_t = (s_{t-1} + x_t) / 2) of `value` over the last 8
+    events - the smoothing pass behind rate trending and anomaly
+    baselines. The fold is one IEEE add + one EXACT halving per step,
+    in the same left-to-right order in both engines (Spark F.aggregate
+    vs DuckDB list_reduce), so the result is bit-identical across
+    engines with no pow(), no decimal detour. Rounded to 9 dp, NOT
+    6: value has 2-decimal data and up to 7 exact halvings, so the
+    true result terminates at 2+7 = 9 dp - at 9 dp no half-boundary
+    can occur and Spark's HALF_UP vs DuckDB's binary rounding agree
+    (at 6 dp they demonstrably diverge on ...4375 tails).
+
+    One shuffle (user), one bounded 8-row frame per row; the fold runs
+    inside the projection. At 100 TB the frame bound keeps window
+    state O(1) per row - no unbounded running state."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-7, Window.currentRow)
+    )
+    v = e.select(
+        "event_id", "user_id", "ts", F.collect_list("value").over(w).alias("l")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("l"), 2, F.greatest(F.size(F.col("l")) - 1, F.lit(0))),
+        F.element_at(F.col("l"), 1),
+        lambda acc, x: (acc + x) * F.lit(0.5),
+    )
+    return v.select("event_id", "user_id", "ts", F.round(ewma, 9).alias("ewma"))
