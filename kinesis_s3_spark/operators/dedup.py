@@ -449,39 +449,47 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate checks the WHOLE chain: shingles → signatures → bands →
     verified pairs → components → keep flags."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    # cache + materialize the PAIR list, not the doubled edge union:
+    # both union branches read the cached pairs, so the expensive
+    # minhash band join runs exactly once (un-cached, each branch
+    # re-evaluates the whole signature pipeline)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").cache()
+    pairs.count()
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).toDF("a", "b").cache()
+    ).toDF("a", "b")
 
     labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
-    labels = labels.cache()
-    for _ in range(_CLUSTER_MAX_ITERS):
+    cached = labels.cache()
+    for it in range(_CLUSTER_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges["a"] == labels["node"])
             .groupBy(edges["b"].alias("node2"))
             .agg(F.min("lab").alias("nlab"))
         )
+        # carry the previous label through so the convergence check is
+        # a filter on the cached frame, not another join
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
             .select(
                 "node",
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+                F.col("lab").alias("prev"),
             )
             .cache()
         )
+        # round 1 always changes when any edge exists — skip its check
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
+            1
+            if it == 0
+            else new_labels.filter(F.col("lab") != F.col("prev")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        cached.unpersist()
+        cached = new_labels
+        labels = new_labels.select("node", "lab")
         if changed == 0:
             break
-    edges.unpersist()
+    pairs.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("lab").alias("cluster_id"),
