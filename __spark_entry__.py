@@ -88,6 +88,7 @@ _GATE_FIRST = [
     "text_tfidf_topk",
     "emb_kmeans",
     "events_ewma",
+    "text_bigram_surprisal",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

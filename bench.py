@@ -65,6 +65,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "emb_kmeans",
     "events_ewma",
+    "text_bigram_surprisal",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

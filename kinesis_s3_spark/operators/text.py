@@ -419,3 +419,65 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "word", "tfidf", "rank")
     )
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+1], ' ')
+                     for i in range(1, greatest(len(t), 1))]) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0)
+    ),
+    bw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM b),
+    cg AS (SELECT g, COUNT(*) AS c12 FROM bw GROUP BY g),
+    cw AS (SELECT w1, COUNT(*) AS c1 FROM bw GROUP BY w1),
+    s AS (
+      SELECT bw.doc_id, ROUND(-ln(cg.c12 / cw.c1), 6) AS surp
+      FROM bw JOIN cg USING (g) JOIN cw USING (w1)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_bigram_surprisal
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean conditional bigram surprisal −ln p(w₂|w₁)
+    under the corpus bigram model (p = c(w₁w₂)/c(w₁·)) — one order up
+    from text_unigram_surprisal: low = formulaic/templated text, high
+    = incoherent token soup; the pair ranks documents by fluency
+    without any neural model.
+
+    Same scale shape as the unigram query: two (bigram)/(first-word)
+    count aggregations over the exploded bigram stream (map-side
+    combined, |bigram-vocab|-bound), two equi-joins back, one per-doc
+    mean. Per-occurrence surprisal is rounded to 6 dp BEFORE the
+    decimal mean (transcendental-determinism rule). 100 TB: cut the
+    bigram-vocab tail with a HAVING c12 > 1 and broadcast both count
+    frames."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    bw = toks.select(
+        "doc_id", F.explode(ngrams_from_tokens(F.col("t"), 2)).alias("g")
+    ).withColumn("w1", F.substring_index(F.col("g"), " ", 1))
+    cg = bw.groupBy("g").agg(F.count("*").alias("c12"))
+    cw = bw.groupBy("w1").agg(F.count("*").alias("c1"))
+    s = (
+        bw.join(cg, "g")
+        .join(cw, "w1")
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c12") / F.col("c1")), 6).alias("surp"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("surp").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_bigram_surprisal"),
+    )
