@@ -89,6 +89,7 @@ _GATE_FIRST = [
     "emb_kmeans",
     "events_ewma",
     "text_bigram_surprisal",
+    "fn_struct_suite",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

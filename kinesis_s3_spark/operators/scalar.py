@@ -423,3 +423,52 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("b_pop"),
         F.bitwise_not(k).alias("b_not"),
     )
+
+
+@query(
+    "fn_struct_suite",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             {'cust': o_custkey, 'status': o_orderstatus,
+              'money': {'total': o_totalprice, 'prio': o_orderpriority}} AS info
+      FROM orders
+    )
+    SELECT o_orderkey,
+           info.cust AS cust,
+           info.money.total AS total,
+           upper(info.status) || ':' || info.money.prio AS status_prio,
+           CASE WHEN info.money.total > 100000 THEN 'big' ELSE 'small' END AS bucket
+    FROM s
+    """,
+)
+def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct function family: nested struct construction, dotted
+    field access through two levels, and expressions over extracted
+    fields — the column-shape every typed event/enriched payload uses.
+    Pure projection: struct build + access fuses into the scan (no
+    shuffle, no serialization — Catalyst collapses CreateStruct /
+    GetStructField pairs at optimization time)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("money"),
+        ).alias("info"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("info.cust").alias("cust"),
+        F.col("info.money.total").alias("total"),
+        F.concat(
+            F.upper(F.col("info.status")), F.lit(":"), F.col("info.money.prio")
+        ).alias("status_prio"),
+        F.when(F.col("info.money.total") > 100000, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("bucket"),
+    )
