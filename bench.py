@@ -172,6 +172,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "sf": float(sf),
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "warm_runs": WARM_RUNS,

@@ -500,9 +500,13 @@ def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared LSH-candidate near-dup pair pipeline (Spark side of
     _EMB_DEDUP_LSH_SQL)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # cache the signature frame: it feeds BOTH sides of the candidate
+    # self-join, and without the cache the Arrow matmul UDF pass runs
+    # twice (the minhash/simhash self-join rule, dedup.py:188)
     sig = (
         emb.withColumn("buckets", lsh_table_buckets(F.col("embedding")))
         .select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+        .cache()
     )
     probes = sig.select(
         F.col("vec_id").alias("v1"),
