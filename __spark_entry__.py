@@ -90,6 +90,7 @@ _GATE_FIRST = [
     "events_ewma",
     "text_bigram_surprisal",
     "fn_struct_suite",
+    "join_skew_salted",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

@@ -472,3 +472,45 @@ def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("small"))
         .alias("bucket"),
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join template for skewed fact keys: the fact side gets a
+    deterministic salt (l_orderkey % 8), the dimension side is
+    exploded 8× with every salt value, and the join runs on
+    (suppkey, salt) — a hot supplier's rows now land on 8 reducers
+    instead of one. The oracle is the PLAIN join + aggregate, so the
+    gate proves the rewrite is semantics-preserving, which is the
+    whole point of the template.
+
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    can't help (e.g. skew in a broadcast-ineligible dim after ETL, or
+    pre-AQE engines); the dim-side 8× blowup is bounded by
+    |dim| × SALT, trivial next to the fact shuffle it balances.
+    Decimal partial sums keep the merged aggregate order-exact."""
+    SALT = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_extendedprice",
+        (F.col("l_orderkey") % SALT).cast("int").alias("salt"),
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+    )
+    joined = li.join(sup, (li["l_suppkey"] == sup["s_suppkey"]) & (li["salt"] == sup["salt"]))
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+    )

@@ -92,3 +92,28 @@ def split_good_bad(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         ).alias("bad_row")
     )
     return good, bad
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_JSONL_SCHEMA,
+    streaming: bool = False,
+    sep: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """CSV twin of read_jsonl — same explicit-schema, PERMISSIVE,
+    corrupt-line-capture contract, same downstream split_good_bad.
+    Uses the CSV file source directly (the corrupt column is part of
+    the read schema, so the dead-letter projection stays legal without
+    the from_json detour; Spark's UnivocityParser fills it for
+    malformed/arity-mismatched lines)."""
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .csv(path)
+    )

@@ -69,3 +69,27 @@ def test_streaming_read_matches_batch(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("SELECT doc_id FROM jsonl_good").collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
+
+
+def test_csv_corpus_read_and_split(spark, tmp_path):
+    from kinesis_s3_spark.sources.jsonl import read_csv_corpus
+
+    p = tmp_path / "csv_corpus"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "1,alpha beta,en,web,10\n"
+        "2,gamma,de,book,5\n"
+        "3,bad row with,too few\n"  # arity mismatch -> corrupt
+    )
+    df = read_csv_corpus(spark, str(p))
+    # CSV corrupt capture requires caching the parsed frame before a
+    # corrupt-only projection (Spark QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    df = df.cache()
+    good, bad = split_good_bad(df)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    brows = bad.collect()
+    assert len(brows) == 1
+    env = json.loads(brows[0]["bad_row"])
+    import base64
+
+    assert base64.b64decode(env["data"]["payload"]).decode().startswith("3,bad row")
