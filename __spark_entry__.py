@@ -91,6 +91,8 @@ _GATE_FIRST = [
     "text_bigram_surprisal",
     "fn_struct_suite",
     "join_skew_salted",
+    "agg_regression",
+    "window_first_last_nth",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

@@ -466,3 +466,37 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per customer order history.
+    The last_value frame is EXPLICITLY unbounded-following: under the
+    default running frame (unbounded-preceding → current row)
+    last_value degenerates to the current row — the classic window
+    pitfall, pinned here by the oracle. nth_value keeps the default
+    running frame, so it is NULL until the partition's 2nd row —
+    also oracle-pinned. One shuffle on o_custkey serves all three."""
+    o = load_table(spark, sf_dir, "orders")
+    running = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = running.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(running).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(running).alias("second_price"),
+    )
