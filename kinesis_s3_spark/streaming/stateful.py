@@ -88,3 +88,55 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# --- streaming EWMA ----------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, ts timestamp, ewma double"
+EWMA_STATE_SCHEMA = "s double"
+
+
+def _ewma_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover - NoTimeout below
+        state.remove()
+        return
+    s = state.get[0] if state.exists else None
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if pdf.empty:
+        return
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    out = []
+    for x, eid, ts in zip(pdf["value"], pdf["event_id"], pdf["ts"]):
+        x = float(x)
+        s = x if s is None else (s + x) * 0.5
+        out.append((user_id, int(eid), ts, s))
+    state.update((float(s),))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "ts", "ewma"])
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the events_ewma recursion, over the FULL
+    per-user history instead of an 8-row frame: s₁ = x₁,
+    sₜ = (sₜ₋₁ + xₜ)/2 carried across micro-batches in one
+    8-byte state row per user — the smallest possible stateful
+    operator, and the state-discipline contrast to the batch query
+    (state is O(active users), never O(events)). Events are folded in
+    (ts, event_id) order within each batch; the same halving fold as
+    the batch twin, so replaying a corpus through the stream yields
+    bit-identical ewma values to a batch fold over the same prefix."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_group,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

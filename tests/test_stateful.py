@@ -55,3 +55,51 @@ def test_stateful_sessionizer_matches_batch(spark, tmp_path):
         (7, t0, t0 + timedelta(minutes=20), 3),
         (7, t0 + timedelta(minutes=120), t0 + timedelta(minutes=125), 2),
     ]
+
+
+def test_stateful_ewma_matches_batch_fold(spark, tmp_path):
+    """Streaming EWMA must equal the driver-side fold over the same
+    ordered history — including across micro-batches AND query
+    restarts (two availableNow runs over one checkpoint: the second
+    run resumes the per-user state the first run left behind)."""
+    from kinesis_s3_spark.streaming.stateful import ewma_stream
+
+    t0 = datetime(2024, 1, 1)
+    batch1 = [
+        (7, i, t0 + timedelta(minutes=i), float(v))
+        for i, v in enumerate([10.0, 20.0, 30.0])
+    ] + [(8, 100, t0, 64.0)]
+    batch2 = [
+        (7, 3, t0 + timedelta(minutes=3), 2.5),
+        (7, 4, t0 + timedelta(minutes=4), 41.25),
+        (8, 101, t0 + timedelta(minutes=1), 0.0),
+    ]
+    inp = str(tmp_path / "in")
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+    for batch in (batch1, batch2):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            ewma_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in spark.read.parquet(out).collect()
+    }
+
+    expected = {}
+    state: dict[int, float] = {}
+    for u, eid, _ts, v in batch1 + batch2:  # arrival order == ts order per user
+        state[u] = v if u not in state else (state[u] + v) * 0.5
+        expected[(u, eid)] = state[u]
+    assert got == expected  # bit-exact: adds + exact halvings only

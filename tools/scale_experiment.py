@@ -48,6 +48,11 @@ QUERIES = [
     "text_unigram_surprisal",
     "events_zscore_anomaly",
     "dedup_embedding_lsh",
+    "emb_kmeans",
+    "text_tfidf_topk",
+    "events_ewma",
+    "join_skew_salted",
+    "text_bigram_surprisal",
 ]
 
 KEY_OFFSETS = {
