@@ -93,6 +93,7 @@ _GATE_FIRST = [
     "join_skew_salted",
     "agg_regression",
     "window_first_last_nth",
+    "curation_token_budget_sample",
     "emb_normalize_quantize",
     "emb_label_centroids",
     "dedup_cluster_resolve",

@@ -582,3 +582,90 @@ def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+_TOKEN_BUDGET = 20_000  # total sampled tokens across sources
+
+
+@query(
+    "curation_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    w AS (
+      SELECT source, CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(38,12)) AS w
+      FROM t GROUP BY source
+    ),
+    b AS (
+      SELECT source,
+             CAST(FLOOR(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE)
+                        * {_TOKEN_BUDGET}) AS BIGINT) AS budget
+      FROM w
+    )
+    SELECT t.doc_id, t.source, t.n_tokens,
+           CAST(SUM(t.n_tokens) OVER (
+             PARTITION BY t.source ORDER BY t.h, t.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(t.n_tokens) OVER (
+             PARTITION BY t.source ORDER BY t.h, t.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             <= b.budget AS kept
+    FROM t JOIN b USING (source)
+    """,
+)
+def curation_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a temperature-weighted token-budget sample: each
+    source gets floor(T=2-mixture-weight × budget) tokens, documents
+    enter in deterministic md5(doc_id) order (a seedable shuffle both
+    engines reproduce), and a per-source running token sum keeps docs
+    while under budget — the 'sample N tokens with these mixture
+    weights' job that turns curation_mixture_temperature's WEIGHTS
+    into an actual training corpus.
+
+    Plan: one |sources|-row weight aggregate broadcast back, one
+    window shuffle keyed by source (the data-sized work — running sums
+    over hash order). At 100 TB identical; per-source skew bounded by
+    the largest source, and the hash order means the kept set is a
+    uniform random sample within source, not a prefix artifact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = t.groupBy("source").agg(
+        F.sqrt(F.count("*").cast("double")).cast("decimal(38,12)").alias("w")
+    )
+    b = w.select(
+        "source",
+        F.floor(
+            F.col("w").cast("double")
+            / F.sum("w").over(Window.partitionBy()).cast("double")
+            * _TOKEN_BUDGET
+        )
+        .cast("long")
+        .alias("budget"),
+    )
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).cast("long")
+    return (
+        t.join(F.broadcast(b), "source")
+        .withColumn("cum_tokens", cum)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_tokens",
+            (F.col("cum_tokens") <= F.col("budget")).alias("kept"),
+        )
+    )
