@@ -242,9 +242,13 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k ≲ 10⁴ before broadcast cost matters; beyond that the centroid
     set becomes a broadcast join, same semantics)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    vv = emb.select(
-        "vec_id", _vec_d(F.col("embedding")).alias("e")
-    ).withColumn("ee", _dot(F.col("e"), F.col("e")))
+    # cache: vv feeds every assignment pass, both update explodes, and
+    # the seed collect — uncached each would re-read + re-dot the table
+    vv = (
+        emb.select("vec_id", _vec_d(F.col("embedding")).alias("e"))
+        .withColumn("ee", _dot(F.col("e"), F.col("e")))
+        .cache()
+    )
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["e"]])
         for r in vv.filter(F.col("vec_id") < K_CLUSTERS).select("vec_id", "e").collect()
