@@ -50,66 +50,23 @@ for _m in _OPTIONAL_MODULES:
 
 # The driver's correctness gate historically checks the FIRST ~50
 # registry entries, so gate slots are scarce. Priority order:
-# (1) queries added or semantically changed this round (round 3),
-# (2) queries that have never had a driver-gate row (absent from
-#     CORRECTNESS_r01/r02),
-# (3) everything else (two rounds of green gate history) last.
+# (1) queries added or semantically changed this round (round 4),
+# (2) queries that have never had a driver-gate row in ANY
+#     CORRECTNESS_r0*.json (39 as of round 3: 37 oracle-paired + the
+#     2 approx rows-only queries) — this rotation completes the full
+#     registry's driver-side correctness record,
+# (3) everything else (green gate history in r1/r2/r3) last.
 _GATE_FIRST = [
-    # -- (1) new/changed in round 3 --
-    "text_pii_mask",
-    "text_gopher_repetition",
-    "curation_mixture_temperature",
-    "curation_stratified_sample",
-    "curation_pack_sequences",
-    "curation_pipeline_funnel",
-    "curation_source_report",
-    "curation_length_histogram",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "agg_mode_per_user",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q16_supplier_part_counts",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "fn_bitwise_suite",
-    "agg_listagg",
-    "approx_error_bounds",
-    "curation_hash_split",
-    "text_unigram_surprisal",
-    "events_zscore_anomaly",
-    "dedup_embedding_lsh",
-    "dedup_recall_embedding_lsh",
-    "text_tfidf_topk",
-    "emb_kmeans",
-    "events_ewma",
-    "text_bigram_surprisal",
-    "fn_struct_suite",
-    "join_skew_salted",
-    "agg_regression",
-    "window_first_last_nth",
-    "curation_token_budget_sample",
-    "emb_normalize_quantize",
-    "emb_label_centroids",
-    "dedup_cluster_resolve",
-    "dedup_incremental",
-    "events_funnel_steps",
-    "ann_ivf_topk",
-    "ann_recall_ivf",
-    "ann_recall_lsh",
-    "ann_lsh_bucketed",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "agg_argminmax",
+    # -- (1) new in round 4 --
+    "dedup_embedding_lsh_strict",
+    "mm_image_decode_real",
+    "ann_ivf_kmeans_topk",
+    "ann_recall_ivf_kmeans",
+    "etl_bad_row_archive",
+    # -- (2) never driver-gated through round 3 --
     "etl_buffer_flush_bytes",
     "etl_enriched_parse",
     "fn_map_suite",
-    # -- (2) never driver-gated through round 2 --
     "dedup_exact",
     "dedup_exact_normalized",
     "dedup_minhash_lsh",
@@ -145,6 +102,8 @@ _GATE_FIRST = [
     "fn_url_suite",
     "etl_bad_row_roundtrip",
     "reshape_unpivot",
+    "approx_distinct_users",
+    "approx_percentile_price",
 ]
 
 

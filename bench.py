@@ -165,6 +165,25 @@ def main() -> None:
     loader = loader_throughput(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    # Full detail (cold timings, warm spread) goes to a sidecar file:
+    # round 3's final line carried all three 41-entry maps and outgrew
+    # the driver's stdout tail capture (BENCH_r03 "parsed": null). The
+    # final stdout line stays compact — the driver parses the LAST line.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "sf": float(sf),
+                "warm_runs": WARM_RUNS,
+                "warm_median_sec": timings,
+                "cold_sec": cold,
+                "cold_total_sec": round(sum(cold.values()), 3),
+                "warm_spread_sec": spread,
+                "loader": loader,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -174,9 +193,6 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "sf": float(sf),
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "warm_runs": WARM_RUNS,
-                "warm_spread_sec": spread,
                 "loader": loader,
             }
         )
