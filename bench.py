@@ -62,6 +62,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "text_unigram_surprisal",
     "dedup_embedding_lsh",
+    "dedup_embedding_lsh_strict",
     "text_tfidf_topk",
     "emb_kmeans",
     "events_ewma",

@@ -597,3 +597,147 @@ def dedup_recall_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a1").alias("n_found"),
         F.round(F.count("a1").cast("double") / F.count("*"), 4).alias("pair_recall"),
     )
+
+
+# --- strict (production-threshold) embedding near-dup ------------------------
+#
+# dedup_embedding_lsh above runs at this corpus's noise floor
+# (threshold 0.4, hamming-1 probe arm), which inflates candidates — the
+# honest worst case. This variant is the PRODUCTION configuration:
+# threshold 0.85, exact-bucket candidates only (no probe arm), and a
+# finer 8-table × 16-bit packing of the SAME 128 md5-seeded planes
+# (m // 16 = table, m % 16 = bit), so random-pair bucket collisions
+# drop from ~1/16 to ~8/65536 of pairs while a true near-dup at
+# cosine ≥ 0.85 (per-bit flip p ≤ 0.12) still shares ≥ 1 exact bucket
+# with probability ≥ 1 - (1-(1-p)^16)^8 ≈ 0.98.
+#
+# The synthetic corpus has NO pairs above 0.85 (its near-dup band tops
+# out at ~0.51), so the operator PLANTS deterministic twins: for
+# vec_id < PLANT_N, a copy at vec_id + PLANT_OFFSET with each component
+# scaled by (1 + 0.05 · md5-noise) — cosine(v, twin) ≈ 0.9996. Both
+# engines construct the identical augmented table from the identical
+# md5 stream, so the gate checks plant → signature → bucket join →
+# verify end-to-end, and the result is ~PLANT_N true pairs instead of
+# a vacuous empty frame.
+
+STRICT_THRESHOLD = 0.85
+STRICT_TABLES = 8
+STRICT_BITS = 16  # 8 × 16 repacks the same N_PLANES=128 hyperplanes
+PLANT_N = 100
+PLANT_OFFSET = 1_000_000
+
+# per-element twin noise: x · (1 + 0.05 · n), n = md5('t'||idx) mapped
+# to [-1, 1] exactly like _plane_component (different string domain so
+# the twin stream never collides with the plane stream)
+_TWIN_EXPR = """
+transform(embedding, (x, k) ->
+  cast(x as double) * (1.0 + 0.05 * ((cast(conv(substr(md5(concat('t',
+    cast(vec_id * 64 + k as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000) / 1000.0)))
+"""
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def lsh_strict_buckets(emb: pd.Series) -> pd.Series:
+    """16-bit bucket ids for the 8 strict tables, one Arrow matmul —
+    same planes as lsh_table_buckets, finer packing."""
+    M = np.stack(emb.to_numpy()).astype(np.float64)
+    bits = (M @ planes_matrix()) >= 0.0  # (n, 128)
+    weights = np.tile(1 << np.arange(STRICT_BITS), STRICT_TABLES)
+    packed = (bits * weights).reshape(-1, STRICT_TABLES, STRICT_BITS).sum(axis=2)
+    return pd.Series(list(packed.astype(np.int32)))
+
+
+_STRICT_AUG_SQL = f"""
+    aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+             [embedding[k+1]::DOUBLE * (1.0 + 0.05 * (((('0x' || substr(md5('t' ||
+                CAST(vec_id * 64 + k AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1000.0))
+              for k in range(0, {DIM})] AS embedding
+      FROM embeddings WHERE vec_id < {PLANT_N}
+    )
+"""
+
+_STRICT_PAIRS_SQL = f"""
+    WITH {_STRICT_AUG_SQL},
+    planes AS (
+      SELECT m,
+             [(((('0x' || substr(md5(CAST(m*{DIM}+k AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
+              for k in range(0, {DIM})] AS p
+      FROM (SELECT unnest(range(0, {N_PLANES})) AS m)
+    ),
+    bits AS (
+      SELECT a.vec_id, p.m // {STRICT_BITS} AS t, p.m % {STRICT_BITS} AS j,
+             CASE WHEN list_dot_product(a.embedding, p.p) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM aug a, planes p
+    ),
+    sig AS (
+      SELECT vec_id, t, CAST(SUM(bit << j) AS INT) AS bucket
+      FROM bits GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT s1.vec_id AS v1, s2.vec_id AS v2
+      FROM sig s1 JOIN sig s2
+        ON s1.t = s2.t AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id
+    )
+    SELECT c.v1, c.v2,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+    FROM cand c JOIN aug a ON c.v1 = a.vec_id JOIN aug b ON c.v2 = b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= {STRICT_THRESHOLD}
+"""
+
+
+def _strict_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    twins = emb.filter(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+        F.expr(_TWIN_EXPR).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+@query("dedup_embedding_lsh_strict", oracle=_STRICT_PAIRS_SQL)
+def dedup_embedding_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-threshold embedding near-dup pairs (see block comment
+    above): plant twins, one Arrow signature pass over the augmented
+    corpus, EXACT-bucket equi-join on (table, 16-bit bucket) — no probe
+    arm — then exact cosine verify ≥ 0.85 on candidates only.
+
+    Scale: candidates are ~n²/16384 random collisions + true-dup mass,
+    vs the noise-floor variant's probe-widened ~1/16 of pairs — the
+    sub-linear candidate behavior dedup_embedding_lsh's docstring
+    claims, demonstrated at a real production threshold (benched next
+    to the noise-floor variant in bench.py). 100 TB: same plan — one
+    linear matmul pass, one equi-join whose output tracks duplicate
+    density, exact verify only on candidates."""
+    aug = _strict_aug(spark, sf_dir)
+    sig = (
+        aug.withColumn("buckets", lsh_strict_buckets(F.col("embedding")))
+        .select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+        .cache()  # feeds both sides of the self-join (one matmul pass)
+    )
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+    e1 = aug.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    e2 = aug.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .withColumn("cosine", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4))
+        .filter(F.col("cosine") >= STRICT_THRESHOLD)
+        .select("v1", "v2", "cosine")
+    )

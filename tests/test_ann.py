@@ -91,6 +91,55 @@ def test_embedding_lsh_pair_recall_gate(spark):
     assert row["pair_recall"] >= 0.9, row
 
 
+def test_strict_dedup_finds_planted_twins(spark):
+    """The production-threshold variant must recover the planted twin
+    pairs (vec_id, vec_id + PLANT_OFFSET) through exact-bucket
+    candidates alone — per-pair miss probability ≈ (1-(1-p)^16)^8
+    ≈ 1e-7 at cosine 0.9996 — and every reported cosine must clear the
+    0.85 threshold."""
+    from kinesis_s3_spark.operators.ann import PLANT_N, PLANT_OFFSET, STRICT_THRESHOLD
+
+    rows = Q["dedup_embedding_lsh_strict"](spark, SF_CORRECT).collect()
+    assert all(r["cosine"] >= STRICT_THRESHOLD for r in rows)
+    planted = {(r["v1"], r["v2"]) for r in rows if r["v2"] >= PLANT_OFFSET}
+    expected = {(v, v + PLANT_OFFSET) for v in range(PLANT_N)}
+    missed = expected - planted
+    assert len(missed) <= 2, f"missed {len(missed)} planted pairs: {sorted(missed)[:5]}"
+
+
+def test_strict_dedup_candidates_stay_small(spark):
+    """Sub-linear candidate demonstration: the strict config's
+    exact-bucket candidate pair count must stay a tiny fraction of
+    all-pairs (≈ n²/16384 random collisions + planted mass), unlike the
+    noise-floor variant whose probe arm approaches the corpus."""
+    from kinesis_s3_spark.operators.ann import (
+        PLANT_N,
+        _strict_aug,
+        lsh_strict_buckets,
+    )
+
+    aug = _strict_aug(spark, SF_CORRECT)
+    n = aug.count()
+    sig = aug.withColumn("buckets", lsh_strict_buckets(F.col("embedding"))).select(
+        "vec_id", F.posexplode("buckets").alias("t", "bucket")
+    )
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id"), F.col("b.vec_id"))
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) // 2
+    # generous ceiling: 8/65536 of random pairs + planted + 4x slack
+    assert cand <= 4 * (all_pairs * 8 // 65536 + PLANT_N + 50), (cand, all_pairs)
+
+
 def test_embedding_lsh_subset_of_exact(spark):
     """Every LSH-found pair must appear in the exact baseline with the
     identical cosine: the LSH path may only MISS pairs, never invent
