@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_s3_spark.multimodal.codecs import IMAGE_META_SCHEMA, decode_image_batches
+from kinesis_s3_spark.multimodal.codecs import (
+    IMAGE_META_SCHEMA,
+    REAL_DECODE_SCHEMA,
+    decode_image_batches,
+    decode_real_batches,
+)
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -62,6 +67,53 @@ def mm_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binary = docs.select("doc_id", F.col("text").cast("binary").alias("content"))
     return binary.mapInPandas(decode_image_batches, schema=IMAGE_META_SCHEMA)
+
+
+@query(
+    "mm_image_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+             CAST((doc_id * 3) % 16 + 1 AS BIGINT) AS h
+      FROM documents
+    ),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+    pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px),
+    chk AS (
+      SELECT doc_id,
+             CAST(SUM((
+                 ((doc_id + x*7 + y*13) % 256)
+               + ((doc_id*5 + x*3 + y) % 256) * 256
+               + ((doc_id*2 + x + y*11) % 256) * 65536
+             ) * (y*w + x + 1)) % 2147483647 AS BIGINT) AS pix_checksum
+      FROM pxy GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           3 AS channels,
+           CAST(54 + d.h * ((d.w*3 + 3) // 4 * 4) AS INT) AS n_bytes,
+           c.pix_checksum
+    FROM dims d JOIN chk c USING (doc_id)
+    """,
+)
+def mm_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no optional dependency: each doc_id gets a
+    deterministic 24-bit BMP (dims + pixels are pure arithmetic),
+    encoded to spec (bottom-up BGR rows, 4-byte stride) and then
+    actually PARSED back inside Arrow-batched mapInPandas — header
+    fields, stride padding, row order, channel order all exercised
+    (multimodal/codecs.py:encode_bmp/decode_bmp). The oracle predicts
+    the decoded width/height/file-size/pixel-checksum independently
+    from the same arithmetic, so any decode defect (stride off-by-one,
+    BGR swap, bottom-up flip, transposed axes) breaks the value hash.
+
+    Scale: identical plumbing to mm_image_decode_stub — decode
+    parallelism = scan partitions, one Arrow batch resident per task;
+    a real corpus swaps synth+encode for the stored binary column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(decode_real_batches, schema=REAL_DECODE_SCHEMA)
 
 
 @query(

@@ -1,0 +1,86 @@
+"""BMP codec unit tests: the dependency-free real decode path must
+round-trip spec-compliant files, honor stride padding and both row
+orders, and reject unsupported variants loudly."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from kinesis_s3_spark.multimodal.codecs import (
+    BMP_HEADER_BYTES,
+    bmp_row_stride,
+    decode_bmp,
+    encode_bmp,
+    pixel_checksum,
+    synth_pixels,
+)
+
+
+def test_bmp_roundtrip_all_strides():
+    """Widths 1..8 cover every stride-padding remainder (w*3 mod 4)."""
+    rng = np.random.default_rng(7)
+    for w in range(1, 9):
+        for h in (1, 3, 5):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            data = encode_bmp(px)
+            assert len(data) == BMP_HEADER_BYTES + bmp_row_stride(w) * h
+            dw, dh, dc, out = decode_bmp(data)
+            assert (dw, dh, dc) == (w, h, 3)
+            assert np.array_equal(out, px), (w, h)
+
+
+def test_bmp_known_bytes():
+    """A 2x1 image against hand-computed bytes: pixel rows are BGR with
+    the row padded to 8 bytes; header fields little-endian per spec."""
+    px = np.array([[[255, 0, 0], [0, 128, 64]]], dtype=np.uint8)  # red, teal-ish
+    data = encode_bmp(px)
+    assert data[:2] == b"BM"
+    assert struct.unpack_from("<I", data, 2)[0] == 54 + 8  # file size
+    assert struct.unpack_from("<I", data, 10)[0] == 54  # pixel offset
+    assert struct.unpack_from("<ii", data, 18) == (2, 1)  # w, h
+    assert struct.unpack_from("<H", data, 28)[0] == 24  # bpp
+    # BGR: red -> 00 00 FF, (0,128,64) -> 40 80 00, then 2 pad bytes
+    assert data[54:62] == bytes([0, 0, 255, 64, 128, 0, 0, 0])
+
+
+def test_bmp_top_down_negative_height():
+    """Decoder must handle top-down files (negative height), which the
+    encoder never emits — build one by hand from an encoded file."""
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = bytearray(encode_bmp(px))
+    # flip to top-down: negate height, reverse the stored row order
+    stride = bmp_row_stride(3)
+    struct.pack_into("<i", data, 22, -2)
+    rows = bytes(data[54:])
+    data[54:] = rows[stride:] + rows[:stride]
+    dw, dh, _, out = decode_bmp(bytes(data))
+    assert (dw, dh) == (3, 2)
+    assert np.array_equal(out, px)
+
+
+def test_bmp_rejects_unsupported():
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(px))
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"PNG" + bytes(data[3:]))
+    bad_bpp = bytearray(data)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bad_bpp))
+    bad_comp = bytearray(data)
+    struct.pack_into("<I", bad_comp, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bad_comp))
+
+
+def test_checksum_is_order_sensitive():
+    """The oracle-verified checksum must change under the decode
+    defects it exists to catch (row flip, channel swap, transpose)."""
+    px = synth_pixels(12345)
+    base = pixel_checksum(px)
+    assert pixel_checksum(px[::-1]) != base  # row-order flip
+    assert pixel_checksum(px[:, :, ::-1]) != base  # RGB<->BGR
+    assert pixel_checksum(np.ascontiguousarray(px.transpose(1, 0, 2))) != base
