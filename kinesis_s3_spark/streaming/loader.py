@@ -94,6 +94,7 @@ def run_loader(
     on_flush=None,
     query_name: str = "kinesis-s3-loader",
     tracker: SnowplowTracker | None = None,
+    dedupe_watermark: str | None = None,
 ) -> StreamingQuery:
     """Wire source → trigger → foreachBatch(emit) → checkpoint and
     start the query (the executor.run() analogue, S3Loader.scala:63-68;
@@ -104,8 +105,18 @@ def run_loader(
     captured ``send``); when None and monitoring.snowplow.collector is
     configured, one is built from config. Started here — app_initialized
     + the 300 s heartbeat thread — mirroring initializeSnowplowTracking
-    running before the KCL worker (S3Loader.scala:44-47)."""
+    running before the KCL worker (S3Loader.scala:44-47).
+
+    ``dedupe_watermark``: when set (e.g. "1 hour"), payloads whose
+    content hash was already seen within the window are dropped before
+    emit via watermark-bounded streaming state (streaming/dedup.py) —
+    the streaming twin of dedup_incremental; the state survives query
+    restarts through the checkpoint."""
     stream = build_stream(spark, cfg)
+    if dedupe_watermark is not None:
+        from kinesis_s3_spark.streaming.dedup import with_incremental_dedup
+
+        stream = with_incremental_dedup(stream, dedupe_watermark)
     if tracker is None and cfg.monitoring.snowplow_collector:
         tracker = SnowplowTracker(
             cfg.monitoring.snowplow_collector,

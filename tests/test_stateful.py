@@ -57,6 +57,56 @@ def test_stateful_sessionizer_matches_batch(spark, tmp_path):
     ]
 
 
+def test_stream_incremental_dedup_checkpoint_resume(spark, tmp_path):
+    """The loader-path streaming dedup must drop duplicate payloads
+    BOTH within a run and across a stop/restart: the seen-hash state
+    lives in the checkpoint (dropDuplicatesWithinWatermark), so a
+    payload first seen before the restart is still recognized as a
+    duplicate after it — SURVEY §7 risk 6's streaming twin of
+    dedup_incremental."""
+    import glob
+    import gzip
+
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.streaming.loader import run_loader
+
+    inp = str(tmp_path / "in")
+
+    def write_input(rows):
+        spark.createDataFrame(
+            [(r,) for r in rows], "value string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {"s3": {"path": str(tmp_path / "out"), "compression": "GZIP"}},
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+
+    # run 1: an in-batch duplicate ("a") must be dropped
+    write_input(["a", "b", "a"])
+    q = run_loader(spark, cfg, query_name="dedup-a", dedupe_watermark="1 hour")
+    q.processAllAvailable()
+    q.stop()
+
+    # run 2, same checkpoint: "b" duplicates a pre-restart payload and
+    # must be dropped by RESUMED state; "c" is new
+    write_input(["b", "c"])
+    q2 = run_loader(spark, cfg, query_name="dedup-b", dedupe_watermark="1 hour")
+    q2.processAllAvailable()
+    q2.stop()
+
+    lines = []
+    for f in glob.glob(str(tmp_path / "out" / "**" / "*.gz"), recursive=True):
+        with gzip.open(f, "rt") as fh:
+            lines.extend(fh.read().splitlines())
+    assert sorted(lines) == ["a", "b", "c"]
+
+
 def test_stateful_ewma_matches_batch_fold(spark, tmp_path):
     """Streaming EWMA must equal the driver-side fold over the same
     ordered history — including across micro-batches AND query
