@@ -41,6 +41,13 @@ from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 from kinesis_s3_spark.operators.dedup import cosine_sim, dedup_embedding_cosine
+from kinesis_s3_spark.operators.embeddings import (
+    _KM_ASSIGN_SQL,
+    _KM_UPDATE_SQL,
+    _km_rank,
+    kmeans_vv,
+    lloyd_centroids,
+)
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -596,6 +603,151 @@ def dedup_recall_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_true"),
         F.count("a1").alias("n_found"),
         F.round(F.count("a1").cast("double") / F.count("*"), 4).alias("pair_recall"),
+    )
+
+
+# --- k-means-refined IVF ------------------------------------------------------
+#
+# ann_ivf_topk uses raw seed vectors (vec_id < 16) as centroids; this
+# variant runs the REAL IVF training step — emb_kmeans's Lloyd loop at
+# k=16 — and feeds the refined centroids into the identical
+# assignment/probe/score plumbing, demonstrating that the two
+# operators compose. The coarse quantizer is euclidean (the k-means
+# training metric, as in FAISS IVF); final candidate scoring stays
+# cosine. The DuckDB oracle unrolls both Lloyd rounds (the emb_kmeans
+# CTE templates at k=16) and the probe/score pipeline, so the gate
+# checks train → assign → probe → score end-to-end.
+
+IVF_KM_K = 16
+IVF_KM_ITERS = 2
+
+_IVFKM_CENT_SQL = (
+    f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vv AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM v),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {IVF_KM_K}),
+    """
+    + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="")
+    + ","
+    + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1")
+    + ","
+    + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="")
+    + ","
+    + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2")
+)
+
+_IVFKM_TOPK_SQL = (
+    "WITH "
+    + _IVFKM_CENT_SQL
+    + ","
+    + _KM_ASSIGN_SQL.format(a="assign", c="c2", dist_col="")
+    + f""",
+    qprobe AS (
+      SELECT vec_id AS q_id, cid FROM (
+        SELECT vv.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vv.vec_id
+                 ORDER BY ROUND(vv.ee - 2 * list_dot_product(vv.e, c.c)
+                                + list_dot_product(c.c, c.c), 4) ASC, c.cid
+               ) AS rn
+        FROM vv, c2 c WHERE vv.vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT qp.q_id, a.vec_id
+      FROM assign a JOIN qprobe qp ON a.cid = qp.cid
+      WHERE a.vec_id != qp.q_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+      FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+                  JOIN embeddings q ON c.q_id = q.vec_id
+    )
+    SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+)
+
+
+def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vv = kmeans_vv(spark, sf_dir)
+    cents = lloyd_centroids(vv, IVF_KM_K, IVF_KM_ITERS)
+    ranked = _km_rank(vv, cents)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    qprobe = F.broadcast(
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)).select(
+            F.col("vec_id").alias("q_id"), "cid"
+        )
+    )
+    cand = (
+        assign.join(qprobe, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(qe, "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+@query("ann_ivf_kmeans_topk", oracle=_IVFKM_TOPK_SQL)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-trained centroids (see block comment):
+    Lloyd's at k=16 × 2 rounds (emb_kmeans's exact loop), then the
+    seeded IVF's assignment/probe/score plumbing under the refined
+    centroids at the SAME probe count (6 of 16) — recall gated by
+    ann_recall_ivf_kmeans against brute force, compared in tests
+    against the seeded variant's.
+
+    Scale: training adds 2×(scan + |k|×dim shuffle) over the seeded
+    variant (amortized across every query the index then serves);
+    serving cost is identical — equi-join on centroid id, exact
+    scoring only on probed lists."""
+    return _ivf_kmeans_topk(spark, sf_dir)
+
+
+@query(
+    "ann_recall_ivf_kmeans",
+    oracle=f"""
+    WITH truth AS ({_BRUTE_MULTI_SQL}),
+    approx AS ({_IVFKM_TOPK_SQL})
+    SELECT t.q_id,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_10
+    FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+    GROUP BY t.q_id
+    """,
+)
+def ann_recall_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the k-means-refined IVF path vs brute-force truth —
+    the composition's quality gate (tests assert min ≥ 0.9 at sf0.1
+    and mean ≥ the seeded variant's mean at equal probe count)."""
+    truth = ann_multi_query_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = _ivf_kmeans_topk(spark, sf_dir).select("q_id", F.col("vec_id").alias("a_vec"))
+    hits = truth.join(
+        approx,
+        (truth["q_id"] == approx["q_id"]) & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    ).select(truth["q_id"], approx["a_vec"])
+    return hits.groupBy("q_id").agg(
+        F.round(F.count("a_vec").cast("double") / TOP_K, 4).alias("recall_at_10")
     )
 
 

@@ -185,9 +185,22 @@ def _dot(v1, v2):
     )
 
 
-def _km_assign(vv: DataFrame, cents: list[tuple[int, list[float]]], with_dist: bool) -> DataFrame:
-    """Assignment pass: broadcast the k×d centroid literal, score every
-    (vector, centroid) pair in the scan, keep the per-vector argmin."""
+def kmeans_vv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e: double[], ee: e·e), CACHED — the frame every Lloyd
+    pass re-reads (assignment scans, update explodes, seed collect)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        emb.select("vec_id", _vec_d(F.col("embedding")).alias("e"))
+        .withColumn("ee", _dot(F.col("e"), F.col("e")))
+        .cache()
+    )
+
+
+def _km_rank(vv: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Score every (vector, centroid) pair against the broadcast k×d
+    centroid literal inside the scan; rank per vector by rounded
+    euclidean dist² with cid tie-break. Consumers filter rn == 1
+    (assignment) or rn ≤ n_probe (IVF query probing)."""
     from pyspark.sql.window import Window
 
     cent_lit = F.array(
@@ -214,9 +227,47 @@ def _km_assign(vv: DataFrame, cents: list[tuple[int, list[float]]], with_dist: b
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    out = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def _km_assign(vv: DataFrame, cents: list[tuple[int, list[float]]], with_dist: bool) -> DataFrame:
+    """Assignment pass: per-vector argmin over the centroid literal."""
+    out = _km_rank(vv, cents).filter(F.col("rn") == 1)
     cols = ["vec_id", "e", "cid"] + (["dist"] if with_dist else [])
     return out.select(*cols)
+
+
+def lloyd_centroids(
+    vv: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Run ``iters`` Lloyd rounds from deterministic seeds
+    (vec_id < k) and return the refined centroid list. Each round is
+    one assignment scan + one |k|×dim decimal-mean shuffle collected to
+    the driver (k×d doubles — legitimately driver-sized) and
+    re-broadcast as the next round's literal. Empty clusters drop out
+    of the list, identically in the DuckDB unrolled oracle."""
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["e"]])
+        for r in vv.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
+    ]
+    for _ in range(iters):
+        assigned = _km_assign(vv, cents, with_dist=False)
+        flat = assigned.select(
+            "cid", F.posexplode("e").alias("pos", "xd")
+        ).select("cid", "pos", F.col("xd").cast(_DEC).alias("x"))
+        means = (
+            flat.groupBy("cid", "pos")
+            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cx"])
+        cents = [
+            (cid, [pos_map[p] for p in sorted(pos_map)])
+            for cid, pos_map in sorted(by_cid.items())
+        ]
+    return cents
 
 
 @query("emb_kmeans", oracle=_KMEANS_SQL)
@@ -241,35 +292,8 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per iteration, cluster count bounded by the literal size
     (k ≲ 10⁴ before broadcast cost matters; beyond that the centroid
     set becomes a broadcast join, same semantics)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # cache: vv feeds every assignment pass, both update explodes, and
-    # the seed collect — uncached each would re-read + re-dot the table
-    vv = (
-        emb.select("vec_id", _vec_d(F.col("embedding")).alias("e"))
-        .withColumn("ee", _dot(F.col("e"), F.col("e")))
-        .cache()
-    )
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["e"]])
-        for r in vv.filter(F.col("vec_id") < K_CLUSTERS).select("vec_id", "e").collect()
-    ]
-    for _ in range(KMEANS_ITERS):
-        assigned = _km_assign(vv, cents, with_dist=False)
-        flat = assigned.select(
-            "cid", F.posexplode("e").alias("pos", "xd")
-        ).select("cid", "pos", F.col("xd").cast(_DEC).alias("x"))
-        means = (
-            flat.groupBy("cid", "pos")
-            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cx"])
-        cents = [
-            (cid, [pos_map[p] for p in sorted(pos_map)])
-            for cid, pos_map in sorted(by_cid.items())
-        ]
+    vv = kmeans_vv(spark, sf_dir)
+    cents = lloyd_centroids(vv, K_CLUSTERS, KMEANS_ITERS)
     return _km_assign(vv, cents, with_dist=True).select(
         "vec_id", F.col("cid").alias("cluster"), "dist"
     )

@@ -91,6 +91,18 @@ def test_embedding_lsh_pair_recall_gate(spark):
     assert row["pair_recall"] >= 0.9, row
 
 
+def test_ivf_kmeans_recall_gate_and_composition(spark):
+    """The k-means-trained IVF must clear the same recall gate AND be
+    at least as good as the seeded-centroid variant at equal probe
+    count (6 of 16) — the measured payoff of composing emb_kmeans's
+    training loop with the IVF index."""
+    km = {r["q_id"]: r["recall_at_10"] for r in Q["ann_recall_ivf_kmeans"](spark, SF_RECALL).collect()}
+    seeded = {r["q_id"]: r["recall_at_10"] for r in Q["ann_recall_ivf"](spark, SF_RECALL).collect()}
+    assert len(km) == 5
+    assert min(km.values()) >= 0.9, km
+    assert sum(km.values()) / len(km) >= sum(seeded.values()) / len(seeded), (km, seeded)
+
+
 def test_strict_dedup_finds_planted_twins(spark):
     """The production-threshold variant must recover the planted twin
     pairs (vec_id, vec_id + PLANT_OFFSET) through exact-bucket
