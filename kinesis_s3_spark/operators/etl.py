@@ -319,6 +319,67 @@ def etl_buffer_flush_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_bad_row_archive",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+           'iglu:com.snowplowanalytics.snowplow.badrows/generic_error/jsonschema/1-0-0'
+             AS schema_uri,
+           'kinesis-s3-spark' AS artifact,
+           '0.1.0' AS version,
+           '2026-01-01T00:00:00Z' AS failure_ts,
+           1 AS n_errors,
+           'Cannot deserialize record' AS error,
+           props AS payload
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def etl_bad_row_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O17 failure path round-tripped END-TO-END through real
+    files: wrap error records in the generic_error envelope, write
+    them through FileBadRowSink (gzip NDJSON dead-letter tree), read
+    the tree back with sources/archive.py:read_bad_archive, and emerge
+    with the typed columns — every payload byte-identical to the
+    original (the oracle reads the originals straight from events).
+    Output dir is fixed per sf and overwritten each run, so the query
+    is deterministic and idempotent.
+
+    Scale: the write is the bad sink's own path; the read is a
+    parallel file scan with from_json/unbase64 in-scan. Nothing
+    driver-sized."""
+    import os
+    import tempfile
+
+    from kinesis_s3_spark.sinks.badrows_sink import FileBadRowSink
+    from kinesis_s3_spark.sources.archive import read_bad_archive
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    bad = e.select(
+        bad_row_json_col(
+            F.col("props"),
+            F.array(F.lit("Cannot deserialize record")),
+            timestamp=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        ).alias("value")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "kinesis_s3_spark_bad_archive",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    FileBadRowSink(path=out).store_batch(bad, batch_id=0)
+    arch = read_bad_archive(spark, out)
+    return arch.select(
+        "batch_id",
+        "schema_uri",
+        "artifact",
+        "version",
+        "failure_ts",
+        F.size("errors").alias("n_errors"),
+        F.col("errors")[0].alias("error"),
+        "payload",
+    )
+
+
+@query(
     "etl_bad_row_envelope",
     oracle="""
     SELECT event_id,

@@ -56,3 +56,44 @@ def read_archive(
     return df.select(*keep, combined.alias(ROW_TYPE_COL)).withColumn(
         "batch_id", F.col("batch_id").cast("long")
     )
+
+
+# generic_error envelope schema (functions/badrows.py writes exactly
+# this shape; ISerializer.scala:46-74)
+BAD_ROW_READ_SCHEMA = (
+    "schema string, data struct<"
+    "processor: struct<artifact: string, version: string>, "
+    "failure: struct<timestamp: string, errors: array<string>>, "
+    "payload: string>"
+)
+
+
+def read_bad_archive(spark: SparkSession, path: str) -> DataFrame:
+    """Read a dead-letter tree (FileBadRowSink's gzip NDJSON under
+    ``path/batch_id=N``) back into typed columns — the failure-path
+    counterpart of read_archive, i.e. the replay/triage read an
+    operator runs against the bad bucket:
+
+    - ``batch_id``    recovered from the directory name (long)
+    - ``schema_uri``  the envelope's self-describing schema key
+    - ``artifact``/``version``  processor identity
+    - ``failure_ts``  the failure timestamp string
+    - ``errors``      array<string> of failure messages
+    - ``payload``     the ORIGINAL raw record, base64-decoded
+
+    Scale: same parallel listing/partition pruning as read_archive;
+    from_json + unbase64 run inside the scan, JVM-side."""
+    df = spark.read.option("basePath", path).text(path)
+    parsed = df.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.from_json("value", BAD_ROW_READ_SCHEMA).alias("r"),
+    )
+    return parsed.select(
+        "batch_id",
+        F.col("r.schema").alias("schema_uri"),
+        F.col("r.data.processor.artifact").alias("artifact"),
+        F.col("r.data.processor.version").alias("version"),
+        F.col("r.data.failure.timestamp").alias("failure_ts"),
+        F.col("r.data.failure.errors").alias("errors"),
+        F.unbase64(F.col("r.data.payload")).cast("string").alias("payload"),
+    )

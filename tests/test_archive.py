@@ -5,9 +5,30 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kinesis_s3_spark.sinks.badrows_sink import build_bad_sink
 from kinesis_s3_spark.sinks.emitter import emit
-from kinesis_s3_spark.sources.archive import read_archive
+from kinesis_s3_spark.sources.archive import read_archive, read_bad_archive
 from tests.test_emitter import SDJ_ROWS, _cfg
+
+
+def test_bad_row_archive_roundtrip_through_emitter(spark, tmp_path):
+    """The FULL failure path: emit() dead-letters undeserializable
+    records through the file bad sink, and read_bad_archive recovers
+    the original payload bytes plus the envelope's typed fields."""
+    cfg = _cfg(tmp_path)
+    rows = SDJ_ROWS + [None]  # a NULL value is the undeserializable case
+    df = spark.createDataFrame([(v,) for v in rows], "value string")
+    meta = emit(df, batch_id=3, cfg=cfg, bad_sink=build_bad_sink(cfg))
+    assert meta.bad_count >= 1
+
+    back = read_bad_archive(spark, str(tmp_path / "bad")).collect()
+    assert len(back) == meta.bad_count
+    for r in back:
+        assert r["batch_id"] == 3
+        assert r["schema_uri"].endswith("generic_error/jsonschema/1-0-0")
+        assert r["artifact"] == "kinesis-s3-spark"
+        assert r["errors"] == ["Cannot deserialize record"]
+        assert r["payload"] == ""  # NULL payload dead-letters as empty
 
 
 def test_gzip_roundtrip(spark, tmp_path):
