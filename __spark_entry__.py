@@ -60,6 +60,7 @@ _GATE_FIRST = [
     # -- (1) new in round 4 --
     "dedup_embedding_lsh_strict",
     "mm_image_decode_real",
+    "mm_audio_decode_real",
     "ann_ivf_kmeans_topk",
     "ann_recall_ivf_kmeans",
     "etl_bad_row_archive",

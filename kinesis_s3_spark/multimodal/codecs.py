@@ -171,6 +171,105 @@ def decode_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         yield pd.DataFrame(out)
 
 
+# --- real WAV codec (dependency-free) ----------------------------------------
+#
+# The audio counterpart of the BMP codec: 16-bit PCM RIFF/WAVE, the
+# simplest spec-complete audio container. encode_wav writes the
+# canonical 44-byte header + interleaved little-endian samples;
+# decode_wav walks the chunk list properly (fmt before data, unknown
+# chunks skipped with even padding per RIFF) rather than assuming the
+# 44-byte layout, and rejects non-PCM/non-16-bit files loudly.
+
+WAV_HEADER_BYTES = 44
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) int16 interleaved PCM → RIFF/WAVE bytes."""
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse 16-bit PCM WAV → (sample_rate, channels, n_samples,
+    (n, channels) int16 samples). Real chunk walk: tolerates extra
+    chunks (LIST/fact/...) before data, enforces RIFF even-padding."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE magic")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, csize = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+            break  # fmt is required to precede data per spec
+        pos += 8 + csize + (csize & 1)  # chunks pad to even length
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, ch, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16 or block_align != ch * 2:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(pcm, dtype="<i2")[: len(pcm) // (ch * 2) * ch]
+    return sample_rate, ch, len(samples) // ch, samples.reshape(-1, ch)
+
+
+def synth_samples(doc_id: int) -> tuple[np.ndarray, int]:
+    """Deterministic per-document PCM clip: length, channel count,
+    rate, and every sample are pure doc_id/i/c arithmetic (the WAV
+    analogue of synth_pixels)."""
+    n = doc_id % 256 + 16
+    ch = doc_id % 2 + 1
+    rate = 8000 + (doc_id % 4) * 4000
+    i, c = np.mgrid[0:n, 0:ch]
+    vals = (doc_id * 31 + i * 7 + c * 13) % 65536 - 32768
+    return vals.astype(np.int16), rate
+
+
+def pcm_checksum(samples: np.ndarray) -> int:
+    """Position-weighted checksum over unsigned sample values —
+    sensitive to channel deinterleave and sample-order mistakes."""
+    n, ch = samples.shape
+    i, c = np.mgrid[0:n, 0:ch]
+    v = (samples.astype(np.int64) + 32768) * (i * ch + c + 1)
+    return int(v.sum()) % CHECKSUM_MOD
+
+
+AUDIO_DECODE_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, n_samples int, "
+    "n_bytes int, pcm_checksum bigint"
+)
+
+
+def decode_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for mm_audio_decode_real: synthesize a valid
+    WAV per doc_id, REALLY parse it back (chunk walk + PCM reshape)
+    and report decoded metadata."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "sample_rate", "channels", "n_samples", "n_bytes", "pcm_checksum")}
+        for doc_id in pdf["doc_id"]:
+            samples, rate = synth_samples(int(doc_id))
+            data = encode_wav(samples, rate)
+            drate, dch, dn, decoded = decode_wav(data)
+            out["doc_id"].append(int(doc_id))
+            out["sample_rate"].append(drate)
+            out["channels"].append(dch)
+            out["n_samples"].append(dn)
+            out["n_bytes"].append(len(data))
+            out["pcm_checksum"].append(pcm_checksum(decoded))
+        yield pd.DataFrame(out)
+
+
 def decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (doc_id, content: bytes) → image metadata.
     One output row per input row, vectorized per Arrow batch; executors

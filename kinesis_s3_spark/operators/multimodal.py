@@ -12,8 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_s3_spark.multimodal.codecs import (
+    AUDIO_DECODE_SCHEMA,
     IMAGE_META_SCHEMA,
     REAL_DECODE_SCHEMA,
+    decode_audio_batches,
     decode_image_batches,
     decode_real_batches,
 )
@@ -114,6 +116,50 @@ def mm_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real corpus swaps synth+encode for the stored binary column."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id").mapInPandas(decode_real_batches, schema=REAL_DECODE_SCHEMA)
+
+
+@query(
+    "mm_audio_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 256 + 16 AS BIGINT) AS n,
+             CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+             CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate
+      FROM documents
+    ),
+    si AS (SELECT doc_id, n, ch, rate, unnest(range(0, n)) AS i FROM dims),
+    sic AS (SELECT doc_id, n, ch, i, unnest(range(0, ch)) AS c FROM si),
+    chk AS (
+      SELECT doc_id,
+             CAST(SUM(((doc_id*31 + i*7 + c*13) % 65536) * (i*ch + c + 1))
+                  % 2147483647 AS BIGINT) AS pcm_checksum
+      FROM sic GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           d.rate AS sample_rate,
+           CAST(d.ch AS INT) AS channels,
+           CAST(d.n AS INT) AS n_samples,
+           CAST(44 + d.n * d.ch * 2 AS INT) AS n_bytes,
+           k.pcm_checksum
+    FROM dims d JOIN chk k USING (doc_id)
+    """,
+)
+def mm_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no optional dependency — the WAV counterpart
+    of mm_image_decode_real: each doc_id gets a deterministic 16-bit
+    PCM RIFF/WAVE clip (length/channels/rate/samples all arithmetic),
+    encoded to spec and actually chunk-walked back inside Arrow-batched
+    mapInPandas (multimodal/codecs.py:encode_wav/decode_wav). The
+    oracle predicts the decoded rate/channels/sample-count/file-size/
+    PCM-checksum independently, so interleave, chunk-offset, or
+    endianness defects break the value hash.
+
+    Scale: decode parallelism = scan partitions, one Arrow batch
+    resident per task; a real corpus swaps synth+encode for the stored
+    binary column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(decode_audio_batches, schema=AUDIO_DECODE_SCHEMA)
 
 
 @query(

@@ -76,6 +76,48 @@ def test_bmp_rejects_unsupported():
         decode_bmp(bytes(bad_comp))
 
 
+def test_wav_roundtrip_mono_and_stereo():
+    from kinesis_s3_spark.multimodal.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2):
+        for n in (1, 17, 256):
+            samples = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+            data = encode_wav(samples, 44100)
+            assert len(data) == 44 + n * ch * 2
+            rate, dch, dn, out = decode_wav(data)
+            assert (rate, dch, dn) == (44100, ch, n)
+            assert np.array_equal(out, samples)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    """Real WAVs often carry LIST/fact chunks before data — the parser
+    must walk past them (with RIFF even-padding), not assume a 44-byte
+    layout."""
+    from kinesis_s3_spark.multimodal.codecs import decode_wav, encode_wav
+
+    samples = np.array([[100], [-200], [300]], dtype=np.int16)
+    data = encode_wav(samples, 8000)
+    # splice an odd-sized junk chunk between fmt and data
+    head, tail = data[:36], data[36:]
+    junk = struct.pack("<4sI", b"LIST", 5) + b"junk!" + b"\x00"  # padded to even
+    rate, ch, n, out = decode_wav(head + junk + tail)
+    assert (rate, ch, n) == (8000, 1, 3)
+    assert np.array_equal(out, samples)
+
+
+def test_wav_rejects_unsupported():
+    from kinesis_s3_spark.multimodal.codecs import decode_wav, encode_wav
+
+    data = bytearray(encode_wav(np.zeros((4, 1), dtype=np.int16), 8000))
+    with pytest.raises(ValueError, match="magic"):
+        decode_wav(b"OggS" + bytes(data[4:]))
+    bad_fmt = bytearray(data)
+    struct.pack_into("<H", bad_fmt, 20, 3)  # IEEE float format
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(bad_fmt))
+
+
 def test_checksum_is_order_sensitive():
     """The oracle-verified checksum must change under the decode
     defects it exists to catch (row flip, channel swap, transpose)."""
