@@ -61,6 +61,7 @@ _GATE_FIRST = [
     "dedup_embedding_lsh_strict",
     "mm_image_decode_real",
     "mm_audio_decode_real",
+    "curation_dedup_pipeline",
     "ann_ivf_kmeans_topk",
     "ann_recall_ivf_kmeans",
     "etl_bad_row_archive",

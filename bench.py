@@ -63,6 +63,7 @@ HEADLINE = [
     "text_unigram_surprisal",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_strict",
+    "curation_dedup_pipeline",
     "text_tfidf_topk",
     "emb_kmeans",
     "events_ewma",

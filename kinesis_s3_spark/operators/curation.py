@@ -669,3 +669,146 @@ def curation_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_tokens") <= F.col("budget")).alias("kept"),
         )
     )
+
+
+# --- the full curation pipeline in one DAG -----------------------------------
+
+PIPELINE_QUALITY_MIN = 0.81  # this corpus's quality band is 0.79-0.85
+
+
+@query(
+    "curation_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE
+    ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+    keepx AS (SELECT MIN(doc_id) AS doc_id FROM ex GROUP BY h),
+    surv1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keepx k USING (doc_id)),
+    ws AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS gs
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM surv1)
+    ),
+    sh AS (SELECT doc_id, unnest(gs) AS s FROM ws),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS m
+      FROM sh, (SELECT unnest(range(0, 12)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) AS ms FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, md5(ms[b*3+1] || ms[b*3+2] || ms[b*3+3]) AS bk
+      FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.d1, c.d2
+      FROM cand c JOIN ws g1 ON c.d1 = g1.doc_id JOIN ws g2 ON c.d2 = g2.doc_id
+      WHERE CAST(len(list_intersect(g1.gs, g2.gs)) AS DOUBLE) /
+            (len(g1.gs) + len(g2.gs) - len(list_intersect(g1.gs, g2.gs))) >= 0.7
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lab FROM surv1
+      UNION
+      SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    qs AS (
+      SELECT doc_id, length(text) AS n,
+             length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             ROUND(GREATEST(LEAST(
+               n_alpha / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)
+               - 0.5 * (n_punct / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+               - 0.3 * (n_digit / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+               - 0.2 * (n_upper / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+             , 1.0), 0.0), 6) AS quality
+      FROM qs
+    )
+    SELECT d.doc_id,
+           CASE WHEN k.doc_id IS NULL THEN 'exact_dup'
+                WHEN c.cluster_id != d.doc_id THEN 'near_dup'
+                WHEN q.quality < {PIPELINE_QUALITY_MIN} THEN 'low_quality'
+                ELSE 'kept' END AS fate,
+           (k.doc_id IS NOT NULL AND c.cluster_id = d.doc_id
+            AND q.quality >= {PIPELINE_QUALITY_MIN}) AS kept
+    FROM documents d
+    LEFT JOIN keepx k ON d.doc_id = k.doc_id
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    JOIN q ON d.doc_id = q.doc_id
+    """,
+)
+def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one DAG — the composition a real
+    training-data job runs, with every document labeled with its fate:
+
+    1. exact dedup (md5 hash-groupBy, keep min doc_id)   → 'exact_dup'
+    2. MinHash+LSH near-dup pairs over the survivors →
+       connected components, keep the component minimum  → 'near_dup'
+    3. quality gate (text_quality score < {threshold})   → 'low_quality'
+    4. everything else                                   → 'kept'
+
+    Built from the same reusable cores the standalone operators use
+    (dedup.minhash_pairs, dedup.resolve_labels, functions.text
+    .quality_signals), so the gate row checks the COMPOSITION —
+    stage ordering, survivor filtering, fate precedence — not new
+    machinery. The DuckDB oracle recomputes all four stages including
+    the recursive component resolution.
+
+    Scale: each stage is the standalone operator's plan (hash groupBy;
+    band equi-join over survivors only — already shrunk by stage 1;
+    label propagation over the small edge list; one quality scan).
+    Nothing quadratic, nothing driver-sized beyond the k-round loop."""
+    from kinesis_s3_spark.functions.text import quality_signals
+    from kinesis_s3_spark.operators.dedup import minhash_pairs, resolve_labels
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = docs.withColumn("h", F.md5("text"))
+    keep_exact = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    surv1 = (
+        hashed.join(keep_exact, "h")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text")
+        .cache()
+    )
+    pairs = minhash_pairs(surv1).select("d1", "d2").cache()
+    pairs.count()
+    labels = resolve_labels(surv1.select("doc_id"), pairs)
+
+    s = quality_signals(F.col("text"))
+    raw = (
+        s["alpha_ratio"]
+        - 0.5 * s["punct_ratio"]
+        - 0.3 * s["digit_ratio"]
+        - 0.2 * s["upper_ratio"]
+    )
+    quality = docs.select(
+        "doc_id",
+        F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6).alias("quality"),
+    )
+
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
+    marked = (
+        docs.select("doc_id")
+        .join(surv1.select("doc_id", F.lit(True).alias("x_surv")), "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .join(quality, "doc_id")
+    )
+    fate = (
+        F.when(F.col("x_surv").isNull(), F.lit("exact_dup"))
+        .when(F.col("cluster_id") != F.col("doc_id"), F.lit("near_dup"))
+        .when(F.col("quality") < PIPELINE_QUALITY_MIN, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return marked.select("doc_id", fate.alias("fate"), (fate == "kept").alias("kept"))

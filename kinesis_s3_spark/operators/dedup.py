@@ -183,7 +183,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs only. At 100 TB: same plan, plus a salt on
     monster buckets; bands/rows tune the recall/cost curve.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(d1, d2, jaccard) near-dup pairs over any (doc_id, text) frame —
+    the reusable core of dedup_minhash_lsh (curation_dedup_pipeline
+    runs it on the exact-dedup survivors)."""
     # one cached shingling feeds BOTH the signature pass and the
     # Jaccard verify (the band self-join would otherwise re-derive the
     # whole shingle DAG on each side)
@@ -455,11 +461,24 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the whole signature pipeline)
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").cache()
     pairs.count()
+    labels = resolve_labels(docs, pairs)
+    pairs.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("lab") == F.col("node")).alias("keep"),
+    )
+
+
+def resolve_labels(ids: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(node, lab) component minima over the pair edge list via
+    min-label propagation — the reusable core of dedup_cluster_resolve
+    (callers pass a materialized/cached ``pairs`` frame)."""
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).toDF("a", "b")
 
-    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
+    labels = ids.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
     cached = labels.cache()
     for it in range(_CLUSTER_MAX_ITERS):
         neighbor_min = (
@@ -489,12 +508,7 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("node", "lab")
         if changed == 0:
             break
-    pairs.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("lab").alias("cluster_id"),
-        (F.col("lab") == F.col("node")).alias("keep"),
-    )
+    return labels
 
 
 # --- embedding cosine ----------------------------------------------------------

@@ -134,3 +134,19 @@ def test_hash_split_proportions(spark):
     # re-run is bit-identical (the split depends only on doc_id)
     again = curation_hash_split(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_dedup_pipeline_all_fates_at_sf01(spark):
+    """At sf0.1 the corpus has byte-identical copies (8), near-dups,
+    and low-quality docs — every pipeline fate must appear, fates must
+    be exclusive, and kept must mirror fate == 'kept'."""
+    from kinesis_s3_spark.operators.curation import curation_dedup_pipeline
+
+    rows = curation_dedup_pipeline(spark, "/root/testdata/sf0.1").collect()
+    by_fate: dict[str, int] = {}
+    for r in rows:
+        by_fate[r["fate"]] = by_fate.get(r["fate"], 0) + 1
+        assert r["kept"] == (r["fate"] == "kept")
+    assert set(by_fate) == {"exact_dup", "near_dup", "low_quality", "kept"}, by_fate
+    assert by_fate["exact_dup"] == 8
+    assert len(rows) == sum(by_fate.values())
