@@ -32,6 +32,7 @@ ALLOW_NESTED_LOOP = {
     "ann_multi_query_topk",  # broadcast 5-row query side
     "ann_ivf_topk",  # broadcast 16-centroid side
     "ann_recall_ivf",
+    "ann_recall_ivf_kmeans",  # same brute-force truth side as ann_recall_ivf
     "ann_recall_lsh",
     "dedup_embedding_cosine",  # guarded sf-scale oracle anchor
     "dedup_recall_embedding_lsh",  # runs the guarded anchor as truth
