@@ -35,6 +35,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.chunking",
     "kinesis_s3_spark.operators.tpch_extra",
     "kinesis_s3_spark.operators.tpch_correlated",
+    "kinesis_s3_spark.operators.bpe",
     "kinesis_s3_spark.operators.misc",
     "kinesis_s3_spark.operators.urls",
     "kinesis_s3_spark.operators.approx",
@@ -62,6 +63,7 @@ _GATE_FIRST = [
     "mm_image_decode_real",
     "mm_audio_decode_real",
     "curation_dedup_pipeline",
+    "text_bpe_train",
     "ann_ivf_kmeans_topk",
     "ann_recall_ivf_kmeans",
     "etl_bad_row_archive",
