@@ -64,6 +64,7 @@ _GATE_FIRST = [
     "mm_audio_decode_real",
     "curation_dedup_pipeline",
     "text_bpe_train",
+    "text_bpe_tokenize",
     "ann_ivf_kmeans_topk",
     "ann_recall_ivf_kmeans",
     "etl_bad_row_archive",

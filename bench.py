@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_strict",
     "curation_dedup_pipeline",
+    "text_bpe_train",
+    "mm_audio_decode_real",
     "text_tfidf_topk",
     "emb_kmeans",
     "events_ewma",

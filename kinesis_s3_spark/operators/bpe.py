@@ -135,3 +135,62 @@ def train_bpe(docs: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]]
         cur = nxt
     cur.unpersist()
     return merges
+
+
+# --- apply the learned merges back to the corpus -----------------------------
+
+_BPE_TOKENIZE_SQL = (
+    _BPE_SQL.split("\n    SELECT 1 AS merge_rank")[0]
+    + r""",
+    docw AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents
+    ),
+    d0 AS (SELECT doc_id, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg
+           FROM docw WHERE word != ''),
+"""
+    + ",".join(
+        f"""
+    d{k} AS (
+      SELECT doc_id,
+             replace(seg, (SELECT l || ' ' || r FROM t{k}), (SELECT l || r FROM t{k})) AS seg
+      FROM d{k-1}
+    )"""
+        for k in range(1, N_MERGES + 1)
+    )
+    + f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(seg, ' '))) AS BIGINT) AS n_symbols
+    FROM d{N_MERGES} GROUP BY doc_id
+"""
+)
+
+
+@query("text_bpe_tokenize", oracle=_BPE_TOKENIZE_SQL)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → apply composition: learn the N_MERGES BPE merges, then
+    tokenize the SAME corpus with them — per document, the word count
+    and the post-merge symbol count (the 'how many tokens is my corpus
+    under this tokenizer' question every training-data budget starts
+    with). The oracle re-runs training AND the per-document replace
+    chain, so the gate checks the composition end-to-end.
+
+    Scale: training as text_bpe_train; application is a pure map stage
+    (the merge table arrives as expression literals — the k-means
+    centroid-literal pattern) + one groupBy(doc_id) count."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, N_MERGES)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    seg = F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    for _rank, left, right, _cnt in merges:
+        seg = F.replace(seg, F.lit(f"{left} {right}"), F.lit(left + right))
+    return words.select("doc_id", F.size(F.split(seg, " ")).alias("n_sym")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_sym").cast("long").alias("n_symbols"),
+    )
