@@ -57,3 +57,41 @@ def test_base_filename_shape(t, first, last):
     out = base_filename(t, str(first), str(last), output_directory="out//dir")
     assert re.search(rf"\d{{4}}-\d{{2}}-\d{{2}}-\d{{6}}-{first}-{last}$", out)
     assert "//" not in out
+
+
+# --- codec round-trip properties ---------------------------------------------
+
+import numpy as np
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    """decode(encode(px)) == px for ANY dims (every stride remainder)
+    and pixel content."""
+    from kinesis_s3_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dw, dh, dc, out = decode_bmp(encode_bmp(px))
+    assert (dw, dh, dc) == (w, h, 3)
+    assert np.array_equal(out, px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    ch=st.integers(min_value=1, max_value=2),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    from kinesis_s3_spark.multimodal.codecs import decode_wav, encode_wav
+
+    s = np.random.default_rng(seed).integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+    drate, dch, dn, out = decode_wav(encode_wav(s, rate))
+    assert (drate, dch, dn) == (rate, ch, n)
+    assert np.array_equal(out, s)
