@@ -36,6 +36,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.tpch_extra",
     "kinesis_s3_spark.operators.tpch_correlated",
     "kinesis_s3_spark.operators.bpe",
+    "kinesis_s3_spark.operators.sketches",
     "kinesis_s3_spark.operators.misc",
     "kinesis_s3_spark.operators.urls",
     "kinesis_s3_spark.operators.approx",
@@ -65,6 +66,8 @@ _GATE_FIRST = [
     "curation_dedup_pipeline",
     "text_bpe_train",
     "text_bpe_tokenize",
+    "sketch_countmin",
+    "sketch_countmin_estimate",
     "ann_ivf_kmeans_topk",
     "ann_recall_ivf_kmeans",
     "etl_bad_row_archive",

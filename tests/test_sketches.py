@@ -1,0 +1,45 @@
+"""Count-Min sketch invariants, beyond the oracle's cell-by-cell
+equality: conservation (every row sums to the total word count) and
+the one-sided error guarantee (estimate ≥ truth for EVERY word)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kinesis_s3_spark.operators.sketches import (
+    CMS_DEPTH,
+    _bucket,
+    _cms_matrix,
+    _word_stream,
+)
+from tests.conftest import SF_CORRECT
+
+
+def test_cms_rows_conserve_total(spark):
+    total = _word_stream(spark, SF_CORRECT).count()
+    rows = (
+        _cms_matrix(spark, SF_CORRECT)
+        .groupBy("d")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    )
+    assert len(rows) == CMS_DEPTH
+    assert all(r["s"] == total for r in rows), rows
+
+
+def test_cms_never_underestimates(spark):
+    """est(word) = min over rows of its cell ≥ true count, for every
+    distinct word in the corpus (the CMS guarantee)."""
+    words = _word_stream(spark, SF_CORRECT)
+    truth = words.groupBy("word").agg(F.count("*").alias("true_cnt"))
+    cms = _cms_matrix(spark, SF_CORRECT)
+    probes = truth.select(
+        "word", "true_cnt", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    ).withColumn("bucket", _bucket(F.col("d"), F.col("word")))
+    est = (
+        probes.join(cms, ["d", "bucket"])
+        .groupBy("word", "true_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    bad = est.filter(F.col("est") < F.col("true_cnt")).count()
+    assert bad == 0
