@@ -58,6 +58,14 @@ for _m in _OPTIONAL_MODULES:
 #     2 approx rows-only queries) — this rotation completes the full
 #     registry's driver-side correctness record,
 # (3) everything else (green gate history in r1/r2/r3) last.
+#
+# This list holds 51 entries for a ~50-slot window: if the driver cuts
+# at exactly 50, the one spill is approx_percentile_price (LAST below)
+# — deliberately the weakest loss, since its check is rows-only (no
+# oracle possible for engine-specific quantile sketches) and its
+# sibling approx_distinct_users still gets its first driver row.
+# etl_enriched_parse stays in despite an r1 row because round 3
+# widened it to 29 columns (the r1 row covers the narrow version).
 _GATE_FIRST = [
     # -- (1) new in round 4 --
     "dedup_embedding_lsh_strict",
