@@ -159,3 +159,55 @@ def test_q21_semi_anti_no_cartesian(spark):
 def test_q2_q20_correlated_no_cartesian(spark):
     for name in ("q2_min_cost_supplier", "q20_part_promotion", "q11_important_parts"):
         assert_no_cartesian(Q[name](spark, SF_SMOKE))
+
+
+# --- round-4 operator plan contracts -----------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_embedding_lsh_strict",  # exact-bucket equi-join, no probe arm
+        "ann_ivf_kmeans_topk",  # candidate lists from centroid-id equi-join
+        "curation_dedup_pipeline",  # composed stages stay equi-join-only
+        "sketch_countmin",
+        "sketch_countmin_estimate",
+    ],
+)
+def test_r4_ops_avoid_cartesian(spark, name):
+    assert_no_cartesian(Q[name](spark, SF_SMOKE))
+
+
+def test_real_codecs_are_arrow_batched(spark):
+    """Both real decode paths run as MapInPandas (Arrow), never
+    row-at-a-time Python."""
+    for name in ("mm_image_decode_real", "mm_audio_decode_real"):
+        plan = explain_str(Q[name](spark, SF_SMOKE))
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_cms_single_shuffle(spark):
+    """The sketch is one explode + one aggregate: exactly one exchange
+    (the d x w partial merge), nothing data-sized."""
+    plan = explain_str(Q["sketch_countmin"](spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 2, plan  # final agg + AQE read
+
+
+def test_bad_row_archive_scan_is_text_with_partition_column(spark):
+    """read_bad_archive recovers batch_id as a partition column (so a
+    batch_id predicate prunes directories)."""
+    from kinesis_s3_spark.sources.archive import read_bad_archive
+    from kinesis_s3_spark.sinks.badrows_sink import FileBadRowSink
+
+    import pyspark.sql.functions as F
+
+    sink_df = spark.createDataFrame([('{"schema":"x","data":{"payload":"aGk="}}',)], "value string")
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="plan_bad_")
+    FileBadRowSink(path=out).store_batch(sink_df, batch_id=5)
+    FileBadRowSink(path=out).store_batch(sink_df, batch_id=6)
+    df = read_bad_archive(spark, out).filter(F.col("batch_id") == 5)
+    assert df.count() == 1
+    assert "batch_id" in explain_str(df)
