@@ -132,3 +132,74 @@ def sketch_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cnt").alias("cms_est"),
         (F.min("cnt") - F.col("true_cnt")).alias("overestimate"),
     )
+
+
+# --- Bloom-filter contamination screen ---------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+EVAL_MOD = 10  # eval set = doc_id % 10 == 0 (the held-out benchmark)
+
+
+def _bloom_bit(j, fp) -> F.Column:
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", j.cast("string"), fp)), 1, 15), 16, 10)
+    return (h.cast("long") % BLOOM_BITS).cast("int")
+
+
+@query(
+    "sketch_bloom_contamination",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    eval_bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || f), 1, 15))::BIGINT
+               % {BLOOM_BITS} AS bit
+      FROM fp, (SELECT unnest(range(0, {BLOOM_K})) AS j)
+      WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    probes AS (
+      SELECT p.doc_id, p.doc_id % {EVAL_MOD} = 0 AS in_eval,
+             ('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || p.f), 1, 15))::BIGINT
+               % {BLOOM_BITS} AS bit
+      FROM fp p, (SELECT unnest(range(0, {BLOOM_K})) AS j) j
+    )
+    SELECT p.doc_id, p.in_eval,
+           (COUNT(e.bit) = {BLOOM_K}) AS flagged
+    FROM probes p LEFT JOIN eval_bits e ON p.bit = e.bit
+    GROUP BY p.doc_id, p.in_eval
+    """,
+)
+def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen via a Bloom filter — the
+    sketch-based sibling of dedup_contamination: build an md5-seeded
+    Bloom filter (m={BLOOM_BITS} bits, k={BLOOM_K} hashes) over the
+    held-out eval set's content fingerprints, probe EVERY corpus doc,
+    and flag possible members. Bloom guarantees no false negatives
+    (every true eval doc flags — gated in-test); false positives are
+    the m/k-bounded price. Deterministic md5 bit positions mean the
+    DuckDB oracle rebuilds the identical filter, so the gate checks
+    build + probe bit-for-bit.
+
+    Scale: the filter is ≤ k·|eval| distinct bit rows (broadcast-
+    sized); probing is an equi-join of (doc, bit) rows against it —
+    the corpus never shuffles. A real deployment ships the bitset as
+    a broadcast variable; the declarative join form here lets AQE pick
+    that automatically."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("f"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    eval_bits = (
+        fp.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(js, "f")
+        .select(_bloom_bit(F.col("j"), F.col("f")).alias("bit"))
+        .distinct()
+    )
+    probes = fp.select(
+        "doc_id", (F.col("doc_id") % EVAL_MOD == 0).alias("in_eval"), js, "f"
+    ).select("doc_id", "in_eval", _bloom_bit(F.col("j"), F.col("f")).alias("bit"))
+    joined = probes.join(
+        F.broadcast(eval_bits.withColumn("hit", F.lit(1))), "bit", "left"
+    )
+    return joined.groupBy("doc_id", "in_eval").agg(
+        (F.count("hit") == BLOOM_K).alias("flagged")
+    )

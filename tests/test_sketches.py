@@ -43,3 +43,17 @@ def test_cms_never_underestimates(spark):
     )
     bad = est.filter(F.col("est") < F.col("true_cnt")).count()
     assert bad == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true eval-set doc must flag (the Bloom guarantee); the
+    false-positive rate among non-eval docs stays under the m/k bound
+    with slack."""
+    from kinesis_s3_spark.operators.sketches import sketch_bloom_contamination
+
+    rows = sketch_bloom_contamination(spark, SF_CORRECT).collect()
+    eval_rows = [r for r in rows if r["in_eval"]]
+    assert eval_rows and all(r["flagged"] for r in eval_rows)
+    others = [r for r in rows if not r["in_eval"]]
+    fp_rate = sum(r["flagged"] for r in others) / len(others)
+    assert fp_rate < 0.1, fp_rate
