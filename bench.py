@@ -66,6 +66,7 @@ HEADLINE = [
     "curation_dedup_pipeline",
     "text_bpe_train",
     "mm_audio_decode_real",
+    "sketch_countmin",
     "text_tfidf_topk",
     "emb_kmeans",
     "events_ewma",
