@@ -125,12 +125,19 @@ def loader_throughput(spark, sf_dir: str) -> dict[str, float]:
         for _ in range(9):
             batch = batch.unionByName(one)
         n_bytes = batch.agg(F.sum(F.length("value"))).collect()[0][0]
-        t0 = time.time()
-        meta = emit(batch, batch_id=0, cfg=cfg)
-        dt = time.time() - t0
+        # median of 3 emits — the same sandbox-noise protocol as the
+        # query timings (single-shot loader numbers swung 203k-288k
+        # rows/s run to run)
+        rates = []
+        for i in range(3):
+            t0 = time.time()
+            meta = emit(batch, batch_id=i, cfg=cfg)
+            dt = time.time() - t0
+            rates.append((meta.count / dt, n_bytes / 1e6 / dt))
+        rates.sort()
         return {
-            "rows_per_sec": round(meta.count / dt),
-            "payload_mb_per_sec": round(n_bytes / 1e6 / dt, 1),
+            "rows_per_sec": round(rates[1][0]),
+            "payload_mb_per_sec": round(rates[1][1], 1),
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
