@@ -57,3 +57,55 @@ def test_bloom_no_false_negatives(spark):
     others = [r for r in rows if not r["in_eval"]]
     fp_rate = sum(r["flagged"] for r in others) / len(others)
     assert fp_rate < 0.1, fp_rate
+
+
+def test_cms_streaming_twin_matches_batch(spark, tmp_path):
+    """The sketch is one groupBy — so Structured Streaming maintains it
+    incrementally (complete mode) and the result after N micro-batches
+    must equal the batch matrix over the same data: sketches merge by
+    addition, the 100 TB streaming-ingest story."""
+    import pyspark.sql.functions as F
+
+    from kinesis_s3_spark.operators.sketches import CMS_DEPTH, _bucket
+
+    inp = str(tmp_path / "docs")
+    chunks = (
+        [("alpha beta beta",), ("gamma alpha",)],
+        [("beta gamma gamma delta",)],
+    )
+    for rows in chunks:
+        spark.createDataFrame(rows, "text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def matrix(df):
+        words = df.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        ).filter(F.col("word") != "")
+        cells = words.select(
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"), "word"
+        ).select("d", _bucket(F.col("d"), F.col("word")).alias("bucket"))
+        return cells.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+
+    static = spark.read.parquet(inp)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(inp)
+    q = (
+        matrix(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in spark.sql("select * from cms_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {(r["d"], r["bucket"]): r["cnt"] for r in matrix(static).collect()}
+    assert got == want
