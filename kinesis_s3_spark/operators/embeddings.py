@@ -297,3 +297,113 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km_assign(vv, cents, with_dist=True).select(
         "vec_id", F.col("cid").alias("cluster"), "dist"
     )
+
+
+# --- top principal direction (power iteration) -------------------------------
+
+POWER_ITERS = 2
+
+
+def _seed_component_sql(k: str) -> str:
+    return (
+        f"(((('0x' || substr(md5('p' || CAST({k} AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000)"
+        " / 1000.0)"
+    )
+
+
+def _power_seed() -> list[float]:
+    """md5-seeded start vector (the 'p' domain — distinct from the ANN
+    plane and twin streams)."""
+    import hashlib
+
+    out = []
+    for k in range(64):
+        h = int(hashlib.md5(f"p{k}".encode()).hexdigest()[:15], 16)
+        out.append(((h % 2001) - 1000) / 1000.0)
+    return out
+
+
+# one power round in SQL: w = Xᵀ(X·v) with decimal row-sums, then
+# normalize — w_j and the norm both rounded to 6 dp so the next round's
+# vector is bit-identical across engines (the emb_kmeans rounding rule)
+_POWER_ROUND_SQL = """
+    s{k} AS (SELECT vec_id, e, list_dot_product(e, {v}) AS s FROM vv),
+    w{k} AS (
+      SELECT pos, ROUND(CAST(SUM(CAST(x * s AS DECIMAL(38,12))) AS DOUBLE), 6) AS w
+      FROM (
+        SELECT s, generate_subscripts(e, 1) - 1 AS pos, unnest(e) AS x FROM s{k}
+      ) GROUP BY pos
+    ),
+    n{k} AS (
+      SELECT ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)), 6) AS nrm
+      FROM w{k}
+    ),
+    v{k} AS (SELECT list(ROUND(w / (SELECT nrm FROM n{k}), 6) ORDER BY pos) AS v FROM w{k})
+"""
+
+_POWER_SQL = (
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vv AS (SELECT vec_id, e FROM v),
+    v0 AS (SELECT [{_seed_component_sql('k')} for k in range(0, 64)] AS v),
+    """
+    + ",".join(
+        _POWER_ROUND_SQL.format(k=k, v=f"(SELECT v FROM v{k-1})")
+        for k in range(1, POWER_ITERS + 1)
+    )
+    + f"""
+    SELECT pos, ROUND(w / (SELECT nrm FROM n{POWER_ITERS}), 6) AS component
+    FROM w{POWER_ITERS}
+"""
+)
+
+
+@query("emb_power_iteration", oracle=_POWER_SQL)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    power iteration — the PCA/whitening step of an embedding pipeline,
+    and the fourth iterative algorithm in the engine (k-means, label
+    propagation, BPE merges, now an eigenvector).
+
+    Spark-first: the covariance matrix is NEVER materialized — each
+    round is w = Xᵀ(X·v) as two fused passes over one cached scan:
+    s = x·v per row (left-to-right fold, the cosine_sim order), then
+    posexplode → groupBy(pos) decimal sums (64 cells through the
+    shuffle, map-side combined). The per-round vector is a broadcast
+    literal, like the k-means centroids; w and the L2 norm round to
+    6 dp so the DuckDB oracle unrolls both rounds bit-exactly.
+
+    Scale: per round one scan + a 64-cell shuffle; rounds are the
+    convergence budget. 100 TB: identical plan."""
+    vv = kmeans_vv(spark, sf_dir)
+    vec = _power_seed()
+    norm = None
+    for _ in range(POWER_ITERS):
+        vlit = F.array(*[F.lit(float(x)) for x in vec])
+        s = vv.select("vec_id", "e", _dot(F.col("e"), vlit).alias("s"))
+        w = (
+            s.select("s", F.posexplode("e").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                F.round(
+                    F.sum((F.col("x") * F.col("s")).cast(_DEC)).cast("double"), 6
+                ).alias("w")
+            )
+        )
+        rows = w.collect()
+        nrow = (
+            w.agg(
+                F.round(
+                    F.sqrt(F.sum((F.col("w") * F.col("w")).cast(_DEC)).cast("double")), 6
+                ).alias("nrm")
+            ).collect()[0]
+        )
+        norm = float(nrow["nrm"])
+        by_pos = {int(r["pos"]): float(r["w"]) for r in rows}
+        # next vector = round(w / norm, 6), computed engine-side for the
+        # final output; the float division here reproduces the same
+        # IEEE double op the oracle's ROUND(w/nrm, 6) performs
+        vec = [round(by_pos[p] / norm, 6) for p in sorted(by_pos)]
+    return spark.createDataFrame(
+        [(p, v) for p, v in enumerate(vec)], "pos int, component double"
+    )

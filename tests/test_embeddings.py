@@ -66,3 +66,33 @@ def test_kmeans_iterations_reduce_inertia(spark):
         r["dist"] for r in E._km_assign(vv, seeds, with_dist=True).collect()
     )
     assert final <= seed_total + 1e-3, (final, seed_total)
+
+
+def test_power_iteration_matches_numpy(spark):
+    """The engine's 2-round power iterate must match an independent
+    NumPy implementation of the same algorithm (same seed, same
+    per-round 6-dp rounding) to 1e-4 per component, and be unit-norm."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesis_s3_spark.operators.embeddings import (
+        POWER_ITERS,
+        _power_seed,
+        emb_power_iteration,
+    )
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r["pos"]: r["component"]
+        for r in emb_power_iteration(spark, SF_CORRECT).collect()
+    }
+    X = np.stack(
+        pd.read_parquet(f"{SF_CORRECT}/embeddings.parquet")["embedding"].to_numpy()
+    ).astype(np.float64)
+    v = np.array(_power_seed())
+    for _ in range(POWER_ITERS):
+        w = np.round(X.T @ (X @ v), 6)
+        v = np.round(w / np.round(np.sqrt((w * w).sum()), 6), 6)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-4
+    for p, comp in got.items():
+        assert abs(comp - v[p]) < 1e-4, (p, comp, v[p])
