@@ -66,8 +66,9 @@ for _m in _OPTIONAL_MODULES:
 # sibling approx_distinct_users still gets its first driver row.
 # etl_enriched_parse stays in despite an r1 row because round 3
 # widened it to 29 columns (the r1 row covers the narrow version).
-# Round-5 rotation TODO: promote sketch_bloom_contamination (added
-# late r4, below the line) and approx_percentile_price first.
+# Round-5 rotation TODO: promote sketch_bloom_contamination and
+# emb_power_iteration (added late r4, below the line) and
+# approx_percentile_price first.
 _GATE_FIRST = [
     # -- (1) new in round 4 --
     "dedup_embedding_lsh_strict",
