@@ -27,6 +27,13 @@ from kinesis_s3_spark.streaming.monitoring import (
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="kinesis-s3-spark")
     parser.add_argument("--config", required=True, help="path to JSON config")
+    parser.add_argument(
+        "--dedupe-watermark",
+        default=None,
+        metavar="DELAY",
+        help="drop duplicate payloads seen within this event-time window "
+        '(e.g. "1 hour") via checkpointed streaming state; off by default',
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -45,7 +52,9 @@ def main(argv: list[str] | None = None) -> int:
         statsd.report(meta)
 
     try:
-        query = run_loader(spark, cfg, on_flush=on_flush)
+        query = run_loader(
+            spark, cfg, on_flush=on_flush, dedupe_watermark=args.dedupe_watermark
+        )
         query.awaitTermination()
     except Exception as e:  # noqa: BLE001 — top-level crash reporting (O20)
         capture_error(e)

@@ -106,3 +106,16 @@ def test_load_file(tmp_path):
 
     with pytest.raises(ConfigError, match="does not exist"):
         load(tmp_path / "missing.json")
+
+
+def test_cli_bad_config_exits_1(tmp_path, capsys):
+    """python -m kinesis_s3_spark with a broken config must print a
+    human-readable error and return 1 (Main.scala:39-45 behavior),
+    never start a session."""
+    from kinesis_s3_spark.__main__ import main
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"purpose": "NOT_A_PURPOSE"}')
+    rc = main(["--config", str(bad)])
+    assert rc == 1
+    assert "configuration error" in capsys.readouterr().err
