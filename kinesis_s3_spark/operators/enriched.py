@@ -39,6 +39,10 @@ _FIELD_EXPRS: dict[str, str] = {
     "doc_width": "cast(user_id % 1920 as string)",
     "se_value": "cast(value as string)",
     "geo_latitude": "cast(value as string)",
+    # 0 - value (not unary minus) so value == 0.0 yields +0.0 on BOTH
+    # engines: the oracle mirrors the same expression shape — unary
+    # negation of +0.0 is IEEE -0.0 and the bit-exact compare catches
+    # the sign (6 rows at sf0.1 where value == 0.0)
     "geo_longitude": "cast(0 - value as string)",
     "tr_total": "cast(user_id * 1.5 as string)",
     "br_features_pdf": "cast(event_id % 2 as string)",
@@ -78,7 +82,7 @@ def synthesize_enriched_line() -> F.Column:
            CAST(user_id % 1920 AS INT) AS doc_width,
            value AS se_value,
            value AS geo_latitude,
-           -value AS geo_longitude,
+           0 - value AS geo_longitude,
            CAST(user_id AS DOUBLE) * 1.5 AS tr_total,
            (event_id % 2 = 1) AS br_features_pdf,
            (event_id % 3 = 0) AS br_features_java,
