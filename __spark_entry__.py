@@ -52,25 +52,32 @@ for _m in _OPTIONAL_MODULES:
 
 # The driver's correctness gate historically checks the FIRST ~50
 # registry entries, so gate slots are scarce. Priority order:
-# (1) queries added or semantically changed this round (round 4),
-# (2) queries that have never had a driver-gate row in ANY
-#     CORRECTNESS_r0*.json (39 as of round 3: 37 oracle-paired + the
-#     2 approx rows-only queries) — this rotation completes the full
-#     registry's driver-side correctness record,
-# (3) everything else (green gate history in r1/r2/r3) last.
-#
-# This list holds 51 entries for a ~50-slot window: if the driver cuts
-# at exactly 50, the one spill is approx_percentile_price (LAST below)
-# — deliberately the weakest loss, since its check is rows-only (no
-# oracle possible for engine-specific quantile sketches) and its
-# sibling approx_distinct_users still gets its first driver row.
-# etl_enriched_parse stays in despite an r1 row because round 3
-# widened it to 29 columns (the r1 row covers the narrow version).
-# Round-5 rotation TODO: promote sketch_bloom_contamination and
-# emb_power_iteration (added late r4, below the line) and
-# approx_percentile_price first.
+# (1) the last 3 registry queries that have NEVER had a driver-gate
+#     row in any CORRECTNESS_r0*.json (emb_power_iteration and
+#     sketch_bloom_contamination were added late r4 below the 50-slot
+#     line; approx_percentile_price was the deliberate r4 spill) —
+#     gating these completes the full registry's driver-side
+#     correctness record,
+# (2) queries added or semantically CHANGED in round 5
+#     (emb_power_iteration also changed r5: engine-side F.round
+#     normalization; approx_distinct_users changed r5: now carries a
+#     real error-bound oracle instead of no_oracle),
+# (3) a round-4 re-confirmation band, then everything else (green
+#     gate history in r1–r4) last.
 _GATE_FIRST = [
-    # -- (1) new in round 4 --
+    # -- (1) never driver-gated through round 4 --
+    "emb_power_iteration",
+    "sketch_bloom_contamination",
+    "approx_percentile_price",
+    # -- (2) new or semantically changed in round 5 --
+    "text_bpe_train_k64",
+    "text_bpe_train_batched",
+    "mm_image_decode_file",
+    "mm_audio_decode_file",
+    "mm_binary_files_meta",
+    "approx_distinct_users",
+    "etl_bad_row_archive",
+    # -- (3) round-4 band, then older greens --
     "dedup_embedding_lsh_strict",
     "mm_image_decode_real",
     "mm_audio_decode_real",
@@ -81,8 +88,6 @@ _GATE_FIRST = [
     "sketch_countmin_estimate",
     "ann_ivf_kmeans_topk",
     "ann_recall_ivf_kmeans",
-    "etl_bad_row_archive",
-    # -- (2) never driver-gated through round 3 --
     "etl_buffer_flush_bytes",
     "etl_enriched_parse",
     "fn_map_suite",
@@ -114,15 +119,6 @@ _GATE_FIRST = [
     "q17_small_quantity",
     "q18_large_orders",
     "q22_global_balance",
-    "window_distribution",
-    "window_range_frame",
-    "setop_intersect_all",
-    "fn_regex_suite",
-    "fn_url_suite",
-    "etl_bad_row_roundtrip",
-    "reshape_unpivot",
-    "approx_distinct_users",
-    "approx_percentile_price",
 ]
 
 

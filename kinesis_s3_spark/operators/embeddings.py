@@ -390,7 +390,7 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("w")
             )
         )
-        rows = w.collect()
+        w = w.cache()
         nrow = (
             w.agg(
                 F.round(
@@ -399,11 +399,16 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0]
         )
         norm = float(nrow["nrm"])
-        by_pos = {int(r["pos"]): float(r["w"]) for r in rows}
-        # next vector = round(w / norm, 6), computed engine-side for the
-        # final output; the float division here reproduces the same
-        # IEEE double op the oracle's ROUND(w/nrm, 6) performs
-        vec = [round(by_pos[p] / norm, 6) for p in sorted(by_pos)]
+        # next vector = ROUND(w / nrm, 6) computed ENGINE-side (F.round,
+        # HALF_UP) so the only two rounding implementations in play are
+        # the gated pair (Spark F.round / DuckDB ROUND) — no Python
+        # banker's round() as a third divergence point. w is cached, so
+        # this second action rescans 64 cached rows, not the corpus.
+        rows = w.select(
+            "pos", F.round(F.col("w") / F.lit(norm), 6).alias("c")
+        ).collect()
+        w.unpersist()
+        vec = [float(r["c"]) for r in sorted(rows, key=lambda r: int(r["pos"]))]
     return spark.createDataFrame(
         [(p, v) for p, v in enumerate(vec)], "pos int, component double"
     )

@@ -340,8 +340,10 @@ def etl_bad_row_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tree back with sources/archive.py:read_bad_archive, and emerge
     with the typed columns — every payload byte-identical to the
     original (the oracle reads the originals straight from events).
-    Output dir is fixed per sf and overwritten each run, so the query
-    is deterministic and idempotent.
+    Output dir is keyed by the Spark applicationId so concurrent
+    sessions (gate + bench in parallel) never race on the same tree;
+    within a session the dir is overwritten each run, so the query is
+    deterministic and idempotent.
 
     Scale: the write is the bad sink's own path; the read is a
     parallel file scan with from_json/unbase64 in-scan. Nothing
@@ -363,6 +365,7 @@ def etl_bad_row_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(),
         "kinesis_s3_spark_bad_archive",
+        spark.sparkContext.applicationId,
         os.path.basename(sf_dir.rstrip("/")),
     )
     FileBadRowSink(path=out).store_batch(bad, batch_id=0)

@@ -33,7 +33,18 @@ def with_incremental_dedup(stream: DataFrame, watermark_delay: str = "1 hour") -
     collector_tstamp when it parses (enriched TSV, reference O7),
     else the batch's processing time — so both enriched and raw/JSON
     loader purposes dedup without schema knowledge."""
-    keyed = stream.withColumn("_dedup_hash", F.sha2(F.col("value").cast("binary"), 256)).withColumn(
+    # sha2(NULL) is NULL, and dropDuplicatesWithinWatermark treats NULL
+    # keys as equal — which would silently swallow every corrupt/NULL
+    # payload after the first before it reaches the bad-row path in
+    # emit(). Give each NULL payload a unique sentinel key instead so
+    # dedup never drops it.
+    keyed = stream.withColumn(
+        "_dedup_hash",
+        F.coalesce(
+            F.sha2(F.col("value").cast("binary"), 256),
+            F.concat(F.lit("null-payload#"), F.expr("uuid()")),
+        ),
+    ).withColumn(
         "_dedup_ts",
         F.coalesce(collector_tstamp_col(F.col("value")), F.current_timestamp()),
     )

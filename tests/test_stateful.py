@@ -107,6 +107,33 @@ def test_stream_incremental_dedup_checkpoint_resume(spark, tmp_path):
     assert sorted(lines) == ["a", "b", "c"]
 
 
+def test_stream_dedup_null_payloads_not_swallowed(spark, tmp_path):
+    """sha2(NULL) is NULL and dropDuplicatesWithinWatermark treats NULL
+    keys as equal — without the sentinel key, the second and every
+    later corrupt/NULL payload would be silently dropped before it
+    could reach the bad-row path. Each NULL must survive dedup."""
+    from kinesis_s3_spark.streaming.dedup import with_incremental_dedup
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("x",), (None,), (None,), ("x",)], "value string"
+    ).coalesce(1).write.parquet(inp)
+
+    stream = spark.readStream.schema("value string").parquet(inp)
+    deduped = with_incremental_dedup(stream, "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("null_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    vals = [r["value"] for r in spark.sql("SELECT value FROM null_dedup_out").collect()]
+    assert sorted(vals, key=lambda v: (v is None, v)) == ["x", None, None]
+
+
 def test_stateful_ewma_matches_batch_fold(spark, tmp_path):
     """Streaming EWMA must equal the driver-side fold over the same
     ordered history — including across micro-batches AND query
