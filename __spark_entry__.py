@@ -71,7 +71,8 @@ _GATE_FIRST = [
     "approx_percentile_price",
     # -- (2) new or semantically changed in round 5 --
     "text_bpe_train_k64",
-    "text_bpe_train_batched",
+    "text_bpe_train",
+    "text_bpe_tokenize",
     "mm_image_decode_file",
     "mm_audio_decode_file",
     "mm_binary_files_meta",
@@ -82,8 +83,6 @@ _GATE_FIRST = [
     "mm_image_decode_real",
     "mm_audio_decode_real",
     "curation_dedup_pipeline",
-    "text_bpe_train",
-    "text_bpe_tokenize",
     "sketch_countmin",
     "sketch_countmin_estimate",
     "ann_ivf_kmeans_topk",

@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_embedding_lsh_strict",
     "curation_dedup_pipeline",
     "text_bpe_train",
+    "text_bpe_train_k64",
     "mm_audio_decode_real",
     "sketch_countmin",
     "text_tfidf_topk",

@@ -1,10 +1,11 @@
 """BPE merge training: hand-verifiable semantics on a tiny corpus —
-pair counting weighted by word frequency, deterministic tie-break, and
-GREEDY left-to-right non-overlapping merging."""
+pair counting weighted by word frequency, deterministic tie-break,
+GREEDY left-to-right non-overlapping merging, and the batched
+symbol-disjoint selection rule."""
 
 from __future__ import annotations
 
-from kinesis_s3_spark.operators.bpe import train_bpe
+from kinesis_s3_spark.operators.bpe import train_bpe, train_bpe_batched
 
 
 def test_bpe_hand_corpus(spark):
@@ -26,6 +27,38 @@ def test_bpe_greedy_nonoverlap(spark):
     merges = train_bpe(docs, 2)
     assert merges[0] == (1, "a", "a", 2)
     assert merges[1] == (2, "aa", "a", 1)
+
+
+def test_bpe_batched_disjoint_selection(spark):
+    # word freqs: cat x5, car x3, ate x2 → round-1 pairs ranked
+    # (c,a)=8, (a,t)=7, (a,r)=3, (t,e)=2. Greedy disjoint accept with
+    # cap=2: (c,a) accepted; (a,t) and (a,r) rejected ('a' used);
+    # (t,e) accepted. Round 2 over "ca t"x5, "ca r"x3, "a te"x2:
+    # (ca,t)=5 accepted; (ca,r) rejected; (a,te)=2 accepted.
+    docs = spark.createDataFrame([("cat cat cat car ate",), ("cat cat car car ate",)], "text string")
+    merges = train_bpe_batched(docs, n_rounds=2, accept_cap=2, window=4)
+    assert merges == [
+        (1, "c", "a", 8),
+        (2, "t", "e", 2),
+        (3, "ca", "t", 5),
+        (4, "a", "te", 2),
+    ]
+
+
+def test_bpe_batched_cap1_reduces_to_sequential(spark):
+    # Same corpus, accept_cap=1: classic sequential BPE picks (c,a)
+    # then re-counts and picks (ca,t)=5 — NOT (t,e), the batch's
+    # second accept. This is exactly the documented batch-BPE
+    # divergence, and cap=1 must land on the sequential answer.
+    docs = spark.createDataFrame([("cat cat cat car ate",), ("cat cat car car ate",)], "text string")
+    assert train_bpe(docs, 2) == [(1, "c", "a", 8), (2, "ca", "t", 5)]
+
+
+def test_bpe_batched_stops_when_no_pairs_left(spark):
+    # single-symbol words after one merge → later rounds learn nothing
+    docs = spark.createDataFrame([("ab ab",)], "text string")
+    merges = train_bpe_batched(docs, n_rounds=5, accept_cap=4, window=8)
+    assert merges == [(1, "a", "b", 2)]
 
 
 def test_bpe_tiebreak_lexicographic(spark):
