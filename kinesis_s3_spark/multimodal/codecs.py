@@ -270,6 +270,42 @@ def decode_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame(out)
 
 
+def decode_stored_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for mm_image_decode_file: parse STORED BMP
+    bytes (a binary column that came from binaryFile or parquet — no
+    in-UDF synthesis) and report decoded metadata. The production
+    decode path: what reaches this UDF is whatever storage held."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "channels", "n_bytes", "pix_checksum")}
+        for doc_id, data in zip(pdf["doc_id"], pdf["content"]):
+            data = bytes(data)
+            w, h, c, pixels = decode_bmp(data)
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(c)
+            out["n_bytes"].append(len(data))
+            out["pix_checksum"].append(pixel_checksum(pixels))
+        yield pd.DataFrame(out)
+
+
+def decode_stored_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for mm_audio_decode_file: chunk-walk STORED
+    WAV bytes from a binary column and report decoded metadata."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "sample_rate", "channels", "n_samples", "n_bytes", "pcm_checksum")}
+        for doc_id, data in zip(pdf["doc_id"], pdf["content"]):
+            data = bytes(data)
+            rate, ch, n, samples = decode_wav(data)
+            out["doc_id"].append(int(doc_id))
+            out["sample_rate"].append(rate)
+            out["channels"].append(ch)
+            out["n_samples"].append(n)
+            out["n_bytes"].append(len(data))
+            out["pcm_checksum"].append(pcm_checksum(samples))
+        yield pd.DataFrame(out)
+
+
 def decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (doc_id, content: bytes) → image metadata.
     One output row per input row, vectorized per Arrow batch; executors

@@ -126,3 +126,97 @@ def test_checksum_is_order_sensitive():
     assert pixel_checksum(px[::-1]) != base  # row-order flip
     assert pixel_checksum(px[:, :, ::-1]) != base  # RGB<->BGR
     assert pixel_checksum(np.ascontiguousarray(px.transpose(1, 0, 2))) != base
+
+
+# --- binary ingestion edge (sources/binary.py) -------------------------------
+
+
+def test_binary_files_roundtrip_and_idempotent_fixture(spark, tmp_path, monkeypatch):
+    """foreachPartition fixture write → binaryFile scan → stored-bytes
+    decode recovers exactly what encode_bmp wrote; a second call reuses
+    the marker-guarded fixture instead of rewriting."""
+    import os
+
+    from kinesis_s3_spark.multimodal import codecs
+    from kinesis_s3_spark.sources import binary as binmod
+
+    monkeypatch.setattr(
+        binmod.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    path = binmod.write_image_fixture_files(spark, sf_dir)
+    marker = os.path.join(path, binmod.FIXTURE_MARKER)
+    mtime = os.path.getmtime(marker)
+    assert binmod.write_image_fixture_files(spark, sf_dir) == path
+    assert os.path.getmtime(marker) == mtime  # not rewritten
+
+    files = binmod.with_doc_id_from_filename(
+        binmod.read_binary_files(spark, path, glob="*.bmp")
+    )
+    row = files.filter("doc_id = 7").select("content").collect()[0]
+    w, h, c, pixels = codecs.decode_bmp(bytes(row["content"]))
+    expect = codecs.synth_pixels(7)
+    assert (w, h, c) == (expect.shape[1], expect.shape[0], 3)
+    assert (pixels == expect).all()
+
+
+def test_le_uint32_header_reads(spark):
+    """The JVM-side little-endian header read matches struct.unpack on
+    real BMP bytes (width at offset 19, height at 23, 1-based)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.multimodal.codecs import encode_bmp, synth_pixels
+    from kinesis_s3_spark.sources.binary import le_uint32
+
+    data = encode_bmp(synth_pixels(123))
+    w_expect, h_expect = struct.unpack_from("<ii", data, 18)
+    df = spark.createDataFrame([(bytearray(data),)], "content binary")
+    got = df.select(
+        le_uint32(F.col("content"), 19).alias("w"),
+        le_uint32(F.col("content"), 23).alias("h"),
+    ).collect()[0]
+    assert (got["w"], got["h"]) == (w_expect, h_expect)
+
+
+def test_stored_decode_catches_corruption(spark, tmp_path, monkeypatch):
+    """Corrupting one stored file must fail the decode loudly — the
+    exact defect class the storage-backed gate exists to catch."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from kinesis_s3_spark.multimodal.codecs import (
+        REAL_DECODE_SCHEMA,
+        decode_stored_image_batches,
+    )
+    from kinesis_s3_spark.sources import binary as binmod
+
+    monkeypatch.setattr(binmod.tempfile, "gettempdir", lambda: str(tmp_path))
+    path = binmod.write_image_fixture_files(spark, "/root/testdata/sf0.001")
+    victim = sorted(glob.glob(os.path.join(path, "*.bmp")))[0]
+    with open(victim, "r+b") as fh:
+        fh.write(b"XX")  # clobber the 'BM' magic
+
+    binary = binmod.with_doc_id_from_filename(
+        binmod.read_binary_files(spark, path, glob="*.bmp")
+    ).select("doc_id", "content")
+    with _pytest.raises(Exception, match="BMP"):
+        binary.mapInPandas(
+            decode_stored_image_batches, schema=REAL_DECODE_SCHEMA
+        ).collect()
+
+
+def test_audio_parquet_fixture_roundtrip(spark, tmp_path, monkeypatch):
+    """Binary parquet column: Spark-written WAV bytes read back and
+    chunk-walked equal the synthesized source samples."""
+    from kinesis_s3_spark.multimodal import codecs
+    from kinesis_s3_spark.sources import binary as binmod
+
+    monkeypatch.setattr(binmod.tempfile, "gettempdir", lambda: str(tmp_path))
+    path = binmod.write_audio_fixture_parquet(spark, "/root/testdata/sf0.001")
+    row = spark.read.parquet(path).filter("doc_id = 11").collect()[0]
+    rate, ch, n, samples = codecs.decode_wav(bytes(row["content"]))
+    want, want_rate = codecs.synth_samples(11)
+    assert (rate, ch, n) == (want_rate, want.shape[1], want.shape[0])
+    assert (samples == want).all()
