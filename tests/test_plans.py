@@ -211,3 +211,41 @@ def test_bad_row_archive_scan_is_text_with_partition_column(spark):
     df = read_bad_archive(spark, out).filter(F.col("batch_id") == 5)
     assert df.count() == 1
     assert "batch_id" in explain_str(df)
+
+
+def test_exchange_budget_catches_lost_broadcast(spark):
+    """The plan audit's exchange-budget check (tools/plan_audit.py)
+    must turn RED when a broadcast silently degrades to a shuffle
+    join: disable auto-broadcast, rebuild a dim-join query's plan, and
+    the extra shuffle exchanges must exceed the committed budget."""
+    from tools.plan_audit import flag_row, load_budgets, plan_counts
+
+    budgets = load_budgets()
+    name = "q5_region_revenue"
+    assert name in budgets  # the baseline file covers the registry
+
+    def counts():
+        plan = Q[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        return plan_counts(name, plan)
+
+    healthy = counts()
+    assert flag_row(healthy, budgets) == []
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        degraded = counts()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert degraded["exchanges"] > healthy["exchanges"]
+    assert any(f.startswith("EXCHANGE_REGRESSION") for f in flag_row(degraded, budgets))
+
+
+def test_budget_file_flags_unknown_query(spark):
+    """A registered query with no committed budget line is itself a
+    flag — the baseline cannot silently go stale as operators land."""
+    from tools.plan_audit import flag_row
+
+    row = {"query": "brand_new_op", "cartesian": 0, "nested_loop": 0,
+           "row_python": 0, "arrow_python": 0, "exchanges": 1}
+    assert "NO_EXCHANGE_BUDGET" in flag_row(row, {})

@@ -5,12 +5,20 @@ at sf0.001 and its executed plan scanned for scale red flags:
   inputs (quadratic blow-up),
 - BatchEvalPython (row-at-a-time Python UDF — the forbidden slow path;
   ArrowEvalPython / MapInPandas are the allowed vectorized forms),
-- exchange count (shuffle pressure outliers).
+- exchange-count REGRESSIONS against the committed per-query budget
+  (tools/plan_budgets.json): a silently lost broadcast or a new
+  shuffle turns the audit red instead of passing unnoticed
+  (VERDICT r4 'what's wrong' #3).
 
-tests/test_plans.py asserts the named contracts per-run; this tool is
+tests/test_plans.py asserts the named contracts per-run (including a
+lost-broadcast injection proving the budget check fires); this tool is
 the breadth sweep to catch a bad plan in ANY registered operator.
 
-Usage: python tools/plan_audit.py  → one JSON line per query + summary.
+Usage:
+  python tools/plan_audit.py                  → audit against budgets
+  python tools/plan_audit.py --write-budgets  → (re)baseline budgets
+The budget file is committed; regenerating it shows up in git diff,
+so loosening a budget is a reviewed act, never an accident.
 """
 
 from __future__ import annotations
@@ -21,10 +29,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import __spark_entry__ as entrymod
-from kinesis_s3_spark.session import get_spark
-
 SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
+BUDGET_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_budgets.json")
 
 # by-design exceptions, each justified where it's defined
 ALLOW_NESTED_LOOP = {
@@ -47,9 +53,52 @@ ALLOW_NESTED_LOOP = {
 }
 
 
-def audit() -> int:
+def load_budgets() -> dict[str, int]:
+    if not os.path.exists(BUDGET_PATH):
+        return {}
+    with open(BUDGET_PATH) as fh:
+        return json.load(fh)
+
+
+def plan_counts(name: str, plan: str) -> dict:
+    """Operator-occurrence counters over a physical plan string."""
+    return {
+        "query": name,
+        "cartesian": plan.count("CartesianProduct"),
+        "nested_loop": plan.count("BroadcastNestedLoopJoin"),
+        "row_python": plan.count("BatchEvalPython"),
+        "arrow_python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+        "exchanges": plan.count("Exchange"),
+    }
+
+
+def flag_row(row: dict, budgets: dict[str, int]) -> list[str]:
+    """The audit policy for one query's counters. An exchange count
+    above the committed budget is a regression (e.g. a broadcast that
+    silently became a shuffle); a registered query with no budget line
+    is flagged so the baseline can't silently go stale."""
+    name = row["query"]
+    flags = []
+    if row["row_python"]:
+        flags.append("ROW_PYTHON_UDF")
+    if (row["cartesian"] or row["nested_loop"]) and name not in ALLOW_NESTED_LOOP:
+        flags.append("UNEXPECTED_CARTESIAN")
+    budget = budgets.get(name)
+    if budget is None:
+        flags.append("NO_EXCHANGE_BUDGET")
+    elif row["exchanges"] > budget:
+        flags.append(f"EXCHANGE_REGRESSION:{row['exchanges']}>{budget}")
+    return flags
+
+
+def audit(write_budgets: bool = False) -> int:
+    import __spark_entry__ as entrymod
+    from kinesis_s3_spark.session import get_spark
+
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    budgets = load_budgets()
+    actual: dict[str, int] = {}
     bad = []
     for name, fn in entrymod.queries().items():
         try:
@@ -57,26 +106,24 @@ def audit() -> int:
         except Exception as e:  # guarded ops may refuse; not a plan defect
             print(json.dumps({"query": name, "skipped": str(e)[:80]}))
             continue
-        row = {
-            "query": name,
-            "cartesian": plan.count("CartesianProduct"),
-            "nested_loop": plan.count("BroadcastNestedLoopJoin"),
-            "row_python": plan.count("BatchEvalPython"),
-            "arrow_python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
-            "exchanges": plan.count("Exchange"),
-        }
-        flags = []
-        if row["row_python"]:
-            flags.append("ROW_PYTHON_UDF")
-        if (row["cartesian"] or row["nested_loop"]) and name not in ALLOW_NESTED_LOOP:
-            flags.append("UNEXPECTED_CARTESIAN")
+        row = plan_counts(name, plan)
+        actual[name] = row["exchanges"]
+        flags = [] if write_budgets else flag_row(row, budgets)
         if flags:
             row["flags"] = flags
             bad.append(name)
         print(json.dumps(row))
-    print(json.dumps({"summary": {"audited": True, "flagged": bad}}))
-    return 1 if bad else 0
+    if write_budgets:
+        with open(BUDGET_PATH, "w") as fh:
+            json.dump(dict(sorted(actual.items())), fh, indent=1)
+        print(json.dumps({"summary": {"budgets_written": len(actual), "path": BUDGET_PATH}}))
+        return 0
+    # budgets for queries that no longer exist (renamed/removed) —
+    # stale lines are noise that hides real drift
+    stale = sorted(set(budgets) - set(actual))
+    print(json.dumps({"summary": {"audited": True, "flagged": bad, "stale_budgets": stale}}))
+    return 1 if bad or stale else 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(audit())
+    raise SystemExit(audit(write_budgets="--write-budgets" in sys.argv[1:]))
