@@ -55,19 +55,33 @@ def _bucket(d, word) -> F.Column:
     return (h.cast("long") % CMS_WIDTH).cast("int")
 
 
+def words_of(text_col: F.Column) -> F.Column:
+    """The shared tokenization (lower, trim, split on whitespace) —
+    one definition for the batch operator AND the streaming
+    accumulator so their sketches are mergeable by construction."""
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
 def _word_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
+    return docs.select(F.explode(words_of(F.col("text"))).alias("word")).filter(
+        F.col("word") != ""
+    )
 
 
-def _cms_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = _word_stream(spark, sf_dir)
+def cms_cells(words: DataFrame) -> DataFrame:
+    """(word) frame → (d, bucket, cnt) Count-Min matrix. Works on any
+    word source — the documents corpus here, a micro-batch's payloads
+    in streaming/cms.py — because CMS cells from disjoint slices merge
+    by addition."""
     cells = words.select(
         F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d"), "word"
     ).select("d", _bucket(F.col("d"), F.col("word")).alias("bucket"))
     return cells.groupBy("d", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def _cms_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_cells(_word_stream(spark, sf_dir))
 
 
 @query("sketch_countmin", oracle=_CMS_SQL)

@@ -95,6 +95,7 @@ def run_loader(
     query_name: str = "kinesis-s3-loader",
     tracker: SnowplowTracker | None = None,
     dedupe_watermark: str | None = None,
+    countmin=None,
 ) -> StreamingQuery:
     """Wire source → trigger → foreachBatch(emit) → checkpoint and
     start the query (the executor.run() analogue, S3Loader.scala:63-68;
@@ -111,7 +112,13 @@ def run_loader(
     content hash was already seen within the window are dropped before
     emit via watermark-bounded streaming state (streaming/dedup.py) —
     the streaming twin of dedup_incremental; the state survives query
-    restarts through the checkpoint."""
+    restarts through the checkpoint.
+
+    ``countmin``: a streaming/cms.py:CountMinAccumulator; when set,
+    each emitted micro-batch's payload words are folded into the
+    persisted Count-Min matrix after the flush (replay-safe: the
+    accumulator skips re-delivered batch ids, and its state file
+    reloads on restart)."""
     stream = build_stream(spark, cfg)
     if dedupe_watermark is not None:
         from kinesis_s3_spark.streaming.dedup import with_incremental_dedup
@@ -145,6 +152,8 @@ def run_loader(
             bad_sink=bad_sink,
             run_id=run_meta.run_id if run_meta else None,
         )
+        if countmin is not None:
+            countmin.update(batch_df, batch_id)
         if on_flush is not None:
             on_flush(meta)
 

@@ -180,3 +180,73 @@ def test_stateful_ewma_matches_batch_fold(spark, tmp_path):
         state[u] = v if u not in state else (state[u] + v) * 0.5
         expected[(u, eid)] = state[u]
     assert got == expected  # bit-exact: adds + exact halvings only
+
+
+def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
+    """The loader-maintained Count-Min matrix, accumulated across
+    micro-batches AND across a query stop/restart (state reloaded from
+    its file next to the checkpoint), must equal the batch sketch
+    built over the same payloads in one pass — the merge-by-addition
+    property, proved end-to-end through run_loader."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.operators.sketches import cms_cells, words_of
+    from kinesis_s3_spark.streaming.cms import CountMinAccumulator
+    from kinesis_s3_spark.streaming.loader import run_loader
+
+    inp = str(tmp_path / "in")
+    cms_dir = str(tmp_path / "cms")
+
+    def write_input(rows):
+        spark.createDataFrame([(r,) for r in rows], "value string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {"s3": {"path": str(tmp_path / "out"), "compression": "GZIP"}},
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+
+    part1 = ["the cat sat", "the cat ran", "dogs bark"]
+    part2 = ["the end", "cat cat cat"]
+
+    # run 1: first slice of the corpus
+    write_input(part1)
+    cms = CountMinAccumulator(cms_dir)
+    q = run_loader(spark, cfg, query_name="cms-a", countmin=cms)
+    q.processAllAvailable()
+    q.stop()
+
+    # run 2: RESTART — fresh accumulator instance reloads persisted
+    # state, the resumed query delivers only the new slice
+    write_input(part2)
+    cms2 = CountMinAccumulator(cms_dir)
+    assert cms2.cells == cms.cells  # state survived the restart
+    q2 = run_loader(spark, cfg, query_name="cms-b", countmin=cms2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    # batch truth: one sketch over all payloads at once
+    allrows = spark.createDataFrame([(r,) for r in part1 + part2], "value string")
+    words = allrows.select(F.explode(words_of(F.col("value"))).alias("word")).filter(
+        F.col("word") != ""
+    )
+    batch = {
+        (int(r["d"]), int(r["bucket"])): int(r["cnt"]) for r in cms_cells(words).collect()
+    }
+    assert cms2.cells == batch
+
+    # replays never double-count: re-applying an already-applied id is a no-op
+    before = dict(cms2.cells)
+    cms2.update(allrows, cms2.last_batch_id)
+    assert cms2.cells == before
+
+    # point estimate serves lookups ≥ truth (CMS guarantee)
+    assert cms2.estimate("cat") >= 5
+    assert cms2.estimate("never-seen-word-xyz") >= 0
