@@ -63,29 +63,36 @@ def build_stream(spark: SparkSession, cfg: LoaderConfig) -> DataFrame:
             .select(F.col("value").cast("string").alias("value"))
         )
     if inp.kind == "kinesis":
-        # requires a kinesis connector on the classpath; options mirror
-        # Config.scala:62-106 (initial position) and S3Loader.scala:118
-        # (maxRecords → per-fetch cap)
-        reader = (
+        # requires a kinesis connector on the classpath
+        df = (
             spark.readStream.format("aws-kinesis")
-            .option("kinesis.streamName", inp.stream_name)
-            .option("kinesis.region", inp.region or "us-east-1")
-            .option("kinesis.consumerType", "GetRecords")
-            .option(
-                "kinesis.startingPosition",
-                {
-                    InitialPosition.LATEST: "LATEST",
-                    InitialPosition.TRIM_HORIZON: "TRIM_HORIZON",
-                    InitialPosition.AT_TIMESTAMP: "AT_TIMESTAMP",
-                }[inp.position],
-            )
-            .option("kinesis.maxFetchRecordsPerShard", inp.max_records)
+            .options(**kinesis_options(inp))
+            .load()
         )
-        if inp.position is InitialPosition.AT_TIMESTAMP and inp.position_timestamp:
-            reader = reader.option("kinesis.startingTimestamp", inp.position_timestamp)
-        df = reader.load()
         return df.select(F.col("data").cast("string").alias("value"))
     raise ValueError(f"unknown input.kind {inp.kind!r}")
+
+
+def kinesis_options(inp) -> dict[str, str]:
+    """The connector option map for the kinesis source, as a pure
+    function so tests pin it without a connector on the classpath
+    (tests/test_streaming.py). Mirrors the reference's config surface:
+    initial position incl. AT_TIMESTAMP (Config.scala:62-106) and
+    maxRecords → per-shard fetch cap (S3Loader.scala:118)."""
+    opts = {
+        "kinesis.streamName": inp.stream_name,
+        "kinesis.region": inp.region or "us-east-1",
+        "kinesis.consumerType": "GetRecords",
+        "kinesis.startingPosition": {
+            InitialPosition.LATEST: "LATEST",
+            InitialPosition.TRIM_HORIZON: "TRIM_HORIZON",
+            InitialPosition.AT_TIMESTAMP: "AT_TIMESTAMP",
+        }[inp.position],
+        "kinesis.maxFetchRecordsPerShard": str(inp.max_records),
+    }
+    if inp.position is InitialPosition.AT_TIMESTAMP and inp.position_timestamp:
+        opts["kinesis.startingTimestamp"] = inp.position_timestamp
+    return opts
 
 
 def run_loader(

@@ -148,3 +148,42 @@ def test_listener_and_statsd(spark, tmp_path):
     assert datagram.startswith("snowplow.s3loader.count:1|c")
     assert datagram.endswith("|#app:t")
     recv.close()
+
+
+def test_kinesis_option_assembly_all_positions():
+    """The kinesis source's connector option map, pinned for every
+    initial position (the reference's Config surface) — testable
+    without a connector because kinesis_options is pure."""
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.streaming.loader import kinesis_options
+
+    def cfg(**inp):
+        return from_dict(
+            {
+                "purpose": "RAW",
+                "input": {"stream_name": "ev", "kind": "kinesis", **inp},
+                "output": {"s3": {"path": "/tmp/x", "compression": "GZIP"}},
+            }
+        ).input
+
+    assert kinesis_options(cfg()) == {
+        "kinesis.streamName": "ev",
+        "kinesis.region": "us-east-1",
+        "kinesis.consumerType": "GetRecords",
+        "kinesis.startingPosition": "LATEST",
+        "kinesis.maxFetchRecordsPerShard": "10000",
+    }
+    assert kinesis_options(
+        cfg(position="TRIM_HORIZON", region="eu-west-1", max_records=500)
+    ) == {
+        "kinesis.streamName": "ev",
+        "kinesis.region": "eu-west-1",
+        "kinesis.consumerType": "GetRecords",
+        "kinesis.startingPosition": "TRIM_HORIZON",
+        "kinesis.maxFetchRecordsPerShard": "500",
+    }
+    at = kinesis_options(
+        cfg(position="AT_TIMESTAMP", position_timestamp="2026-01-01T00:00:00Z")
+    )
+    assert at["kinesis.startingPosition"] == "AT_TIMESTAMP"
+    assert at["kinesis.startingTimestamp"] == "2026-01-01T00:00:00Z"
