@@ -6,6 +6,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is fully materialized through the noop sink (real execution,
 no driver collect overhead). One small warmup run amortizes JVM/codegen
 startup out of the first measurement.
+
+Second scale (VERDICT r4 next-round #7): many queries sit below the
+fixed-cost floor at sf0.1, where regressions hide — so after the sf0.1
+medians, the same headline set runs once per query against the 10×
+replicated corpus (tools/scale_experiment.py layout, built on demand),
+and BOTH scales land in the artifact: per-query sf1 seconds in the
+final line (2 dp, kept compact for the driver's tail capture) and full
+detail in BENCH_DETAIL.json. Set SPARK_GRAFT_BENCH_SF1=0 to skip the
+10× pass (e.g. when iterating on one query).
 """
 
 from __future__ import annotations
@@ -75,6 +84,38 @@ HEADLINE = [
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median
+
+SF1_DIR = "/tmp/scale10"  # tools/scale_experiment.py's 10x corpus
+
+
+def ensure_scale10(spark) -> bool:
+    """Build the 10× corpus if it isn't already on disk (embeddings is
+    the last table replicate() writes, so its _SUCCESS implies a
+    complete build). Returns False when the pass is disabled."""
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") == "0":
+        return False
+    if not os.path.exists(os.path.join(SF1_DIR, "embeddings.parquet", "_SUCCESS")):
+        from tools.scale_experiment import replicate
+
+        replicate(spark)
+    return True
+
+
+def run_sf1(spark, queries) -> tuple[dict[str, float], dict[str, str]]:
+    """One measured run per query at 10× (the JVM is warm from the
+    sf0.1 medians; a warm protocol at this scale would double an
+    already minutes-long pass). Guarded operators that refuse at this
+    scale are recorded as errors, not silently dropped."""
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        try:
+            materialize(queries[name](spark, SF1_DIR))
+            times[name] = round(time.time() - t0, 2)
+        except Exception as e:
+            errors[name] = str(e).split("\n")[0][:120]
+    return times, errors
 
 
 def materialize(df) -> None:
@@ -177,6 +218,11 @@ def main() -> None:
 
     loader = loader_throughput(spark, sf_dir)
 
+    sf1_times: dict[str, float] = {}
+    sf1_errors: dict[str, str] = {}
+    if ensure_scale10(spark):
+        sf1_times, sf1_errors = run_sf1(spark, queries)
+
     total = round(sum(timings.values()), 3)
     # Full detail (cold timings, warm spread) goes to a sidecar file:
     # round 3's final line carried all three 41-entry maps and outgrew
@@ -193,23 +239,36 @@ def main() -> None:
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "warm_spread_sec": spread,
                 "loader": loader,
+                "sf1_single_run_sec": sf1_times,
+                "sf1_errors": sf1_errors,
+                "sf1_total_sec": round(sum(sf1_times.values()), 2),
             },
             fh,
             indent=1,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                "sf": float(sf),
-                "loader": loader,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": float(sf),
+        "loader": loader,
+    }
+    if sf1_times:
+        # array aligned with the `queries` map's key order (HEADLINE
+        # order) — the per-query names are NOT repeated so the final
+        # line stays under the driver's tail-capture size; the
+        # name-keyed map lives in BENCH_DETAIL.json (sf1_single_run_sec)
+        line["sf1"] = {
+            "total_sec": round(sum(sf1_times.values()), 2),
+            "n_queries": len(sf1_times),
+            "n_errors": len(sf1_errors),
+            "sec_by_query_in_queries_order": [
+                sf1_times.get(n) for n in HEADLINE if n in sf1_times or n in sf1_errors
+            ],
+        }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
