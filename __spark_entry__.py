@@ -70,6 +70,8 @@ _GATE_FIRST = [
     "sketch_bloom_contamination",
     "approx_percentile_price",
     # -- (2) new or semantically changed in round 5 --
+    "ann_pq_topk",
+    "ann_recall_pq",
     "text_bpe_train_k64",
     "text_bpe_train",
     "text_bpe_tokenize",
@@ -117,7 +119,6 @@ _GATE_FIRST = [
     "q15_top_supplier",
     "q17_small_quantity",
     "q18_large_orders",
-    "q22_global_balance",
 ]
 
 

@@ -75,6 +75,7 @@ HEADLINE = [
     "curation_dedup_pipeline",
     "text_bpe_train",
     "text_bpe_train_k64",
+    "ann_pq_topk",
     "mm_audio_decode_real",
     "sketch_countmin",
     "text_tfidf_topk",

@@ -44,6 +44,7 @@ from kinesis_s3_spark.operators.dedup import cosine_sim, dedup_embedding_cosine
 from kinesis_s3_spark.operators.embeddings import (
     _KM_ASSIGN_SQL,
     _KM_UPDATE_SQL,
+    _dot,
     _km_rank,
     kmeans_vv,
     lloyd_centroids,
@@ -627,20 +628,20 @@ _IVFKM_CENT_SQL = (
     vv AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM v),
     c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {IVF_KM_K}),
     """
-    + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="")
+    + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="", vv="vv")
     + ","
-    + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1")
+    + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1", v="v")
     + ","
-    + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="")
+    + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="", vv="vv")
     + ","
-    + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2")
+    + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2", v="v")
 )
 
 _IVFKM_TOPK_SQL = (
     "WITH "
     + _IVFKM_CENT_SQL
     + ","
-    + _KM_ASSIGN_SQL.format(a="assign", c="c2", dist_col="")
+    + _KM_ASSIGN_SQL.format(a="assign", c="c2", dist_col="", vv="vv")
     + f""",
     qprobe AS (
       SELECT vec_id AS q_id, cid FROM (
@@ -892,4 +893,350 @@ def dedup_embedding_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4))
         .filter(F.col("cosine") >= STRICT_THRESHOLD)
         .select("v1", "v2", "cosine")
+    )
+
+
+# --- product quantization (PQ) with ADC + exact rerank ------------------------
+#
+# The compressed-domain scale path the IVF/LSH variants don't cover:
+# at 100 TB the raw vectors (256 B each at 64×fp32) don't fit hot
+# storage, so production systems (FAISS-style) search QUANTIZED codes
+# — M per-subspace k-means codebooks compress each vector to M small
+# codes (here 4 × 3 bits), queries scan codes with an ADC lookup-table
+# sum (no vector arithmetic per candidate), and only a short ADC
+# shortlist is reranked against the raw vectors. Training reuses
+# embeddings.py's Lloyd loop verbatim — one run per subspace over the
+# SLICED cached frame — and the DuckDB oracle unrolls all four
+# codebook trainings, the argmin encoding, the per-query lookup
+# tables, the ADC join-sum, the shortlist cut, and the exact rerank,
+# so the gate checks the entire compress → scan → refine pipeline
+# bit-for-bit. Distances are euclidean (the PQ training metric);
+# recall is gated against an exact-L2 truth.
+
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # centroids per codebook (4-bit codes, the FAISS nbits=4 shape)
+PQ_ITERS = 2  # Lloyd rounds per codebook (emb_kmeans protocol)
+PQ_SHORTLIST_MIN = 100  # ADC rerank floor
+PQ_SHORTLIST_FRAC = 0.02  # shortlist = max(floor, 2% of corpus): recall
+# holds as the corpus grows (the cut tracks corpus size) while rerank
+# cost stays a small linear fraction
+
+
+def _pq_sub_chain_sql(m: int) -> str:
+    """Per-subspace oracle chain: slice → seeds → 2 Lloyd rounds →
+    final encode assignment (pe{m}: vec_id → cid)."""
+    lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+    pv, pvv = f"pv{m}", f"pvv{m}"
+    return (
+        f"""
+    {pv} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM v),
+    {pvv} AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM {pv}),
+    pc{m}0 AS (SELECT vec_id AS cid, e AS c FROM {pv} WHERE vec_id < {PQ_K}),
+    """
+        + _KM_ASSIGN_SQL.format(a=f"pa{m}0", c=f"pc{m}0", dist_col="", vv=pvv)
+        + ","
+        + _KM_UPDATE_SQL.format(f=f"pf{m}1", a=f"pa{m}0", m=f"pm{m}1", c=f"pc{m}1", v=pv)
+        + ","
+        + _KM_ASSIGN_SQL.format(a=f"pa{m}1", c=f"pc{m}1", dist_col="", vv=pvv)
+        + ","
+        + _KM_UPDATE_SQL.format(f=f"pf{m}2", a=f"pa{m}1", m=f"pm{m}2", c=f"pc{m}2", v=pv)
+        + ","
+        + _KM_ASSIGN_SQL.format(a=f"pe{m}", c=f"pc{m}2", dist_col="", vv=pvv)
+    )
+
+
+def _pq_lut_sql(m: int) -> str:
+    lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+    return f"""
+    lut{m} AS (
+      SELECT q.q_id, c.cid,
+             ROUND(list_dot_product(q.e[{lo}:{hi}], q.e[{lo}:{hi}])
+                   - 2 * list_dot_product(q.e[{lo}:{hi}], c.c)
+                   + list_dot_product(c.c, c.c), 4) AS dv
+      FROM pq_q q, pc{m}2 c
+    )"""
+
+
+_PQ_TOPK_SQL = (
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vv AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM v),
+    pq_q AS (SELECT vec_id AS q_id, e FROM v WHERE vec_id < {N_QUERIES}),
+    """
+    + ",".join(_pq_sub_chain_sql(m) for m in range(PQ_M))
+    + ","
+    + f"""
+    codes AS (
+      SELECT p0.vec_id, p0.cid AS k0, p1.cid AS k1, p2.cid AS k2, p3.cid AS k3
+      FROM pe0 p0 JOIN pe1 p1 USING (vec_id)
+                  JOIN pe2 p2 USING (vec_id)
+                  JOIN pe3 p3 USING (vec_id)
+    ),
+    """
+    + ",".join(_pq_lut_sql(m) for m in range(PQ_M))
+    + f""",
+    adc_scored AS (
+      SELECT l0.q_id, cd.vec_id, l0.dv + l1.dv + l2.dv + l3.dv AS adc
+      FROM codes cd
+      JOIN lut0 l0 ON l0.cid = cd.k0
+      JOIN lut1 l1 ON l1.q_id = l0.q_id AND l1.cid = cd.k1
+      JOIN lut2 l2 ON l2.q_id = l0.q_id AND l2.cid = cd.k2
+      JOIN lut3 l3 ON l3.q_id = l0.q_id AND l3.cid = cd.k3
+      WHERE cd.vec_id != l0.q_id
+    ),
+    shortlist AS (
+      SELECT q_id, vec_id, adc FROM (
+        SELECT q_id, vec_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn
+        FROM adc_scored
+      ) WHERE rn <= (SELECT GREATEST({PQ_SHORTLIST_MIN},
+                                     CAST(ceil(COUNT(*) * {PQ_SHORTLIST_FRAC}) AS BIGINT))
+                     FROM v)
+    ),
+    reranked AS (
+      SELECT s.q_id, s.vec_id, s.adc,
+             ROUND(x.ee - 2 * list_dot_product(x.e, q.e)
+                   + list_dot_product(q.e, q.e), 4) AS l2_dist
+      FROM shortlist s JOIN vv x ON s.vec_id = x.vec_id
+                       JOIN pq_q q ON s.q_id = q.q_id
+    )
+    SELECT q_id, vec_id, adc, l2_dist, rank FROM (
+      SELECT q_id, vec_id, adc, l2_dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2_dist ASC, vec_id) AS rank
+      FROM reranked
+    ) WHERE rank <= {TOP_K}
+"""
+)
+
+
+def _pq_codebooks(vv: DataFrame) -> list[list[tuple[int, list[float]]]]:
+    """Train one codebook per subspace: slice the cached (vec_id, e)
+    frame, rebuild ee for the subvector, run the SAME Lloyd loop as
+    emb_kmeans (seeds = vec_id < PQ_K). M × PQ_ITERS × 2 jobs total;
+    each codebook is PQ_K × PQ_SUB doubles — driver-sized."""
+    books = []
+    for m in range(PQ_M):
+        sub = (
+            vv.select("vec_id", F.slice("e", m * PQ_SUB + 1, PQ_SUB).alias("e"))
+            .withColumn("ee", _dot(F.col("e"), F.col("e")))
+            .cache()
+        )
+        books.append(lloyd_centroids(sub, PQ_K, PQ_ITERS))
+        sub.unpersist()
+    return books
+
+
+def _pq_encode(vv: DataFrame, books) -> DataFrame:
+    """One shuffle-free projection: per subspace, the argmin code over
+    the codebook LITERAL via array_min on (dist, cid) structs — the
+    same rounded-dist-then-cid ordering as the oracle's ROW_NUMBER."""
+    out = vv.select("vec_id", "e", "ee")
+    for m, cents in enumerate(books):
+        sub = F.slice("e", m * PQ_SUB + 1, PQ_SUB)
+        see = _dot(sub, sub)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        see
+                        - 2 * _dot(sub, F.array(*[F.lit(float(x)) for x in c]))
+                        + _dot(
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                        ),
+                        4,
+                    ).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in cents
+            ]
+        )
+        out = out.withColumn(f"k{m}", F.array_min(scored)["cid"])
+    return out
+
+
+def _pq_query_side(vv: DataFrame, books) -> list[dict]:
+    """Driver-side query prep: for each query vector, the per-subspace
+    ADC lookup tables as RAW (unrounded) doubles — the dist arithmetic
+    (left-to-right dots, (qq - 2·dot) + cc) is IEEE-identical to both
+    engines; the final ROUND happens ENGINE-side so no Python rounding
+    mode ever touches a gated value."""
+
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    rows = (
+        vv.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: int(r["vec_id"])):
+        q = [float(x) for x in r["e"]]
+        luts = []
+        for m, cents in enumerate(books):
+            qm = q[m * PQ_SUB : (m + 1) * PQ_SUB]
+            qq = pydot(qm, qm)
+            luts.append(
+                {cid: (qq - 2 * pydot(qm, c)) + pydot(c, c) for cid, c in cents}
+            )
+        out.append({"q_id": int(r["vec_id"]), "q": q, "luts": luts})
+    return out
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vv = kmeans_vv(spark, sf_dir)
+    books = _pq_codebooks(vv)
+    enc = _pq_encode(vv, books)
+    queries = _pq_query_side(vv, books)
+    q_lit = F.array(
+        *[
+            F.struct(
+                F.lit(qi["q_id"]).alias("q_id"),
+                F.array(*[F.lit(x) for x in qi["q"]]).alias("qe"),
+                *[
+                    F.map_from_arrays(
+                        F.array(*[F.lit(cid) for cid in sorted(lut)]),
+                        F.array(
+                            *[F.round(F.lit(lut[cid]), 4) for cid in sorted(lut)]
+                        ),
+                    ).alias(f"l{m}")
+                    for m, lut in enumerate(qi["luts"])
+                ],
+            )
+            for qi in queries
+        ]
+    )
+    scored = enc.select(
+        "vec_id", "e", "ee", "k0", "k1", "k2", "k3", F.explode(q_lit).alias("q")
+    ).filter(F.col("vec_id") != F.col("q.q_id"))
+    adc = (
+        F.element_at(F.col("q.l0"), F.col("k0"))
+        + F.element_at(F.col("q.l1"), F.col("k1"))
+        + F.element_at(F.col("q.l2"), F.col("k2"))
+        + F.element_at(F.col("q.l3"), F.col("k3"))
+    )
+    scored = scored.select(
+        F.col("q.q_id").alias("q_id"),
+        "vec_id",
+        "e",
+        "ee",
+        F.col("q.qe").alias("qe"),
+        adc.alias("adc"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    import math
+
+    n_corpus = vv.count()  # cached frame; exact, matches the oracle's COUNT(*)
+    cut = max(PQ_SHORTLIST_MIN, math.ceil(n_corpus * PQ_SHORTLIST_FRAC))
+    short = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= cut
+    )
+    l2 = F.round(
+        F.col("ee") - 2 * _dot(F.col("e"), F.col("qe")) + _dot(F.col("qe"), F.col("qe")),
+        4,
+    )
+    rer = short.select("q_id", "vec_id", "adc", l2.alias("l2_dist"))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("l2_dist").asc(), F.col("vec_id").asc())
+    return rer.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+@query("ann_pq_topk", oracle=_PQ_TOPK_SQL)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC vector search (block comment above): 4 subspace
+    codebooks × 16 centroids (Lloyd-trained, emb_kmeans protocol),
+    shuffle-free argmin encoding, per-query lookup-table ADC scan,
+    ADC shortlist (max(100, 2% of corpus)), exact-L2 rerank to top-{TOP_K}.
+
+    Scale: training = M small Lloyd runs over sliced scans of one
+    cached frame; encoding is a map stage (codes are 4 ints/vector —
+    the 100 TB win: the ADC scan reads codes + a broadcast 5×4×8
+    lookup table, never raw vectors); rerank touches only
+    |queries| × max(100, 2%·corpus) raw rows via the shortlist. The oracle
+    unrolls training, encode, ADC, cut, and rerank bit-for-bit."""
+    return _pq_topk(spark, sf_dir)
+
+
+_PQ_L2_TRUTH_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vv AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM v),
+    q AS (SELECT vec_id AS q_id, e FROM v WHERE vec_id < {N_QUERIES})
+    SELECT q_id, vec_id FROM (
+      SELECT q.q_id, x.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY ROUND(x.ee - 2 * list_dot_product(x.e, q.e)
+                              + list_dot_product(q.e, q.e), 4) ASC, x.vec_id
+             ) AS rank
+      FROM vv x JOIN q ON x.vec_id != q.q_id
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+def _l2_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact euclidean top-k for the query set — the PQ recall truth
+    (cosine truth exists separately for the LSH/IVF paths)."""
+    vv = kmeans_vv(spark, sf_dir)
+    qs = sorted(
+        vv.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    q_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("q_id"),
+                F.array(*[F.lit(float(x)) for x in r["e"]]).alias("qe"),
+            )
+            for r in qs
+        ]
+    )
+    scored = (
+        vv.select("vec_id", "e", "ee", F.explode(q_lit).alias("q"))
+        .filter(F.col("vec_id") != F.col("q.q_id"))
+        .select(
+            F.col("q.q_id").alias("q_id"),
+            "vec_id",
+            F.round(
+                F.col("ee")
+                - 2 * _dot(F.col("e"), F.col("q.qe"))
+                + _dot(F.col("q.qe"), F.col("q.qe")),
+                4,
+            ).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("l2_dist").asc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+@query(
+    "ann_recall_pq",
+    oracle=f"""
+    WITH truth AS ({_PQ_L2_TRUTH_SQL}),
+    approx AS ({_PQ_TOPK_SQL})
+    SELECT t.q_id,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_10
+    FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+    GROUP BY t.q_id
+    """,
+)
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ shortlist+rerank path vs exact-L2 truth —
+    the compression quality gate (tests assert a floor; the rerank
+    stage means recall is limited only by whether true neighbors
+    survive the ADC shortlist cut)."""
+    truth = _l2_multi_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = _pq_topk(spark, sf_dir).select("q_id", F.col("vec_id").alias("a_vec"))
+    hits = truth.join(
+        approx,
+        (truth["q_id"] == approx["q_id"]) & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    ).select(truth["q_id"], approx["a_vec"])
+    return hits.groupBy("q_id").agg(
+        F.round(F.count("a_vec").cast("double") / TOP_K, 4).alias("recall_at_10")
     )

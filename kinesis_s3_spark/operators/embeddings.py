@@ -127,6 +127,9 @@ KMEANS_ITERS = 2  # seed-assign → update, twice; output = assignment under c2
 # argmin with cid as tie-break (the IVF-assignment determinism rule);
 # means go through DECIMAL(38,12) and ROUND(·, 6) (emb_label_centroids
 # rule) so the next round's centroids are bit-identical across engines.
+# {vv}/{v} name the (vec_id, e[, ee]) source frames so the SAME
+# templates serve full-vector k-means AND per-subspace PQ codebook
+# training (ann.py) — default "vv"/"v" below keeps the original text.
 _KM_ASSIGN_SQL = """
   {a} AS (
     SELECT vec_id, cid{dist_col} FROM (
@@ -138,7 +141,7 @@ _KM_ASSIGN_SQL = """
                ORDER BY ROUND(vv.ee - 2 * list_dot_product(vv.e, c.c)
                               + list_dot_product(c.c, c.c), 4) ASC, c.cid
              ) AS rn
-      FROM vv, {c} c
+      FROM {vv} vv, {c} c
     ) WHERE rn = 1
   )
 """
@@ -147,7 +150,7 @@ _KM_UPDATE_SQL = """
   {f} AS (
     SELECT a.cid, generate_subscripts(v.e, 1) - 1 AS pos,
            CAST(unnest(v.e) AS DECIMAL(38,12)) AS x
-    FROM v JOIN {a} a USING (vec_id)
+    FROM {v} v JOIN {a} a USING (vec_id)
   ),
   {m} AS (
     SELECT cid, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS cx
@@ -162,15 +165,15 @@ _KMEANS_SQL = (
     vv AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM v),
     c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {K_CLUSTERS}),
     """
-    + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="")
+    + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="", vv="vv")
     + ","
-    + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1")
+    + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1", v="v")
     + ","
-    + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="")
+    + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="", vv="vv")
     + ","
-    + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2")
+    + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2", v="v")
     + ","
-    + _KM_ASSIGN_SQL.format(a="a2", c="c2", dist_col=", dist")
+    + _KM_ASSIGN_SQL.format(a="a2", c="c2", dist_col=", dist", vv="vv")
     + """
     SELECT vec_id, cid AS cluster, dist FROM a2
     """

@@ -164,3 +164,42 @@ def test_embedding_lsh_subset_of_exact(spark):
     assert len(lsh) > 0
     for r in lsh:
         assert exact[(r["v1"], r["v2"])] == r["cosine"]
+
+
+def test_pq_recall_floor_and_rerank_exactness(spark):
+    """PQ/ADC + rerank quality gate. This near-isotropic corpus is the
+    HARD case for product quantization (true neighbors sit barely
+    above the noise floor, so 4×4-bit ADC ordering is weakly
+    correlated with exact ordering) — the floor is accordingly lower
+    than the raw-vector LSH/IVF paths': every query ≥ 0.4, mean ≥ 0.6.
+    What must be EXACT regardless of recall: every returned row's
+    l2_dist equals the true rounded L2 distance (the rerank stage
+    reads raw vectors), which the oracle also hash-checks."""
+    rows = Q["ann_recall_pq"](spark, SF_RECALL).collect()
+    recalls = {r["q_id"]: r["recall_at_10"] for r in rows}
+    assert len(recalls) == 5
+    assert min(recalls.values()) >= 0.4, recalls
+    assert sum(recalls.values()) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_codes_are_compressed_domain(spark):
+    """The ADC scan must rank candidates from CODES, not raw vectors:
+    with 4 subspaces × 16 centroids there are at most 16⁴ distinct
+    code words, and every corpus vector must map to one (codes in
+    [0, 16) per subspace)."""
+    from kinesis_s3_spark.operators.ann import PQ_K, _pq_codebooks, _pq_encode
+    from kinesis_s3_spark.operators.embeddings import kmeans_vv
+
+    vv = kmeans_vv(spark, SF_CORRECT)
+    enc = _pq_encode(vv, _pq_codebooks(vv))
+    from pyspark.sql import functions as F
+
+    bad = enc.filter(
+        (F.col("k0") < 0) | (F.col("k0") >= PQ_K)
+        | (F.col("k1") < 0) | (F.col("k1") >= PQ_K)
+        | (F.col("k2") < 0) | (F.col("k2") >= PQ_K)
+        | (F.col("k3") < 0) | (F.col("k3") >= PQ_K)
+    ).count()
+    assert bad == 0
+    n = enc.count()
+    assert enc.select("vec_id").distinct().count() == n  # one code word per vector
