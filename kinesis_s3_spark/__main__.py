@@ -34,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
         help="drop duplicate payloads seen within this event-time window "
         '(e.g. "1 hour") via checkpointed streaming state; off by default',
     )
+    parser.add_argument(
+        "--countmin-state",
+        default=None,
+        metavar="DIR",
+        help="maintain a Count-Min word-frequency sketch over emitted "
+        "payloads, persisted (replay-safe) under this directory; off by "
+        "default",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -51,9 +59,19 @@ def main(argv: list[str] | None = None) -> int:
     def on_flush(meta) -> None:
         statsd.report(meta)
 
+    countmin = None
+    if args.countmin_state:
+        from kinesis_s3_spark.streaming.cms import CountMinAccumulator
+
+        countmin = CountMinAccumulator(args.countmin_state)
+
     try:
         query = run_loader(
-            spark, cfg, on_flush=on_flush, dedupe_watermark=args.dedupe_watermark
+            spark,
+            cfg,
+            on_flush=on_flush,
+            dedupe_watermark=args.dedupe_watermark,
+            countmin=countmin,
         )
         query.awaitTermination()
     except Exception as e:  # noqa: BLE001 — top-level crash reporting (O20)

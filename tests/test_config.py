@@ -119,3 +119,40 @@ def test_cli_bad_config_exits_1(tmp_path, capsys):
     rc = main(["--config", str(bad)])
     assert rc == 1
     assert "configuration error" in capsys.readouterr().err
+
+
+def test_cli_countmin_flag_builds_accumulator(tmp_path, monkeypatch):
+    """--countmin-state DIR must construct a persisted CountMin
+    accumulator rooted at DIR and hand it to run_loader (alongside the
+    dedupe watermark passthrough)."""
+    import kinesis_s3_spark.__main__ as cli
+    from kinesis_s3_spark.streaming.cms import CountMinAccumulator
+
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(
+        '{"purpose": "RAW", "input": {"stream_name": "s", "kind": "file",'
+        ' "path": "/tmp/x", "format": "text"},'
+        ' "output": {"s3": {"path": "/tmp/o", "compression": "GZIP"}}}'
+    )
+    seen = {}
+
+    class FakeQuery:
+        def awaitTermination(self):
+            return None
+
+    def fake_run_loader(spark, cfg, **kw):
+        seen.update(kw)
+        return FakeQuery()
+
+    monkeypatch.setattr(cli, "run_loader", fake_run_loader)
+    monkeypatch.setattr(cli, "get_spark", lambda app_name: __import__("types").SimpleNamespace(
+        streams=__import__("types").SimpleNamespace(addListener=lambda lsn: None)
+    ))
+    state = tmp_path / "cms"
+    rc = cli.main(
+        ["--config", str(cfgp), "--countmin-state", str(state), "--dedupe-watermark", "2 hours"]
+    )
+    assert rc == 0
+    assert isinstance(seen["countmin"], CountMinAccumulator)
+    assert seen["countmin"]._path.startswith(str(state))
+    assert seen["dedupe_watermark"] == "2 hours"
