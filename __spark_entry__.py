@@ -36,6 +36,8 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.tpch_extra",
     "kinesis_s3_spark.operators.tpch_correlated",
     "kinesis_s3_spark.operators.bpe",
+    "kinesis_s3_spark.operators.search",
+    "kinesis_s3_spark.operators.graph",
     "kinesis_s3_spark.operators.sketches",
     "kinesis_s3_spark.operators.misc",
     "kinesis_s3_spark.operators.urls",

@@ -1,0 +1,213 @@
+"""Full-text retrieval over the documents corpus (north-star
+extension; BASELINE.json): BM25 ranked search and inverted-index
+construction — the two sides of the lexical-retrieval path a training
+-data pipeline runs for decontamination lookups, dedup-candidate
+blocking, and eval-set leakage scans.
+
+Spark-first shapes:
+- BM25 is two (doc, word) aggregations (both map-side combined, same
+  uniform keys as text_tfidf_topk) plus a |query|-row broadcast of the
+  term statistics — the corpus-sized data only ever shuffles on
+  (doc_id, word).
+- The inverted index caps posting lists BEFORE materialising them:
+  a per-word window rank (WindowGroupLimit pushes the cap into the
+  shuffle read) keeps at most POSTINGS_CAP doc ids per word, while the
+  full df / total-tf stats come from a separate count-only aggregate.
+  The uncapped collect_list-per-word formulation would concentrate a
+  stop-word's whole posting list in one task at 100 TB; this one is
+  bounded by construction.
+
+Determinism (registry rules): per-term score contributions are rounded
+to 6 dp and summed as DECIMAL(18,6) so addition order cannot move the
+result; rankings carry doc_id tie-breaks; ln() on identical doubles is
+bit-identical across Spark and DuckDB (text_tfidf_topk precedent).
+
+Reference parity note: the reference (snowplow/kinesis-s3) has no
+query surface at all (SURVEY.md §2 explicit-absence table) — these
+operators extend the engine for the LLM-curation north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.functions.text import tokens
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+# Okapi BM25 free parameters (the textbook defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+QUERY_TERMS = ("hash", "join", "vector")
+
+POSTINGS_CAP = 20
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+_DOCWORDS_SQL = r"""
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+"""
+
+_BM25_SQL = f"""
+    WITH w AS ({_DOCWORDS_SQL}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM w
+      WHERE word IN ({_TERMS_SQL}) GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(ROUND(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)),
+               6) AS DECIMAL(18, 6)) AS c
+      FROM tf t
+      JOIN df d USING (word)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {BM25_TOPK}
+"""
+
+
+@query("text_bm25_search", oracle=_BM25_SQL)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed 3-term query — the
+    ranked lexical retrieval a decontamination pass runs per eval
+    prompt.
+
+    Plan: one (doc_id) length aggregate for dl, one (doc_id, word)
+    term-frequency aggregate FILTERED to the query terms before the
+    shuffle (predicate on the explode output — only matching tokens
+    ever leave the scan task), a |query|-row df frame and 1-row corpus
+    stats, both broadcast. Final top-10 is a global
+    TakeOrderedAndProject after a (doc_id) sum — no full sort. The
+    per-term contribution is rounded to 6 dp then summed as
+    DECIMAL(18,6) (registry determinism rule) so Spark's and DuckDB's
+    addition orders agree bit-exactly. 100 TB: the only corpus-sized
+    shuffles key on (doc_id[, word]) — uniform, map-side combined;
+    everything else is broadcast-tiny."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    w = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        w.filter(F.col("word").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_norm, 6).cast("decimal(18,6)").alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("doc_id", "score", "rank")
+    )
+
+
+_INVINDEX_SQL = f"""
+    WITH w AS ({_DOCWORDS_SQL}),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+    stats AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY word
+    ),
+    ranked AS (
+      SELECT word, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id) AS rk
+      FROM tf
+    ),
+    heads AS (
+      SELECT word, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      FROM ranked WHERE rk <= {POSTINGS_CAP} GROUP BY word
+    )
+    SELECT s.word, s.df, s.total_tf, h.postings
+    FROM stats s JOIN heads h USING (word)
+"""
+
+
+@query("text_inverted_index", oracle=_INVINDEX_SQL)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: per word, document frequency,
+    total term frequency, and the first-{POSTINGS_CAP} posting list
+    (ascending doc ids, comma-joined for a stable cross-engine value).
+
+    The cap is enforced BEFORE list materialisation: a per-word window
+    rank keeps ≤ {POSTINGS_CAP} rows per word (Spark pushes the limit
+    into the shuffle via WindowGroupLimit), so no task ever holds a
+    stop-word's full posting list — the standard head-of-postings
+    index layout, while exact df/total_tf come from a count-only
+    aggregate that never materialises lists at all. 100 TB: both
+    shuffles key on word (map-side combined counts; ranked cap bounds
+    per-group state); output is |vocab|-sized."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    w = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("word").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    rk = Window.partitionBy("word").orderBy("doc_id")
+    heads = (
+        tf.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= POSTINGS_CAP)
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return stats.join(heads, "word").select("word", "df", "total_tf", "postings")
