@@ -50,6 +50,9 @@ ALLOW_NESTED_LOOP = {
     "join_self_correlation",  # bounded self-join on keys
     "q11_important_parts",  # scalar subquery (1-row threshold broadcast)
     "q22_global_balance",  # scalar subquery (1-row avg-balance broadcast)
+    "text_bm25_search",  # 1-row corpus stats (N, avgdl) broadcast (search.py:136)
+    "sketch_kmv_union",  # 1-row kth-value scalars crossed for the gate (sketches.py:371)
+    "graph_pagerank",  # 1-row |V| / dangling-mass scalars crossed per round (graph.py)
 }
 
 
