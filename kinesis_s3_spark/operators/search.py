@@ -94,52 +94,62 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked lexical retrieval a decontamination pass runs per eval
     prompt.
 
-    Plan: one (doc_id) length aggregate for dl, one (doc_id, word)
-    term-frequency aggregate FILTERED to the query terms before the
-    shuffle (predicate on the explode output — only matching tokens
-    ever leave the scan task), a |query|-row df frame and 1-row corpus
-    stats, both broadcast. Final top-10 is a global
-    TakeOrderedAndProject after a (doc_id) sum — no full sort. The
-    per-term contribution is rounded to 6 dp then summed as
-    DECIMAL(18,6) (registry determinism rule) so Spark's and DuckDB's
-    addition orders agree bit-exactly. 100 TB: the only corpus-sized
-    shuffles key on (doc_id[, word]) — uniform, map-side combined;
-    everything else is broadcast-tiny."""
+    Plan: ONE token explode feeding ONE (doc_id) aggregation that
+    computes the document length AND the per-query-term tfs together
+    (the term set is a fixed literal, so tf-per-term is a conditional
+    sum, not a second shuffle); the cached per-doc frame then yields
+    the 1-row corpus stats (n_docs, avgdl, per-term dfs) and the
+    row-wise BM25 score — zero further shuffles. Final top-10 is a
+    global TakeOrderedAndProject. The per-term contribution is rounded
+    to 6 dp then summed as DECIMAL(18,6) (registry determinism rule)
+    so Spark's and DuckDB's addition orders agree bit-exactly; a
+    zero-tf term contributes an exact decimal 0, matching the oracle's
+    absent-row semantics. 100 TB: the single corpus-sized shuffle keys
+    on doc_id — uniform, map-side combined; everything downstream of
+    it is broadcast-tiny or row-local."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
     w = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
     )
-    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    per_doc = (
+        w.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("word") == t).cast("long")).alias(f"tf{i}")
+                for i, t in enumerate(QUERY_TERMS)
+            ],
+        )
+        .cache()
+    )
+    stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("double").alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
     )
-    tf = (
-        w.filter(F.col("word").isin(*QUERY_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tf_norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    contrib = (
-        tf.join(F.broadcast(df), "word")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(idf * tf_norm, 6).cast("decimal(18,6)").alias("c"),
+
+    def _contrib(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
         )
+        tf_norm = (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        return F.round(idf * tf_norm, 6).cast("decimal(18,6)")
+
+    hit = sum(F.col(f"tf{i}") for i in range(len(QUERY_TERMS)))
+    score = sum(_contrib(i) for i in range(len(QUERY_TERMS))).cast("double")
+    scored = (
+        per_doc.filter(hit > 0)
+        .join(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
     )
-    scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
     win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(win))
