@@ -37,6 +37,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.tpch_correlated",
     "kinesis_s3_spark.operators.bpe",
     "kinesis_s3_spark.operators.search",
+    "kinesis_s3_spark.operators.semdedup",
     "kinesis_s3_spark.operators.graph",
     "kinesis_s3_spark.operators.sketches",
     "kinesis_s3_spark.operators.misc",
@@ -72,6 +73,13 @@ _GATE_FIRST = [
     "sketch_bloom_contamination",
     "approx_percentile_price",
     # -- (2) new or semantically changed in round 5 --
+    "dedup_semantic",
+    "dedup_semantic_recall",
+    "text_bm25_search",
+    "text_inverted_index",
+    "graph_pagerank",
+    "sketch_kmv_distinct",
+    "sketch_kmv_union",
     "ann_pq_topk",
     "ann_recall_pq",
     "text_bpe_train_k64",

@@ -76,6 +76,9 @@ HEADLINE = [
     "text_bpe_train",
     "text_bpe_train_k64",
     "ann_pq_topk",
+    "dedup_semantic",
+    "text_bm25_search",
+    "graph_pagerank",
     "mm_audio_decode_real",
     "sketch_countmin",
     "text_tfidf_topk",

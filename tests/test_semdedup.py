@@ -1,0 +1,56 @@
+"""SemDeDup (cluster-blocked semantic dedup) quality tests: verdict
+consistency, twin coverage gated against the planted ground truth, and
+agreement with the strict-LSH pair mechanism on the shared corpus."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+
+from kinesis_s3_spark.operators.ann import PLANT_N, PLANT_OFFSET
+from kinesis_s3_spark.operators.semdedup import SEM_K, SEM_THRESHOLD
+from tests.conftest import SF_CORRECT
+
+Q = entrymod.queries()
+
+
+def test_semdedup_verdicts_consistent(spark):
+    rows = Q["dedup_semantic"](spark, SF_CORRECT).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    # one verdict per augmented vector (corpus + planted twins)
+    assert len(rows) == len(by_id)
+    assert sum(1 for r in rows if r["vec_id"] >= PLANT_OFFSET) == PLANT_N
+    for r in rows:
+        assert 0 <= r["cluster"] < SEM_K
+        if r["keep"]:
+            assert r["dup_of"] == -1 and r["n_sim"] == 0
+        else:
+            # dup_of is a real lower-id vector in the SAME cluster
+            assert r["dup_of"] in by_id and r["dup_of"] < r["vec_id"]
+            assert by_id[r["dup_of"]]["cluster"] == r["cluster"]
+            assert r["n_sim"] >= 1
+
+
+def test_semdedup_recall_gate(spark):
+    """Cluster blocking must catch >= 90% of the planted twins (each
+    twin pair has cosine ~0.9996 >> threshold, so a miss can only be a
+    cluster-boundary split — the mechanism's one failure mode)."""
+    r = Q["dedup_semantic_recall"](spark, SF_CORRECT).collect()[0]
+    assert r["n_true"] == PLANT_N
+    assert r["recall"] >= 0.9, r
+
+
+def test_semdedup_drops_are_twin_shaped(spark):
+    """On this corpus every drop should pair a twin with its original:
+    no natural pair reaches the 0.85 threshold (corpus max ~0.51)."""
+    dropped = (
+        Q["dedup_semantic"](spark, SF_CORRECT)
+        .filter(~F.col("keep"))
+        .collect()
+    )
+    assert dropped, "planted twins must produce drops"
+    for r in dropped:
+        assert r["vec_id"] >= PLANT_OFFSET
+        assert r["dup_of"] == r["vec_id"] - PLANT_OFFSET
+    assert SEM_THRESHOLD == 0.85  # drop-shape argument relies on it
