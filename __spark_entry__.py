@@ -38,6 +38,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.bpe",
     "kinesis_s3_spark.operators.search",
     "kinesis_s3_spark.operators.semdedup",
+    "kinesis_s3_spark.operators.dsir",
     "kinesis_s3_spark.operators.graph",
     "kinesis_s3_spark.operators.sketches",
     "kinesis_s3_spark.operators.misc",
@@ -75,6 +76,7 @@ _GATE_FIRST = [
     # -- (2) new or semantically changed in round 5 --
     "dedup_semantic",
     "dedup_semantic_recall",
+    "curation_dsir_weights",
     "text_bm25_search",
     "text_inverted_index",
     "graph_pagerank",

@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_semantic",
     "text_bm25_search",
     "graph_pagerank",
+    "curation_dsir_weights",
     "mm_audio_decode_real",
     "sketch_countmin",
     "text_tfidf_topk",

@@ -53,6 +53,7 @@ ALLOW_NESTED_LOOP = {
     "text_bm25_search",  # 1-row corpus stats (N, avgdl) broadcast (search.py:136)
     "sketch_kmv_union",  # 1-row kth-value scalars crossed for the gate (sketches.py:371)
     "graph_pagerank",  # 1-row |V| / dangling-mass scalars crossed per round (graph.py)
+    "curation_dsir_weights",  # 1-row corpus totals broadcast (dsir.py)
 }
 
 
