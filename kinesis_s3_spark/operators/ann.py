@@ -42,6 +42,7 @@ from pyspark.sql.window import Window
 
 from kinesis_s3_spark.operators.dedup import cosine_sim, dedup_embedding_cosine
 from kinesis_s3_spark.operators.embeddings import (
+    _DEC,
     _KM_ASSIGN_SQL,
     _KM_UPDATE_SQL,
     _dot,
@@ -1010,50 +1011,132 @@ _PQ_TOPK_SQL = (
 )
 
 
-def _pq_codebooks(vv: DataFrame) -> list[list[tuple[int, list[float]]]]:
-    """Train one codebook per subspace: slice the cached (vec_id, e)
-    frame, rebuild ee for the subvector, run the SAME Lloyd loop as
-    emb_kmeans (seeds = vec_id < PQ_K). M × PQ_ITERS × 2 jobs total;
-    each codebook is PQ_K × PQ_SUB doubles — driver-sized."""
-    books = []
-    for m in range(PQ_M):
-        sub = (
-            vv.select("vec_id", F.slice("e", m * PQ_SUB + 1, PQ_SUB).alias("e"))
-            .withColumn("ee", _dot(F.col("e"), F.col("e")))
-            .cache()
+def _pq_subs(vv: DataFrame) -> DataFrame:
+    """Long-format subspace view (vec_id, m, se, see), CACHED — one
+    frame feeds seed collection, every Lloyd round, and encoding."""
+    return (
+        vv.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[F.slice("e", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+                )
+            ).alias("m", "se"),
         )
-        books.append(lloyd_centroids(sub, PQ_K, PQ_ITERS))
-        sub.unpersist()
+        .withColumn("see", _dot(F.col("se"), F.col("se")))
+        .cache()
+    )
+
+
+def _pq_cents_df(spark: SparkSession, books) -> DataFrame:
+    """The current codebooks as a broadcast-sized (m, cid, c) frame.
+    A join against ≤ M·K runtime rows keeps the scoring expression
+    SMALL — the previous literal formulation inlined all M·K centroid
+    arrays into one expression tree, and whole-stage-codegen COMPILE
+    time (seconds per distinct round/encode plan, independent of data
+    size) dominated the query."""
+    return F.broadcast(
+        spark.createDataFrame(
+            [(m, cid, list(c)) for m in range(PQ_M) for cid, c in books[m]],
+            "m int, cid int, c array<double>",
+        )
+    )
+
+
+def _pq_assign(spark: SparkSession, subs: DataFrame, books) -> DataFrame:
+    """(vec_id, m, se, cid): per-subspace argmin code via broadcast
+    join + min over (dist, cid) structs — lexicographic struct min ==
+    the rounded-dist argmin with cid tie-break (_km_assign's ordering);
+    se is constant within each (vec_id, m) group so first() is
+    deterministic."""
+    scored = subs.join(_pq_cents_df(spark, books), "m").select(
+        "vec_id",
+        "m",
+        "se",
+        F.struct(
+            F.round(
+                F.col("see")
+                - 2 * _dot(F.col("se"), F.col("c"))
+                + _dot(F.col("c"), F.col("c")),
+                4,
+            ).alias("dist"),
+            F.col("cid").alias("cid"),
+        ).alias("dc"),
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.min("dc")["cid"].alias("cid"), F.first("se").alias("se")
+    )
+
+
+def _pq_codebooks(
+    spark: SparkSession, subs: DataFrame
+) -> list[list[tuple[int, list[float]]]]:
+    """Train ALL M codebooks concurrently over the long-format frame:
+    each Lloyd round is ONE assignment-plus-means job across every
+    subspace at once — the means aggregate keys on (m, cid, pos) and
+    collects ≤ M·K·PQ_SUB rows. Per-subspace math is IDENTICAL to
+    running lloyd_centroids M times (same vec_id < K seeds, same 4-dp
+    rounded dist with cid tie-break, same DECIMAL(38,12)/ROUND-6
+    means), which is what the unrolled per-subspace oracle chains
+    check; only the JOB COUNT changes — 1 seed collect + PQ_ITERS
+    collects instead of M·(1+PQ_ITERS) sequential driver round-trips
+    (that job latency was most of this query's former 15 s fixed
+    cost; the rest was literal-expression codegen, see _pq_cents_df)."""
+    seed_rows = (
+        subs.filter(F.col("vec_id") < PQ_K).select("vec_id", "m", "se").collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = [
+        sorted(
+            (
+                (int(r["vec_id"]), [float(x) for x in r["se"]])
+                for r in seed_rows
+                if int(r["m"]) == m
+            )
+        )
+        for m in range(PQ_M)
+    ]
+    for _ in range(PQ_ITERS):
+        assigned = _pq_assign(spark, subs, books)
+        means = (
+            assigned.select("m", "cid", F.posexplode("se").alias("pos", "xd"))
+            .select("m", "cid", "pos", F.col("xd").cast(_DEC).alias("x"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
+            .collect()
+        )
+        by_m: list[dict[int, dict[int, float]]] = [dict() for _ in range(PQ_M)]
+        for r in means:
+            by_m[int(r["m"])].setdefault(int(r["cid"]), {})[int(r["pos"])] = float(
+                r["cx"]
+            )
+        books = [
+            [
+                (cid, [pos_map[p] for p in sorted(pos_map)])
+                for cid, pos_map in sorted(by_m[m].items())
+            ]
+            for m in range(PQ_M)
+        ]
     return books
 
 
-def _pq_encode(vv: DataFrame, books) -> DataFrame:
-    """One shuffle-free projection: per subspace, the argmin code over
-    the codebook LITERAL via array_min on (dist, cid) structs — the
-    same rounded-dist-then-cid ordering as the oracle's ROW_NUMBER."""
-    out = vv.select("vec_id", "e", "ee")
-    for m, cents in enumerate(books):
-        sub = F.slice("e", m * PQ_SUB + 1, PQ_SUB)
-        see = _dot(sub, sub)
-        scored = F.array(
+def _pq_encode(
+    spark: SparkSession, vv: DataFrame, subs: DataFrame, books
+) -> DataFrame:
+    """(vec_id, e, ee, k0..k{PQ_M-1}): final argmin codes from the
+    shared assignment path, pivoted to one row per vector and joined
+    back to the raw vectors (for the exact rerank). Both shuffles key
+    on vec_id — uniform at any corpus size."""
+    codes = (
+        _pq_assign(spark, subs, books)
+        .groupBy("vec_id")
+        .agg(
             *[
-                F.struct(
-                    F.round(
-                        see
-                        - 2 * _dot(sub, F.array(*[F.lit(float(x)) for x in c]))
-                        + _dot(
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                        ),
-                        4,
-                    ).alias("dist"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c in cents
+                F.min(F.when(F.col("m") == m, F.col("cid"))).alias(f"k{m}")
+                for m in range(PQ_M)
             ]
         )
-        out = out.withColumn(f"k{m}", F.array_min(scored)["cid"])
-    return out
+    )
+    return vv.select("vec_id", "e", "ee").join(codes, "vec_id")
 
 
 def _pq_query_side(vv: DataFrame, books) -> list[dict]:
@@ -1088,8 +1171,9 @@ def _pq_query_side(vv: DataFrame, books) -> list[dict]:
 
 def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vv = kmeans_vv(spark, sf_dir)
-    books = _pq_codebooks(vv)
-    enc = _pq_encode(vv, books)
+    subs = _pq_subs(vv)
+    books = _pq_codebooks(spark, subs)
+    enc = _pq_encode(spark, vv, subs, books)
     queries = _pq_query_side(vv, books)
     q_lit = F.array(
         *[

@@ -187,11 +187,17 @@ def test_pq_codes_are_compressed_domain(spark):
     with 4 subspaces × 16 centroids there are at most 16⁴ distinct
     code words, and every corpus vector must map to one (codes in
     [0, 16) per subspace)."""
-    from kinesis_s3_spark.operators.ann import PQ_K, _pq_codebooks, _pq_encode
+    from kinesis_s3_spark.operators.ann import (
+        PQ_K,
+        _pq_codebooks,
+        _pq_encode,
+        _pq_subs,
+    )
     from kinesis_s3_spark.operators.embeddings import kmeans_vv
 
     vv = kmeans_vv(spark, SF_CORRECT)
-    enc = _pq_encode(vv, _pq_codebooks(vv))
+    subs = _pq_subs(vv)
+    enc = _pq_encode(spark, vv, subs, _pq_codebooks(spark, subs))
     from pyspark.sql import functions as F
 
     bad = enc.filter(
