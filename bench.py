@@ -106,6 +106,17 @@ def ensure_scale10(spark) -> bool:
     return True
 
 
+# dedup_embedding_lsh is the deliberately noise-floor-thresholded
+# ORACLE ANCHOR (ann.py): its candidate set is pair-bound by design
+# (SCALE.md measured 204x pairs at 10x), so at sf1 it alone costs
+# ~180 s — 56% of the whole pass — while saying nothing new about the
+# engine (its production sibling dedup_embedding_lsh_strict runs the
+# same plan shape at a real threshold and IS measured). Skipping it at
+# sf1 only, explicitly recorded in the artifact, keeps the 10x pass
+# representative instead of anchor-dominated.
+SKIP_SF1 = {"dedup_embedding_lsh": "noise-floor oracle anchor, pair-bound at 10x"}
+
+
 def run_sf1(spark, queries) -> tuple[dict[str, float], dict[str, str]]:
     """One measured run per query at 10× (the JVM is warm from the
     sf0.1 medians; a warm protocol at this scale would double an
@@ -114,6 +125,9 @@ def run_sf1(spark, queries) -> tuple[dict[str, float], dict[str, str]]:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
+        if name in SKIP_SF1:
+            errors[name] = f"skipped_sf1: {SKIP_SF1[name]}"
+            continue
         t0 = time.time()
         try:
             materialize(queries[name](spark, SF1_DIR))
