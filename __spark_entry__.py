@@ -89,6 +89,7 @@ _GATE_FIRST = [
     "text_bpe_tokenize",
     "mm_image_decode_file",
     "mm_audio_decode_file",
+    "mm_image_resize_real",
     "mm_binary_files_meta",
     "approx_distinct_users",
     "etl_bad_row_archive",

@@ -325,3 +325,56 @@ def decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "channels": dims.map(lambda t: t[2]).astype("int32"),
             }
         )
+
+
+# --- resize transform (decode -> transform -> re-encode) ---------------------
+#
+# The first TRANSFORM stage of the multimodal pipeline: nearest-
+# neighbor downsample to a fixed thumbnail, implemented on the real
+# BMP codec (decode_bmp -> index-map resize -> encode_bmp -> decode_bmp
+# round-trip of the RESULT). The index map is pure integer arithmetic
+# (src_row = i*h // DST, src_col = j*w // DST), so the DuckDB oracle
+# predicts the resized pixel checksum from the same formulas without
+# touching bytes — a wrong axis, a rounding drift, or a re-encode bug
+# all break the value hash.
+
+RESIZE_DST = 8  # thumbnail edge (pixels)
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int,"
+    " n_bytes int, pix_checksum bigint"
+)
+
+
+def resize_nearest(pixels: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray:
+    """Nearest-neighbor resample via floor index maps (top-left
+    convention: src index = dst index * src_extent // dst_extent)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(dst_h) * h) // dst_h
+    xs = (np.arange(dst_w) * w) // dst_w
+    return np.ascontiguousarray(pixels[ys][:, xs])
+
+
+def resize_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for mm_image_resize_real: synth BMP -> real
+    decode -> nearest-neighbor resize -> real re-encode -> real decode
+    of the thumbnail; reports source dims, thumbnail dims/file size,
+    and the thumbnail's pixel checksum. Per-image work bounded
+    (<= 16x16 src, 8x8 dst); memory is one Arrow batch."""
+    for pdf in batches:
+        out = {
+            "doc_id": [], "src_w": [], "src_h": [], "dst_w": [],
+            "dst_h": [], "n_bytes": [], "pix_checksum": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            sw, sh, _, pixels = decode_bmp(encode_bmp(synth_pixels(int(doc_id))))
+            thumb_bytes = encode_bmp(resize_nearest(pixels, RESIZE_DST, RESIZE_DST))
+            dw, dh, _, thumb = decode_bmp(thumb_bytes)
+            out["doc_id"].append(int(doc_id))
+            out["src_w"].append(sw)
+            out["src_h"].append(sh)
+            out["dst_w"].append(dw)
+            out["dst_h"].append(dh)
+            out["n_bytes"].append(len(thumb_bytes))
+            out["pix_checksum"].append(pixel_checksum(thumb))
+        yield pd.DataFrame(out)

@@ -15,11 +15,13 @@ from kinesis_s3_spark.multimodal.codecs import (
     AUDIO_DECODE_SCHEMA,
     IMAGE_META_SCHEMA,
     REAL_DECODE_SCHEMA,
+    RESIZE_SCHEMA,
     decode_audio_batches,
     decode_image_batches,
     decode_real_batches,
     decode_stored_audio_batches,
     decode_stored_image_batches,
+    resize_image_batches,
 )
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
@@ -272,4 +274,63 @@ def mm_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("f").cast("int").alias("frame_idx"),
         (F.col("f") * 100).cast("int").alias("byte_offset"),
+    )
+
+
+# arithmetic prediction of decode -> nearest-neighbor resize ->
+# re-encode: thumbnail pixel (i, j) is source pixel
+# (i*h // 8, j*w // 8), and the source pixels are the synth_pixels
+# formulas — so the oracle computes the thumbnail checksum without
+# touching bytes, and any axis swap, rounding drift, or re-encode bug
+# in the transform chain breaks the value hash.
+_IMAGE_RESIZE_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+             CAST((doc_id * 3) % 16 + 1 AS BIGINT) AS h
+      FROM documents
+    ),
+    jj AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM dims),
+    ij AS (SELECT doc_id, w, h, j, unnest(range(0, 8)) AS i FROM jj),
+    src AS (
+      SELECT doc_id, i, j, (j * w) // 8 AS x, (i * h) // 8 AS y
+      FROM ij
+    ),
+    chk AS (
+      SELECT doc_id,
+             CAST(SUM((
+                 ((doc_id + x*7 + y*13) % 256)
+               + ((doc_id*5 + x*3 + y) % 256) * 256
+               + ((doc_id*2 + x + y*11) % 256) * 65536
+             ) * (i*8 + j + 1)) % 2147483647 AS BIGINT) AS pix_checksum
+      FROM src GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS src_w,
+           CAST(d.h AS INT) AS src_h,
+           8 AS dst_w,
+           8 AS dst_h,
+           CAST(54 + 8 * ((8*3 + 3) // 4 * 4) AS INT) AS n_bytes,
+           c.pix_checksum
+    FROM dims d JOIN chk c USING (doc_id)
+    """
+
+
+@query("mm_image_resize_real", oracle=_IMAGE_RESIZE_ORACLE)
+def mm_image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first multimodal TRANSFORM stage: real BMP decode ->
+    nearest-neighbor 8x8 thumbnail -> real BMP re-encode -> real
+    decode of the result, all inside one Arrow-batched mapInPandas
+    (multimodal/codecs.py:resize_nearest/resize_image_batches). The
+    oracle predicts source dims, thumbnail file size, and the
+    thumbnail pixel checksum purely arithmetically via the floor index
+    maps, so the whole decode->transform->encode chain is value-gated.
+
+    Scale: identical plumbing to mm_image_decode_real — a map-only
+    stage, parallelism = scan partitions, one Arrow batch resident per
+    task; a real corpus swaps the synth step for the stored binary
+    column (mm_image_decode_file's ingestion edge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(
+        resize_image_batches, schema=RESIZE_SCHEMA
     )

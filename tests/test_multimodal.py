@@ -220,3 +220,44 @@ def test_audio_parquet_fixture_roundtrip(spark, tmp_path, monkeypatch):
     want, want_rate = codecs.synth_samples(11)
     assert (rate, ch, n) == (want_rate, want.shape[1], want.shape[0])
     assert (samples == want).all()
+
+
+def test_resize_nearest_index_map():
+    """Thumbnail pixel (i, j) must be source pixel (i*h//8, j*w//8) —
+    down- AND up-sampling cases, exact equality against direct
+    indexing of the synthesized source."""
+    import numpy as np
+
+    from kinesis_s3_spark.multimodal.codecs import (
+        RESIZE_DST,
+        resize_nearest,
+        synth_pixels,
+    )
+
+    for doc_id in (0, 3, 7, 15, 16, 123):  # dims from 1x1 up to 16x16
+        src = synth_pixels(doc_id)
+        h, w, _ = src.shape
+        thumb = resize_nearest(src, RESIZE_DST, RESIZE_DST)
+        assert thumb.shape == (RESIZE_DST, RESIZE_DST, 3)
+        for i in range(RESIZE_DST):
+            for j in range(RESIZE_DST):
+                assert (thumb[i, j] == src[(i * h) // RESIZE_DST, (j * w) // RESIZE_DST]).all()
+
+
+def test_resize_survives_reencode_roundtrip():
+    """The re-encoded thumbnail must decode back to the same pixels
+    (the operator checksums the ROUND-TRIPPED thumbnail)."""
+    import numpy as np
+
+    from kinesis_s3_spark.multimodal.codecs import (
+        RESIZE_DST,
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+        synth_pixels,
+    )
+
+    thumb = resize_nearest(synth_pixels(42), RESIZE_DST, RESIZE_DST)
+    w, h, c, back = decode_bmp(encode_bmp(thumb))
+    assert (w, h, c) == (RESIZE_DST, RESIZE_DST, 3)
+    assert np.array_equal(back, thumb)
