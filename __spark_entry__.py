@@ -80,6 +80,7 @@ _GATE_FIRST = [
     "text_bm25_search",
     "text_inverted_index",
     "graph_pagerank",
+    "graph_triangles",
     "sketch_kmv_distinct",
     "sketch_kmv_union",
     "ann_pq_topk",

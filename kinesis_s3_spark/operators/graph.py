@@ -49,6 +49,23 @@ def _edges_sql() -> str:
 """
 
 
+def transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, n): per-user consecutive-event transitions weighted
+    by count — the shared edge frame for all graph operators. One
+    (user_id) window pass + one (src, dst) aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def _iter_sql(k: int) -> str:
     prev = f"r{k - 1}"
     return f"""
@@ -115,17 +132,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is ONE job that is linear in |E|: exactly the
     materialize-per-superstep contract GraphX/Pregel uses."""
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        events.select(
-            F.col("event_type").alias("src"),
-            F.lead("event_type").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("long").alias("n"))
-        .cache()
-    )
+    edges = transition_edges(spark, sf_dir).cache()
     outw = edges.groupBy("src").agg(F.sum("n").cast("long").alias("out_n"))
     nodes = events.select(F.col("event_type").alias("v")).distinct().cache()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
@@ -183,4 +190,88 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("event_type"),
         F.round("r", 6).alias("pagerank"),
         F.row_number().over(win).alias("rank"),
+    )
+
+
+# --- triangle counting -------------------------------------------------------
+
+_TRIANGLES_SQL = f"""
+    WITH edges AS ({_edges_sql()}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT n.v AS event_type, COALESCE(p.n_triangles, 0) AS n_triangles
+    FROM (SELECT DISTINCT event_type AS v FROM events) n
+    LEFT JOIN per_node p ON n.v = p.v
+"""
+
+
+@query("graph_triangles", oracle=_TRIANGLES_SQL)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected event-transition
+    graph — the clustering-structure primitive (community density,
+    spam/bot subgraph detection) next to PageRank's centrality.
+
+    Plan: canonicalize each edge to (a < b) and dedupe; enumerate
+    wedges with ONE equi-join on the shared middle vertex (e1.b =
+    e2.a, which under canonical ordering yields exactly the x < y < z
+    orientation), then close them against the edge list with a second
+    equi-join — every triangle is produced exactly once, no cartesian
+    anywhere. Per-node counts are an explode + count. 100 TB: this is
+    the standard ordered-wedge MR triangle algorithm; wedge volume is
+    sum_v deg(v)^2, controlled by the canonical orientation pushing
+    high-degree vertices to the wedge tails, and every join keys on
+    vertex ids."""
+    edges = transition_edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .cache()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    # one explode instead of a 3-way unionAll: the union form would
+    # re-execute the two triangle joins once per branch
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    events = load_table(spark, sf_dir, "events")
+    nodes = events.select(F.col("event_type").alias("v")).distinct()
+    return (
+        nodes.join(per_node, "v", "left")
+        .select(
+            F.col("v").alias("event_type"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
     )
