@@ -39,6 +39,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.search",
     "kinesis_s3_spark.operators.semdedup",
     "kinesis_s3_spark.operators.dsir",
+    "kinesis_s3_spark.operators.sampling",
     "kinesis_s3_spark.operators.graph",
     "kinesis_s3_spark.operators.sketches",
     "kinesis_s3_spark.operators.misc",
@@ -77,6 +78,7 @@ _GATE_FIRST = [
     "dedup_semantic",
     "dedup_semantic_recall",
     "curation_dsir_weights",
+    "curation_weighted_sample",
     "text_bm25_search",
     "text_inverted_index",
     "graph_pagerank",
