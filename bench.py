@@ -79,7 +79,10 @@ HEADLINE = [
     "dedup_semantic",
     "text_bm25_search",
     "graph_pagerank",
+    "graph_triangles",
     "curation_dsir_weights",
+    "curation_weighted_sample",
+    "mm_image_resize_real",
     "mm_audio_decode_real",
     "sketch_countmin",
     "text_tfidf_topk",
