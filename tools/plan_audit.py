@@ -67,6 +67,14 @@ EXCHANGE_SLACK = {
     "dedup_cluster_resolve": 8,  # label propagation, ~5 rounds embedded
 }
 
+# NOTE on budget provenance: budgets are IN-SESSION measurements
+# (--write-budgets runs the whole registry in one session), so plans
+# that pick up another query's cached frame as an InMemoryRelation
+# subtree (e.g. graph_triangles re-reading pagerank's cached
+# transition_edges: 20 in-session vs 10 standalone) are budgeted at
+# the in-session number — always re-baseline via --write-budgets, not
+# by measuring a query solo.
+
 
 def load_budgets() -> dict[str, int]:
     if not os.path.exists(BUDGET_PATH):
