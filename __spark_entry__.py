@@ -95,6 +95,7 @@ _GATE_FIRST = [
     "mm_image_resize_real",
     "mm_binary_files_meta",
     "approx_distinct_users",
+    "etl_indexed_gzip_splits",
     "etl_bad_row_archive",
     # -- (3) round-4 band, then older greens --
     "dedup_embedding_lsh_strict",

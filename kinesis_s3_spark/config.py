@@ -48,10 +48,15 @@ class InitialPosition(str, Enum):
 
 class Compression(str, Enum):
     """Config.scala output.s3.compression; LZO is satisfied by parquet's
-    native splittability (SURVEY §7 risk 4)."""
+    native splittability (SURVEY §7 risk 4), or byte-for-byte-faithfully
+    by GZIP_INDEXED: standard gzip files with full-flush sync points and
+    a .index offset sidecar — the LzoSerializer file.lzo + file.lzo.index
+    contract (LzoSerializer.scala:58-61) on a universally readable codec
+    (sinks/indexed_gzip.py)."""
 
     GZIP = "GZIP"
     PARQUET = "PARQUET"  # engine-native splittable default
+    GZIP_INDEXED = "GZIP_INDEXED"  # gzip + split-offset sidecar (O11)
 
 
 @dataclass(frozen=True)

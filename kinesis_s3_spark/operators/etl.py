@@ -411,3 +411,115 @@ def etl_bad_row_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             timestamp=F.lit("2026-01-01 00:00:00").cast("timestamp"),
         ).alias("bad_row"),
     )
+
+
+_INDEXED_GZIP_SQL = """
+    SELECT CAST(event_id % 4 AS VARCHAR) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(1 + (COUNT(*) - 1) // 100 AS BIGINT) AS n_splits,
+           CAST(SUM(('0x' || substr(md5(
+                 CAST(event_id AS VARCHAR) || chr(9) ||
+                 CAST(user_id AS VARCHAR) || chr(9) || event_type
+               ), 1, 15))::BIGINT % 1000003) AS BIGINT) AS line_checksum
+    FROM events GROUP BY 1
+"""
+
+
+@query("etl_indexed_gzip_splits", oracle=_INDEXED_GZIP_SQL)
+def etl_indexed_gzip_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 discharged end-to-end: events are serialized through the
+    indexed-gzip sink (sinks/indexed_gzip.py — standard gzip files
+    with full-flush sync points + a .index offset sidecar, the
+    LzoSerializer file.lzo/file.lzo.index contract), then read BACK
+    exclusively via INDEPENDENT SPLIT READS — each (offset, length)
+    range raw-inflated with zero state from any other range, in
+    parallel Arrow tasks. The per-group record counts, split counts,
+    and line checksums the splits reassemble must equal what the
+    oracle computes from the raw table: a wrong sync offset, a
+    record-boundary drift, or a corrupt range decode all break the
+    hash. Groups are event_id % 4, so the oracle can predict the split
+    count exactly (1 + (n-1)//sync_every).
+
+    Output dir is keyed by applicationId (concurrent-session-safe,
+    idempotent per session — the bad-row-archive precedent).
+
+    Scale: the write is one streaming pass per group file (O(1)
+    memory); the read is |splits| independent range reads — the
+    downstream-parallelism property the reference's LZO index exists
+    to provide, demonstrated rather than assumed."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_s3_spark.sinks.indexed_gzip import (
+        read_index,
+        write_indexed_gzip_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("event_id"), F.lit(4)).cast("string").alias("grp"),
+        F.concat_ws(
+            "\t",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+        ).alias("value"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "kinesis_s3_spark_indexed_gzip",
+        spark.sparkContext.applicationId,
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_indexed_gzip_grouped(
+        ev.repartition(4, F.col("grp")), out, ["grp"], sync_every=100
+    )
+
+    # driver-side: enumerate the sidecars into (grp, path, start, end)
+    # ranges — |files| and |splits| are tiny (4 groups, n/100 splits);
+    # the RANGE READS below are the distributed part
+    ranges = []
+    for grp_dir in sorted(os.listdir(out)):
+        grp = grp_dir.split("=", 1)[1]
+        d = os.path.join(out, grp_dir)
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".index"):
+                continue
+            gz = os.path.join(d, fname[: -len(".index")])
+            points, _n, total_bytes = read_index(os.path.join(d, fname))
+            for i, (_recs, off) in enumerate(points):
+                end = points[i + 1][1] if i + 1 < len(points) else total_bytes
+                ranges.append((grp, gz, off, end))
+    rdf = spark.createDataFrame(
+        ranges, "grp string, path string, start long, stop long"
+    )
+
+    def _read_ranges(batches):
+        import pandas as pd
+
+        from kinesis_s3_spark.sinks.indexed_gzip import read_split
+
+        for pdf in batches:
+            out_grp, out_line = [], []
+            for grp, path, start, stop in zip(
+                pdf["grp"], pdf["path"], pdf["start"], pdf["stop"]
+            ):
+                for line in read_split(path, int(start), int(stop)):
+                    out_grp.append(grp)
+                    out_line.append(line)
+            yield pd.DataFrame({"grp": out_grp, "line": out_line})
+
+    lines = rdf.mapInPandas(_read_ranges, schema="grp string, line string")
+    line_hash = (
+        F.conv(F.substring(F.md5(F.col("line")), 1, 15), 16, 10).cast("long")
+        % 1000003
+    )
+    per_grp = lines.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum(line_hash).cast("long").alias("line_checksum"),
+    )
+    splits = rdf.groupBy("grp").agg(F.count("*").cast("long").alias("n_splits"))
+    return per_grp.join(splits, "grp").select(
+        "grp", "n_records", "n_splits", "line_checksum"
+    )

@@ -191,6 +191,24 @@ def emit(
                 # the text sink emits newline-delimited gzip members
                 # exactly like GZIPOutputStream framing in the reference
                 writer.option("compression", "gzip").text(batch_dir)
+            elif cfg.output.s3.compression is Compression.GZIP_INDEXED:
+                # O11 faithful: gzip + .index split-offset sidecar per
+                # object (LzoSerializer's file.lzo + file.lzo.index
+                # contract); replay idempotence = clear-then-write into
+                # the per-batch dir, mirroring mode=overwrite above
+                import shutil
+
+                from kinesis_s3_spark.sinks.indexed_gzip import (
+                    write_indexed_gzip_grouped,
+                )
+
+                shutil.rmtree(batch_dir, ignore_errors=True)
+                write_indexed_gzip_grouped(
+                    routed,
+                    batch_dir,
+                    [ROW_TYPE_COL, ROW_SUBTYPE_COL],
+                    roll_bytes=cfg.buffer.byte_limit or None,
+                )
             else:
                 writer.option("compression", "zstd").parquet(batch_dir)
 
