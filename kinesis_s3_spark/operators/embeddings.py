@@ -200,34 +200,37 @@ def kmeans_vv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _km_rank(vv: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Score every (vector, centroid) pair against the broadcast k×d
-    centroid literal inside the scan; rank per vector by rounded
+    """Score every (vector, centroid) pair against a BROADCAST k-row
+    centroid frame (BroadcastNestedLoopJoin over k rows — the n×k
+    score materialization either way); rank per vector by rounded
     euclidean dist² with cid tie-break. Consumers filter rn == 1
-    (assignment) or rn ≤ n_probe (IVF query probing)."""
+    (assignment) or rn ≤ n_probe (IVF query probing).
+
+    A runtime frame rather than a k×d literal keeps the scoring
+    expression SMALL: the literal form inlined every centroid array
+    into the plan and whole-stage-codegen compile time (seconds per
+    distinct centroid set — i.e. per Lloyd round — independent of
+    data) dominated every k-means-family query (the ann_pq_topk
+    finding, applied to the shared ranker)."""
     from pyspark.sql.window import Window
 
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
-            )
-            for cid, vec in cents
-        ]
-    )
-    scored = (
-        vv.select("vec_id", "e", "ee", F.explode(cent_lit).alias("cs"))
-        .select(
-            "vec_id",
-            "e",
-            F.col("cs.cid").alias("cid"),
-            F.round(
-                F.col("ee")
-                - 2 * _dot(F.col("e"), F.col("cs.c"))
-                + _dot(F.col("cs.c"), F.col("cs.c")),
-                4,
-            ).alias("dist"),
+    spark = vv.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(cid, [float(x) for x in vec]) for cid, vec in cents],
+            "cid int, c array<double>",
         )
+    )
+    scored = vv.select("vec_id", "e", "ee").join(cdf).select(
+        "vec_id",
+        "e",
+        "cid",
+        F.round(
+            F.col("ee")
+            - 2 * _dot(F.col("e"), F.col("c"))
+            + _dot(F.col("c"), F.col("c")),
+            4,
+        ).alias("dist"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
     return scored.withColumn("rn", F.row_number().over(w))

@@ -43,7 +43,10 @@ ALLOW_NESTED_LOOP = {
     "dedup_embedding_cosine",  # guarded sf-scale oracle anchor
     "dedup_recall_embedding_lsh",  # runs the guarded anchor as truth
     "dedup_ngram_jaccard",  # guarded within-block verify
-    "emb_kmeans",  # centroid-literal explode, no join input
+    "emb_kmeans",  # broadcast k-row centroid frame (embeddings._km_rank)
+    "ann_ivf_kmeans_topk",  # same broadcast centroid ranker
+    "dedup_semantic",  # same broadcast centroid ranker (semdedup.py)
+    "dedup_semantic_recall",
     "join_range_bands",  # banded range join, bounded bands
     "text_unigram_surprisal",  # broadcast 1-row total
     "text_tfidf_topk",  # broadcast 1-row n_docs
