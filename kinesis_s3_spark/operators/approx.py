@@ -94,14 +94,68 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentile_price")
+@query(
+    "approx_percentile_price",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+           true AS median_rank_ok,
+           true AS p90_rank_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (bounded-memory quantiles) — the huge-group /
-    streaming twin of agg_percentiles. Accuracy asserted in tests."""
+    streaming twin of agg_percentiles — with a CHECKABLE accuracy
+    contract (the approx_distinct_users pattern): the sketch promises
+    rank error ≤ n/accuracy, so the query computes the TRUE rank of
+    each estimate in the same pass (count of values ≤ estimate) and
+    asserts |rank - q·n| / n within a generous 10× of the 1/10000
+    guarantee. The oracle pins the exact quantiles and expects every
+    tolerance flag TRUE — the driver's value-hash now covers this
+    sketch's accuracy instead of recording no_oracle.
+
+    Scale: two aggregations over the same (priority) key — the
+    estimate pass and one conditional-count verify pass against the
+    broadcast 5-row estimates. The sketch itself is the bounded-state
+    point; the verify join stays corpus-linear."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    est = o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("approx_p90"),
+    )
+    verified = (
+        o.join(F.broadcast(est), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
+                "exact_median"
+            ),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("exact_p90"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("approx_median")).cast("long")
+            ).alias("rank_med"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("approx_p90")).cast("long")
+            ).alias("rank_p90"),
+        )
+    )
+    # 10× the sketch's 1/accuracy rank-error guarantee, plus 2/n for
+    # rank discreteness (the estimate is an actual data point, so its
+    # empirical rank can sit a whole 1/n off q even with a perfect
+    # sketch — dominant at the small smoke SF)
+    n = F.col("n_orders").cast("double")
+    tol = F.lit(10.0 / 10000) + F.lit(2.0) / n
+    return verified.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_median",
+        "exact_p90",
+        (F.abs(F.col("rank_med") / n - 0.5) <= tol).alias("median_rank_ok"),
+        (F.abs(F.col("rank_p90") / n - 0.9) <= tol).alias("p90_rank_ok"),
     )
 
 

@@ -33,16 +33,20 @@ def test_approx_distinct_contract(spark):
     assert {r["event_type"]: r["exact_users"] for r in rows} == exact
 
 
-def test_approx_percentile_within_1pct(spark):
-    approx = {
-        r["o_orderpriority"]: (r["approx_median"], r["approx_p90"])
+def test_approx_percentile_rank_contract(spark):
+    """The query now carries its accuracy contract inline (the
+    approx_distinct_users pattern): exact quantiles match
+    agg_percentiles and every rank-tolerance flag is TRUE."""
+    rows = {
+        r["o_orderpriority"]: r
         for r in Q["approx_percentile_price"](spark, SF_CORRECT).collect()
     }
     exact = {
         r["o_orderpriority"]: (r["median_price"], r["p90_price"])
         for r in Q["agg_percentiles"](spark, SF_CORRECT).collect()
     }
+    assert rows.keys() == exact.keys()
     for k, (em, e9) in exact.items():
-        am, a9 = approx[k]
-        assert abs(am - em) / em <= 0.01, (k, am, em)
-        assert abs(a9 - e9) / e9 <= 0.01, (k, a9, e9)
+        r = rows[k]
+        assert r["exact_median"] == em and r["exact_p90"] == e9, (k, r)
+        assert r["median_rank_ok"] and r["p90_rank_ok"], (k, r)
