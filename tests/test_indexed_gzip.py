@@ -139,3 +139,47 @@ def test_registry_query_matches_oracle_shape(spark):
     assert {r["grp"] for r in rows} == {"0", "1", "2", "3"}
     for r in rows:
         assert r["n_splits"] == 1 + (r["n_records"] - 1) // 100
+
+
+def test_streaming_loader_gzip_indexed(spark, tmp_path):
+    """run_loader with compression=GZIP_INDEXED: every streaming
+    micro-batch's objects carry .index sidecars and the split-read
+    reassembly equals the stream's records — the O11 serializer on
+    the reference's actual (streaming) path, not just batch emit."""
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.streaming.loader import run_loader
+
+    inp = str(tmp_path / "in")
+    rows = [
+        '{"schema":"iglu:com.acme/stream_ev/jsonschema/1-0-0","data":{"i":%d}}' % i
+        for i in range(25)
+    ]
+    spark.createDataFrame([(r,) for r in rows], "value string").coalesce(
+        1
+    ).write.mode("append").parquet(inp)
+
+    cfg = from_dict(
+        {
+            "purpose": "SELF_DESCRIBING",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {
+                "s3": {"path": str(tmp_path / "out"), "compression": "GZIP_INDEXED"},
+                "bad_path": str(tmp_path / "bad"),
+            },
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+    q = run_loader(spark, cfg, query_name="gz-indexed-e2e")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    gz_files = glob.glob(str(tmp_path / "out" / "**" / "*.txt.gz"), recursive=True)
+    assert gz_files, "no indexed output from the streaming path"
+    got = []
+    for f in gz_files:
+        assert os.path.exists(f + ".index"), f
+        got.extend(read_all_via_splits(f))
+    assert sorted(got) == sorted(rows)
