@@ -79,6 +79,7 @@ _GATE_FIRST = [
     "dedup_semantic_recall",
     "curation_dsir_weights",
     "curation_weighted_sample",
+    "curation_ccnet_buckets",
     "text_bm25_search",
     "text_inverted_index",
     "graph_pagerank",

@@ -812,3 +812,83 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
     )
     return marked.select("doc_id", fate.alias("fate"), (fate == "kept").alias("kept"))
+
+
+_CCNET_SQL = r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents
+    ),
+    f AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+    t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM w),
+    s AS (
+      SELECT doc_id, ROUND(-ln(freq / total), 6) AS surp
+      FROM w JOIN f USING (word) CROSS JOIN t
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_surprisal
+      FROM s GROUP BY doc_id
+    ),
+    tiled AS (
+      SELECT d.doc_id, d.lang, p.avg_surprisal,
+             NTILE(3) OVER (
+               PARTITION BY d.lang ORDER BY p.avg_surprisal, d.doc_id
+             ) AS tile
+      FROM perdoc p JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_surprisal,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM tiled
+"""
+
+
+@query("curation_ccnet_buckets", oracle=_CCNET_SQL)
+def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): rank every document by its language-model
+    perplexity proxy (mean unigram surprisal — text_unigram_surprisal's
+    exact pipeline) WITHIN its language, and split each language into
+    head / middle / tail terciles. CCNet trains on the head (most
+    fluent/typical) slice; the bucket label is the standard crawl
+    quality partition.
+
+    Plan: the surprisal pipeline (two token-stream aggregations + a
+    broadcast 1-row total), a join back to documents for lang, and
+    one per-lang NTILE window with a doc_id tie-break — shuffles key
+    on word / doc_id / lang only. 100 TB: identical, with the vocab
+    HAVING-cut noted on the surprisal operator; the window state per
+    lang partition is a running count."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    f = w.groupBy("word").agg(F.count("*").alias("freq"))
+    t = w.agg(F.count("*").cast("double").alias("total"))
+    s = (
+        w.join(f, "word")
+        .join(F.broadcast(t))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("freq") / F.col("total")), 6).alias("surp"),
+        )
+    )
+    perdoc = s.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("surp").cast("decimal(18,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_surprisal")
+    )
+    win = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
+    tiled = (
+        perdoc.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("tile", F.ntile(3).over(win))
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return tiled.select("doc_id", "lang", "avg_surprisal", bucket.alias("bucket"))

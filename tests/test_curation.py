@@ -10,7 +10,11 @@ from kinesis_s3_spark.operators.curation import (
     curation_stratified_sample,
     text_gopher_repetition,
 )
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+import __spark_entry__ as entrymod
+
+Q = entrymod.queries()
 
 
 def test_mixture_fracs_sum_to_one(spark):
@@ -150,3 +154,22 @@ def test_dedup_pipeline_all_fates_at_sf01(spark):
     assert set(by_fate) == {"exact_dup", "near_dup", "low_quality", "kept"}, by_fate
     assert by_fate["exact_dup"] == 8
     assert len(rows) == sum(by_fate.values())
+
+
+def test_ccnet_buckets_are_per_lang_terciles(spark):
+    from collections import Counter
+
+    rows = Q["curation_ccnet_buckets"](spark, SF_CORRECT).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 3
+    for lang, rs in by_lang.items():
+        counts = Counter(r["bucket"] for r in rs)
+        # terciles: sizes differ by at most 1, all three present
+        assert set(counts) == {"head", "middle", "tail"}, (lang, counts)
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        # head = lowest-surprisal slice (the slice CCNet trains on)
+        head_max = max(r["avg_surprisal"] for r in rs if r["bucket"] == "head")
+        tail_min = min(r["avg_surprisal"] for r in rs if r["bucket"] == "tail")
+        assert head_max <= tail_min, (lang, head_max, tail_min)

@@ -57,6 +57,7 @@ ALLOW_NESTED_LOOP = {
     "sketch_kmv_union",  # 1-row kth-value scalars crossed for the gate (sketches.py:371)
     "graph_pagerank",  # 1-row |V| / dangling-mass scalars crossed per round (graph.py)
     "curation_dsir_weights",  # 1-row corpus totals broadcast (dsir.py)
+    "curation_ccnet_buckets",  # 1-row token-total broadcast (surprisal pipeline)
 }
 
 
