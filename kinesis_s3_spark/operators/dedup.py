@@ -604,3 +604,94 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_in_batch"))
     )
+
+
+# --- cross-corpus duplicated-span detection ----------------------------------
+
+SPAN_W = 10  # tokens per span (rolling window)
+
+_SPAN_EXACT_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(t[i : i + {SPAN_W} - 1], ' '))
+                     for i in range(1, len(t) - {SPAN_W} + 2)]) AS h
+      FROM toks WHERE len(t) >= {SPAN_W}
+    ),
+    shared AS (
+      SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM spans s LEFT JOIN shared sh ON s.h = sh.h
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
+    FROM per_doc
+"""
+
+
+@query("dedup_span_exact", oracle=_SPAN_EXACT_SQL)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-SPAN detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" /
+    Dolma repeated-substring signal, at rolling {SPAN_W}-token
+    granularity): a span is duplicated when the identical token
+    window appears in >= 2 DISTINCT documents; each document reports
+    its span count, duplicated-span count, and coverage fraction —
+    the per-doc signal substring-level dedup thresholds on.
+
+    Finer-grained than whole-doc dedup (dedup_exact) and set-similarity
+    (dedup_ngram_jaccard): it catches boilerplate shared between
+    otherwise-different documents. Plan: one rolling-window explode
+    (md5 per span — JVM-side), one (hash) aggregate for the shared-span
+    set, one hash equi-join back, one (doc_id) aggregate — every
+    shuffle keys on md5-uniform hashes or doc ids; a suffix-array
+    formulation is the exact-match generalization, this is its fixed-W
+    production approximation. 100 TB: span volume is n_tokens·1 rows
+    (window stride 1), map-side combined before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= SPAN_W)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                ngrams_from_tokens(F.col("t"), SPAN_W), lambda g: F.md5(g)
+            )
+        ).alias("h"),
+    )
+    shared = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    per_doc = (
+        spans.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0)).cast("long"))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6).alias(
+            "dup_frac"
+        ),
+    )

@@ -54,3 +54,22 @@ def test_semdedup_drops_are_twin_shaped(spark):
         assert r["vec_id"] >= PLANT_OFFSET
         assert r["dup_of"] == r["vec_id"] - PLANT_OFFSET
     assert SEM_THRESHOLD == 0.85  # drop-shape argument relies on it
+
+
+def test_span_dedup_flags_exact_duplicates(spark):
+    """Documents that are exact duplicates of another (dedup_exact's
+    ground truth) must show 100% span coverage; the signal must also
+    be non-trivial (some but not all docs carry duplicated spans)."""
+    rows = Q["dedup_span_exact"](spark, SF_CORRECT).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    flagged = [r for r in rows if r["n_dup_spans"] > 0]
+    assert 0 < len(flagged) < len(rows)
+    # cross-check vs whole-doc exact dedup: every doc in a >=2 exact
+    # group has every span duplicated
+    exact = Q["dedup_exact"](spark, SF_CORRECT).collect()
+    from collections import Counter
+
+    sizes = Counter(r["content_hash"] for r in exact)
+    for r in exact:
+        if sizes[r["content_hash"]] >= 2 and r["doc_id"] in by_id:
+            assert by_id[r["doc_id"]]["dup_frac"] == 1.0, r["doc_id"]
