@@ -82,7 +82,10 @@ HEADLINE = [
     "graph_triangles",
     "curation_dsir_weights",
     "curation_weighted_sample",
+    "curation_ccnet_buckets",
+    "dedup_span_exact",
     "mm_image_resize_real",
+    "etl_indexed_gzip_splits",
     "mm_audio_decode_real",
     "sketch_countmin",
     "text_tfidf_topk",
