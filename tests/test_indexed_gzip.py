@@ -183,3 +183,45 @@ def test_streaming_loader_gzip_indexed(spark, tmp_path):
         assert os.path.exists(f + ".index"), f
         got.extend(read_all_via_splits(f))
     assert sorted(got) == sorted(rows)
+
+
+def test_streaming_restart_idempotent_gzip_indexed(spark, tmp_path):
+    """Checkpoint-restart with GZIP_INDEXED must not duplicate
+    records: committed batches are skipped on resume, and a new file
+    arriving after the restart lands exactly once (the clear-then-
+    write per-batch dir is the overwrite analogue for this sink)."""
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.streaming.loader import run_loader
+
+    inp = str(tmp_path / "in")
+
+    def _write(rows):
+        spark.createDataFrame([(r,) for r in rows], "value string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    _write(["r1", "r2"])
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {
+                "s3": {"path": str(tmp_path / "out"), "compression": "GZIP_INDEXED"}
+            },
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+    q = run_loader(spark, cfg, query_name="gzidx-resume-a")
+    q.processAllAvailable()
+    q.stop()
+
+    _write(["r3"])
+    q2 = run_loader(spark, cfg, query_name="gzidx-resume-b")
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = []
+    for f in glob.glob(str(tmp_path / "out" / "**" / "*.txt.gz"), recursive=True):
+        got.extend(read_all_via_splits(f))
+    assert sorted(got) == ["r1", "r2", "r3"]
