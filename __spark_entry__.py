@@ -83,6 +83,7 @@ _GATE_FIRST = [
     "curation_ccnet_buckets",
     "text_bm25_search",
     "text_inverted_index",
+    "search_hybrid_rrf",
     "graph_pagerank",
     "graph_triangles",
     "sketch_kmv_distinct",

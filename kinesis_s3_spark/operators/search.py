@@ -221,3 +221,102 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.join(heads, "word").select("word", "df", "total_tf", "postings")
+
+
+# --- hybrid retrieval: BM25 + vector search fused by RRF ---------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+HYBRID_TOPK = 10
+
+
+def _hybrid_sql() -> str:
+    """Compose the REGISTERED oracles of both retrieval arms — the
+    fusion oracle stays in sync with the arms by construction."""
+    from kinesis_s3_spark.operators.registry import ORACLES
+
+    return f"""
+    WITH bm AS ({ORACLES["text_bm25_search"]}),
+    ann0 AS ({ORACLES["ann_bruteforce_topk"]}),
+    ann AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      FROM ann0
+    ),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, ann.vec_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({RRF_K} + bm.rank), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + ann.rank), 0.0), 6) AS rrf_score,
+             COALESCE(bm.rank, -1) AS bm25_rank,
+             COALESCE(ann.rank, -1) AS ann_rank
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.vec_id
+    )
+    SELECT doc_id, rrf_score, bm25_rank, ann_rank, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= {HYBRID_TOPK}
+"""
+
+
+@query("search_hybrid_rrf", oracle=None)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the lexical arm (BM25 top-10 for the fixed term query) and
+    the dense arm (exact cosine top-10 for query vector 0, doc ids
+    aligned with vec ids in the driver corpus) are fused by
+    rrf(d) = sum over arms of 1/(k + rank_d), k = {RRF_K} — the
+    standard production shape for combining keyword and embedding
+    search without score calibration.
+
+    Both arms ARE the registered operators (same DataFrames, same
+    oracles — the fusion oracle composes their registered SQL
+    verbatim, so the three stay in sync by construction). The fusion
+    itself is a full outer join of two 10-row frames + one global
+    top-10 — driver-trivial at any corpus size; the arms carry the
+    scale story (single doc_id-shuffle BM25, broadcast-query exact
+    scan baseline or any ANN variant as a drop-in)."""
+    bm = text_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm_rank")
+    )
+    from kinesis_s3_spark.operators.ann import ann_bruteforce_topk
+
+    # the brute-force arm returns an ordered (vec_id, cosine) top-10;
+    # materialize its rank explicitly for the fusion formula
+    aw = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    ann = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .withColumn("ann_rank", F.row_number().over(aw))
+        .select(F.col("vec_id").alias("doc_id"), "ann_rank")
+    )
+    fused = (
+        bm.join(ann, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("bm_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("ann_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+            F.coalesce(F.col("bm_rank"), F.lit(-1)).alias("bm25_rank"),
+            F.coalesce(F.col("ann_rank"), F.lit(-1)).alias("ann_rank"),
+        )
+    )
+    win = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+        .select("doc_id", "rrf_score", "bm25_rank", "ann_rank", "rank")
+    )
+
+
+# bind the composed oracle AFTER both arms are registered: BM25 is
+# defined above; importing ann here (deferred to module end — ann has
+# no dependency on search, so no cycle) forces the dense arm's
+# registration regardless of who imports this module first
+def _register_hybrid_oracle() -> None:
+    from kinesis_s3_spark.operators import ann as _ann  # noqa: F401
+    from kinesis_s3_spark.operators.registry import ORACLES
+
+    ORACLES["search_hybrid_rrf"] = _hybrid_sql()
+
+
+_register_hybrid_oracle()

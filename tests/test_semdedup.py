@@ -73,3 +73,23 @@ def test_span_dedup_flags_exact_duplicates(spark):
     for r in exact:
         if sizes[r["content_hash"]] >= 2 and r["doc_id"] in by_id:
             assert by_id[r["doc_id"]]["dup_frac"] == 1.0, r["doc_id"]
+
+
+def test_hybrid_rrf_fuses_both_arms(spark):
+    """The fused top-10 must contain members of both arms, rank by
+    descending RRF score with doc_id tie-break, and score docs present
+    in both arms above equal-rank single-arm docs."""
+    rows = Q["search_hybrid_rrf"](spark, SF_CORRECT).collect()
+    assert len(rows) == 10
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+    assert any(r["bm25_rank"] > 0 for r in rows)
+    assert any(r["ann_rank"] > 0 for r in rows)
+    for r in rows:
+        expected = 0.0
+        if r["bm25_rank"] > 0:
+            expected += 1.0 / (60 + r["bm25_rank"])
+        if r["ann_rank"] > 0:
+            expected += 1.0 / (60 + r["ann_rank"])
+        assert abs(r["rrf_score"] - round(expected, 6)) < 1e-9, r

@@ -54,6 +54,7 @@ ALLOW_NESTED_LOOP = {
     "q11_important_parts",  # scalar subquery (1-row threshold broadcast)
     "q22_global_balance",  # scalar subquery (1-row avg-balance broadcast)
     "text_bm25_search",  # 1-row corpus stats (N, avgdl) broadcast (search.py:136)
+    "search_hybrid_rrf",  # inherits both arms' 1-row broadcasts (search.py)
     "sketch_kmv_union",  # 1-row kth-value scalars crossed for the gate (sketches.py:371)
     "graph_pagerank",  # 1-row |V| / dangling-mass scalars crossed per round (graph.py)
     "curation_dsir_weights",  # 1-row corpus totals broadcast (dsir.py)
