@@ -81,6 +81,7 @@ _GATE_FIRST = [
     "curation_dsir_weights",
     "curation_weighted_sample",
     "curation_ccnet_buckets",
+    "curation_split_leakage",
     "text_bm25_search",
     "text_inverted_index",
     "search_hybrid_rrf",

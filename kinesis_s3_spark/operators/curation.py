@@ -892,3 +892,93 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return tiled.select("doc_id", "lang", "avg_surprisal", bucket.alias("bucket"))
+
+
+def _leakage_sql() -> str:
+    """Compose the REGISTERED minhash-pair oracle with the hash-split
+    labeling — the leakage oracle stays in sync with both by
+    construction (the search_hybrid_rrf composition pattern)."""
+    from kinesis_s3_spark.operators.registry import ORACLES
+
+    return f"""
+    WITH pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+                    THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    labeled AS (
+      SELECT least(a.split, b.split) AS split_lo,
+             greatest(a.split, b.split) AS split_hi,
+             p.d1, p.d2
+      FROM pairs p JOIN sp a ON p.d1 = a.doc_id JOIN sp b ON p.d2 = b.doc_id
+    )
+    SELECT split_lo, split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(d1) AS min_d1,
+           split_lo <> split_hi AS is_leakage
+    FROM labeled GROUP BY split_lo, split_hi
+"""
+
+
+@query("curation_split_leakage", oracle=None)
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE detector: near-duplicate pairs (the
+    registered MinHash+LSH operator, Jaccard >= 0.7) whose two
+    documents land in DIFFERENT splits of the registered 80/10/10
+    hash split — the contamination failure mode of random splits
+    (a test doc whose near-twin sits in train inflates eval). Reports
+    pair counts per split-pair class with a cross-split flag; a
+    leakage-free corpus shows rows only on the diagonal.
+
+    The dedup pipeline's standard fix — split by CLUSTER id, not doc
+    id — is exactly what this query quantifies the need for. Both
+    inputs ARE the registered operators and the oracle composes their
+    registered SQL verbatim. Plan: the minhash pair join (band-key
+    equi-join, cartesian-free) plus two broadcast-sized split-label
+    joins and a <=6-row aggregate."""
+    from kinesis_s3_spark.operators.dedup import minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(docs)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+    a = sp.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1"))
+    b = sp.select(F.col("doc_id").alias("d2"), F.col("split").alias("s2"))
+    labeled = (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            F.least("s1", "s2").alias("split_lo"),
+            F.greatest("s1", "s2").alias("split_hi"),
+            "d1",
+            "d2",
+        )
+    )
+    return labeled.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("d1").alias("min_d1"),
+    ).withColumn("is_leakage", F.col("split_lo") != F.col("split_hi"))
+
+
+def _register_leakage_oracle() -> None:
+    from kinesis_s3_spark.operators import dedup as _dedup  # noqa: F401
+    from kinesis_s3_spark.operators.registry import ORACLES
+
+    ORACLES["curation_split_leakage"] = _leakage_sql()
+
+
+_register_leakage_oracle()

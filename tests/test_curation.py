@@ -173,3 +173,29 @@ def test_ccnet_buckets_are_per_lang_terciles(spark):
         head_max = max(r["avg_surprisal"] for r in rs if r["bucket"] == "head")
         tail_min = min(r["avg_surprisal"] for r in rs if r["bucket"] == "tail")
         assert head_max <= tail_min, (lang, head_max, tail_min)
+
+
+def test_split_leakage_consistent_with_parts(spark):
+    """Leakage classes must partition the registered minhash pairs,
+    and each pair's class must match the registered hash-split labels
+    recomputed independently."""
+    pairs = Q["dedup_minhash_lsh"](spark, SF_CORRECT).collect()
+    leak = Q["curation_split_leakage"](spark, SF_CORRECT).collect()
+    assert sum(r["n_pairs"] for r in leak) == len(pairs)
+    # recompute each doc's split label from the same md5 rule
+    import hashlib
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    from collections import Counter
+
+    expected = Counter()
+    for p in pairs:
+        lo, hi = sorted([split_of(p["d1"]), split_of(p["d2"])])
+        expected[(lo, hi)] += 1
+    got = {(r["split_lo"], r["split_hi"]): r["n_pairs"] for r in leak}
+    assert got == dict(expected)
+    for r in leak:
+        assert r["is_leakage"] == (r["split_lo"] != r["split_hi"])
