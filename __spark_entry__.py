@@ -82,6 +82,7 @@ _GATE_FIRST = [
     "curation_weighted_sample",
     "curation_ccnet_buckets",
     "curation_split_leakage",
+    "events_drift_chi2",
     "text_bm25_search",
     "text_inverted_index",
     "search_hybrid_rrf",

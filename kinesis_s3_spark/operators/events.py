@@ -457,3 +457,101 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc + x) * F.lit(0.5),
     )
     return v.select("event_id", "user_id", "ts", F.round(ewma, 9).alias("ewma"))
+
+
+_DRIFT_SQL = """
+    WITH lab AS (
+      SELECT event_type,
+             CASE WHEN date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                    IN (2, 3) THEN 1 ELSE 0 END AS we
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type,
+             CAST(SUM(we) AS BIGINT) AS n_weekend,
+             CAST(SUM(1 - we) AS BIGINT) AS n_weekday
+      FROM lab GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_weekend) AS DOUBLE) AS t_we,
+             CAST(SUM(n_weekday) AS DOUBLE) AS t_wd
+      FROM per_type
+    ),
+    contrib AS (
+      SELECT p.event_type, p.n_weekend, p.n_weekday,
+             ROUND(
+               POW(p.n_weekend - (p.n_weekend + p.n_weekday) * t.t_we / (t.t_we + t.t_wd), 2)
+                 / ((p.n_weekend + p.n_weekday) * t.t_we / (t.t_we + t.t_wd))
+               + POW(p.n_weekday - (p.n_weekend + p.n_weekday) * t.t_wd / (t.t_we + t.t_wd), 2)
+                 / ((p.n_weekend + p.n_weekday) * t.t_wd / (t.t_we + t.t_wd)),
+               6) AS chi2_contrib
+      FROM per_type p CROSS JOIN tot t
+    ),
+    total AS (
+      SELECT CAST(SUM(CAST(chi2_contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+      FROM contrib
+    )
+    SELECT c.event_type, c.n_weekend, c.n_weekday, c.chi2_contrib,
+           ROUND(t.chi2, 6) AS chi2_total,
+           t.chi2 > 9.488 AS drifted
+    FROM contrib c CROSS JOIN total t
+"""
+
+
+@query("events_drift_chi2", oracle=_DRIFT_SQL)
+def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square drift test between the weekend and weekday
+    event-type mixes (weekend = epoch-day mod 7 in {2, 3}, i.e.
+    Sat/Sun — pure integer arithmetic, identical in both engines): the
+    standard two-sample categorical drift monitor a pipeline runs to
+    catch a source whose event composition shifted. Per-type observed
+    counts, chi-square contributions (expected counts from the pooled
+    marginals), the corpus-wide statistic, and the df=4 alpha=0.05
+    verdict (critical value 9.488).
+
+    Determinism: contributions ROUND 6 then decimal-summed (registry
+    rule); counts are exact integers. Plan: one (event_type) count
+    aggregate, one 1-row marginal broadcast, row-local contributions,
+    one <=|types|-row total broadcast back — the corpus shuffles once
+    on event_type."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("date_diff(DAY, DATE'1970-01-01', cast(ts as date))")
+    we = (day % 7).isin(2, 3).cast("int")
+    per_type = (
+        e.select("event_type", we.alias("we"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("we").cast("long").alias("n_weekend"),
+            F.sum(1 - F.col("we")).cast("long").alias("n_weekday"),
+        )
+    )
+    tot = per_type.agg(
+        F.sum("n_weekend").cast("double").alias("t_we"),
+        F.sum("n_weekday").cast("double").alias("t_wd"),
+    )
+    n_type = F.col("n_weekend") + F.col("n_weekday")
+    e_we = n_type * F.col("t_we") / (F.col("t_we") + F.col("t_wd"))
+    e_wd = n_type * F.col("t_wd") / (F.col("t_we") + F.col("t_wd"))
+    contrib = per_type.join(F.broadcast(tot)).select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        F.round(
+            F.pow(F.col("n_weekend") - e_we, 2) / e_we
+            + F.pow(F.col("n_weekday") - e_wd, 2) / e_wd,
+            6,
+        ).alias("chi2_contrib"),
+    )
+    total = contrib.agg(
+        F.sum(F.col("chi2_contrib").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("chi2")
+    )
+    return contrib.join(F.broadcast(total)).select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        "chi2_contrib",
+        F.round(F.col("chi2"), 6).alias("chi2_total"),
+        (F.col("chi2") > 9.488).alias("drifted"),
+    )

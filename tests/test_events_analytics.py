@@ -7,7 +7,11 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+import __spark_entry__ as entrymod
+
+Q = entrymod.queries()
 
 
 def test_retention_cohort_day0_is_cohort_size(spark):
@@ -51,3 +55,24 @@ def test_mode_per_user_bounds(spark):
     for r in rows:
         assert r["modal_type"]
         assert r["n_modal"] >= 1
+
+
+def test_drift_chi2_matches_scipy_free_reference(spark):
+    """Recompute the chi-square statistic driver-side from the raw
+    counts (pure python, no scipy) and compare; also sanity-check the
+    contingency totals."""
+    rows = Q["events_drift_chi2"](spark, SF_CORRECT).collect()
+    t_we = sum(r["n_weekend"] for r in rows)
+    t_wd = sum(r["n_weekday"] for r in rows)
+    assert t_we > 0 and t_wd > 0
+    chi2 = 0.0
+    for r in rows:
+        n = r["n_weekend"] + r["n_weekday"]
+        e_we = n * t_we / (t_we + t_wd)
+        e_wd = n * t_wd / (t_we + t_wd)
+        contrib = (r["n_weekend"] - e_we) ** 2 / e_we + (r["n_weekday"] - e_wd) ** 2 / e_wd
+        assert abs(round(contrib, 6) - r["chi2_contrib"]) < 1e-9, r
+        chi2 += round(contrib, 6)
+    for r in rows:
+        assert abs(r["chi2_total"] - round(chi2, 6)) < 1e-6
+        assert r["drifted"] == (chi2 > 9.488)

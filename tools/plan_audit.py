@@ -59,6 +59,7 @@ ALLOW_NESTED_LOOP = {
     "graph_pagerank",  # 1-row |V| / dangling-mass scalars crossed per round (graph.py)
     "curation_dsir_weights",  # 1-row corpus totals broadcast (dsir.py)
     "curation_ccnet_buckets",  # 1-row token-total broadcast (surprisal pipeline)
+    "events_drift_chi2",  # 1-row marginals / |types|-row total broadcasts
 }
 
 
