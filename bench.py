@@ -86,6 +86,9 @@ HEADLINE = [
     "dedup_span_exact",
     "mm_image_resize_real",
     "etl_indexed_gzip_splits",
+    "search_hybrid_rrf",
+    "curation_split_leakage",
+    "events_drift_chi2",
     "mm_audio_decode_real",
     "sketch_countmin",
     "text_tfidf_topk",
