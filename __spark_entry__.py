@@ -77,6 +77,7 @@ _GATE_FIRST = [
     # -- (2) new or semantically changed in round 5 --
     "dedup_semantic",
     "dedup_semantic_recall",
+    "dedup_semantic_k32",
     "dedup_span_exact",
     "curation_dsir_weights",
     "curation_weighted_sample",

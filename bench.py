@@ -77,6 +77,7 @@ HEADLINE = [
     "text_bpe_train_k64",
     "ann_pq_topk",
     "dedup_semantic",
+    "dedup_semantic_k32",
     "text_bm25_search",
     "graph_pagerank",
     "graph_triangles",

@@ -58,23 +58,27 @@ SEM_THRESHOLD = 0.85  # the strict-LSH production threshold
 
 # Lloyd chain on the AUGMENTED corpus: same assign/update templates as
 # _KMEANS_SQL, with v/vv sourced from aug instead of embeddings.
-_SEM_KMEANS_CHAIN = (
-    f"""
+def _sem_kmeans_chain(k: int) -> str:
+    return (
+        f"""
     WITH {_STRICT_AUG_SQL},
     v AS (SELECT vec_id, embedding AS e FROM aug),
     vv AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM v),
-    c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {SEM_K}),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {k}),
     """
-    + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="", vv="vv")
-    + ","
-    + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1", v="v")
-    + ","
-    + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="", vv="vv")
-    + ","
-    + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2", v="v")
-    + ","
-    + _KM_ASSIGN_SQL.format(a="a2", c="c2", dist_col="", vv="vv")
-)
+        + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="", vv="vv")
+        + ","
+        + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1", v="v")
+        + ","
+        + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="", vv="vv")
+        + ","
+        + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2", v="v")
+        + ","
+        + _KM_ASSIGN_SQL.format(a="a2", c="c2", dist_col="", vv="vv")
+    )
+
+
+_SEM_KMEANS_CHAIN = _sem_kmeans_chain(SEM_K)
 
 _SEM_PAIRS_CTE = f"""
     simpairs AS (
@@ -104,7 +108,7 @@ _SEMDEDUP_SQL = (
 )
 
 
-def _sem_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sem_assign(spark: SparkSession, sf_dir: str, k: int = SEM_K) -> DataFrame:
     """(vec_id, e, cid) for the twin-augmented corpus after SEM_ITERS
     Lloyd rounds — cached because the pair join reads it twice."""
     aug = _strict_aug(spark, sf_dir)
@@ -113,7 +117,7 @@ def _sem_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ee", _dot(F.col("e"), F.col("e")))
         .cache()
     )
-    cents = lloyd_centroids(vv, SEM_K, SEM_ITERS)
+    cents = lloyd_centroids(vv, k, SEM_ITERS)
     return _km_assign(vv, cents, with_dist=False).cache()
 
 
@@ -218,4 +222,54 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_caught").cast("double") / F.lit(n_true), 4).alias(
             "recall"
         ),
+    )
+
+
+SEM_K_SCALED = 32  # the k-scales-with-n variant's cluster count
+
+_SEMDEDUP_K32_SQL = (
+    _sem_kmeans_chain(SEM_K_SCALED)
+    + ","
+    + _SEM_PAIRS_CTE
+    + """,
+    dups AS (
+      SELECT v2 AS vec_id, MIN(v1) AS dup_of, COUNT(*) AS n_sim
+      FROM simpairs GROUP BY v2
+    )
+    SELECT a.vec_id, a.cid AS cluster,
+           d.vec_id IS NULL AS keep,
+           COALESCE(d.dup_of, -1) AS dup_of,
+           COALESCE(d.n_sim, 0) AS n_sim
+    FROM a2 a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+)
+
+
+@query("dedup_semantic_k32", oracle=_SEMDEDUP_K32_SQL)
+def dedup_semantic_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic with the k-SCALES-WITH-n mitigation applied
+    (k=32 vs the baseline's 8): same Lloyd machinery, same pruning
+    rule, 4x more clusters — so within-cluster candidate volume
+    (sum of cluster sizes squared) drops ~4x, which is EXACTLY the
+    knob the baseline's 10x-scale row says production uses
+    (k ~ n / target_cluster_size keeps per-cluster cost constant).
+    Benchmarked next to the k=8 baseline at both scales so the
+    mitigation is measured, not asserted. Oracle unrolls the full
+    32-seed chain."""
+    assign = _sem_assign(spark, sf_dir, k=SEM_K_SCALED)
+    dups = (
+        _sem_pairs(assign)
+        .groupBy(F.col("v2").alias("vec_id"))
+        .agg(F.min("v1").alias("dup_of"), F.count("*").alias("n_sim"))
+    )
+    return (
+        assign.select("vec_id", F.col("cid").alias("cluster"))
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+            F.coalesce(F.col("n_sim"), F.lit(0)).alias("n_sim"),
+        )
     )

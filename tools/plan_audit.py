@@ -47,6 +47,7 @@ ALLOW_NESTED_LOOP = {
     "ann_ivf_kmeans_topk",  # same broadcast centroid ranker
     "dedup_semantic",  # same broadcast centroid ranker (semdedup.py)
     "dedup_semantic_recall",
+    "dedup_semantic_k32",
     "join_range_bands",  # banded range join, bounded bands
     "text_unigram_surprisal",  # broadcast 1-row total
     "text_tfidf_topk",  # broadcast 1-row n_docs
