@@ -57,18 +57,19 @@ for _m in _OPTIONAL_MODULES:
 
 # The driver's correctness gate historically checks the FIRST ~50
 # registry entries, so gate slots are scarce. Priority order:
-# (1) the last 3 registry queries that have NEVER had a driver-gate
-#     row in any CORRECTNESS_r0*.json (emb_power_iteration and
-#     sketch_bloom_contamination were added late r4 below the 50-slot
-#     line; approx_percentile_price was the deliberate r4 spill) —
-#     gating these completes the full registry's driver-side
-#     correctness record,
-# (2) queries added or semantically CHANGED in round 5
-#     (emb_power_iteration also changed r5: engine-side F.round
-#     normalization; approx_distinct_users changed r5: now carries a
-#     real error-bound oracle instead of no_oracle),
+# (1) the 3 registry queries that had never had a driver-gate row
+#     through round 4 (emb_power_iteration, sketch_bloom_contamination,
+#     approx_percentile_price — the last of these ALSO changed r5:
+#     it now carries a rank-error-bound oracle instead of no_oracle),
+# (2) queries added or semantically CHANGED in round 5 — the new
+#     operator families (SemDeDup + its k-scaling variant, span-level
+#     dedup, DSIR, weighted sampling, CCNet buckets, split leakage,
+#     drift chi2, BM25/inverted-index/hybrid-RRF, PageRank/triangles,
+#     KMV, PQ-ANN, batched BPE, stored-bytes + resize multimodal,
+#     indexed-gzip splits, error-bounded approx_distinct_users),
 # (3) a round-4 re-confirmation band, then everything else (green
-#     gate history in r1–r4) last.
+#     gate history in r1–r4) last. All 28 round-5-relevant entries
+#     fit inside the 50 slots (asserted by inspection per rotation).
 _GATE_FIRST = [
     # -- (1) never driver-gated through round 4 --
     "emb_power_iteration",
