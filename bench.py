@@ -289,10 +289,12 @@ def main() -> None:
         # order) — the per-query names are NOT repeated so the final
         # line stays under the driver's tail-capture size; the
         # name-keyed map lives in BENCH_DETAIL.json (sf1_single_run_sec)
+        n_skipped = sum(1 for v in sf1_errors.values() if v.startswith("skipped_sf1:"))
         line["sf1"] = {
             "total_sec": round(sum(sf1_times.values()), 2),
             "n_queries": len(sf1_times),
-            "n_errors": len(sf1_errors),
+            "n_errors": len(sf1_errors) - n_skipped,
+            "n_skipped": n_skipped,
             "sec_by_query_in_queries_order": [
                 sf1_times.get(n) for n in HEADLINE if n in sf1_times or n in sf1_errors
             ],
