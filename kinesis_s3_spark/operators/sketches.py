@@ -377,3 +377,77 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+# --- Misra-Gries heavy hitters -----------------------------------------------
+
+MG_K = 64  # counters per partition summary; threshold = total/K
+
+
+_HH_SQL = f"""
+    WITH words AS ({_WORDS_SQL}),
+    nz AS (SELECT word FROM words WHERE word != '')
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM nz GROUP BY word
+    HAVING COUNT(*) * {MG_K} > (SELECT COUNT(*) FROM nz)
+"""
+
+
+def mg_candidates(words: DataFrame, k: int = MG_K) -> DataFrame:
+    """Phase 1 of the two-phase heavy-hitter plan: one Misra-Gries
+    summary (k counters, Agarwal et al. 2013 mergeable form) per
+    input partition via Arrow ``mapInPandas``, O(k) memory per task
+    and ZERO shuffle of the full key space. Each Arrow batch's
+    value_counts merges into the running summary; overflow subtracts
+    the (k+1)-th largest count and drops non-positive counters — the
+    classic decrement, batched. Guarantee (pigeonhole over
+    partitions): any key with global freq > total/k survives in at
+    least one partition's summary, so the union of summaries is a
+    candidate superset of the true heavy hitters."""
+
+    def _summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for w, c in pdf["word"].value_counts().items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {w: c - kth for w, c in counters.items() if c > kth}
+        yield pd.DataFrame({"word": list(counters)})
+
+    return words.mapInPandas(_summarize, "word string").distinct()
+
+
+@query("sketch_heavy_hitters", oracle=_HH_SQL)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-threshold heavy hitters (freq > total/{MG_K}) over
+    corpus words by the two-phase Misra-Gries plan: per-partition
+    k-counter summaries (``mg_candidates``) → tiny candidate union
+    (≤ k rows per partition) → exact recount of ONLY the candidates
+    via a broadcast semi-join → threshold filter on the exact counts.
+    Because phase 1 provably never drops a true heavy hitter and
+    phase 2 recounts exactly, the output is the EXACT heavy-hitter
+    set regardless of partition layout — a deterministic result from
+    a sketch-shaped plan, which is what lets the DuckDB oracle state
+    it as plain GROUP BY ... HAVING.
+
+    Scale: the alternative (full groupBy(word) then filter) shuffles
+    the entire vocabulary; this plan shuffles ≤ k·P candidate words
+    plus their partial counts. At 100 TB with a web-scale vocabulary
+    (billions of distinct tokens, Zipf tail) that is the difference
+    between a terabyte-scale shuffle and a broadcast. The 1-row total
+    used by the threshold is a broadcast scalar."""
+    words = _word_stream(spark, sf_dir)
+    cands = mg_candidates(words)
+    total = words.agg(F.count("*").cast("long").alias("total"))
+    recount = (
+        words.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return (
+        recount.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * MG_K > F.col("total"))
+        .select("word", "freq")
+    )

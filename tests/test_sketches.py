@@ -109,3 +109,38 @@ def test_cms_streaming_twin_matches_batch(spark, tmp_path):
         q.stop()
     want = {(r["d"], r["bucket"]): r["cnt"] for r in matrix(static).collect()}
     assert got == want
+
+
+def test_mg_survives_partition_layouts(spark):
+    """The heavy-hitter output is the EXACT over-threshold set under
+    every partition layout (the Misra-Gries pigeonhole guarantee),
+    exercised on a genuinely skewed constructed corpus — the parquet
+    testdata is near-uniform, so the skew path is proven here."""
+    import pyspark.sql.functions as F
+
+    from kinesis_s3_spark.operators.sketches import mg_candidates
+
+    # Zipf-ish: key i appears 2000//(i+1) times, 400 distinct keys
+    rows = [(f"k{i:03d}",) for i in range(400) for _ in range(2000 // (i + 1))]
+    total = len(rows)
+    k = 8
+    truth = {
+        w: c
+        for w, c in __import__("collections").Counter(r[0] for r in rows).items()
+        if c * k > total
+    }
+    assert 0 < len(truth) < 400  # non-degenerate skew
+    base = spark.createDataFrame(rows, "word string")
+    for parts in (1, 3, 17):
+        words = base.repartition(parts)
+        cands = mg_candidates(words, k)
+        assert cands.count() <= k * parts
+        got = {
+            r["word"]: r["freq"]
+            for r in words.join(F.broadcast(cands), "word")
+            .groupBy("word")
+            .agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") * k > total)
+            .collect()
+        }
+        assert got == truth, (parts, len(got), len(truth))
