@@ -451,3 +451,101 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") * MG_K > F.col("total"))
         .select("word", "freq")
     )
+
+# --- Equi-width histogram quantile sketch ------------------------------------
+
+QH_BINS = 64
+_QH_QS = "0.25, 0.5, 0.75, 0.9, 0.99"
+
+_QH_SQL = f"""
+    WITH x AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL),
+    s AS (SELECT MIN(x) AS mn, MAX(x) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM x),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((x.x - s.mn) / ((s.mx - s.mn) / {QH_BINS})) AS INT),
+                   {QH_BINS - 1}) AS bin
+      FROM x, s
+    ),
+    h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+    qs AS (SELECT CAST(unnest([{_QH_QS}]) AS DOUBLE) AS q),
+    tgt AS (SELECT q, CAST(CEIL(q * s.n) AS BIGINT) AS r FROM qs, s),
+    pick AS (
+      SELECT t.q, t.r, MIN(c.bin) AS bin
+      FROM tgt t JOIN c ON c.cum >= t.r GROUP BY t.q, t.r
+    ),
+    ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rk FROM x)
+    SELECT p.q, p.r AS target_rank,
+           ROUND(s.mn + (p.bin + 1) * ((s.mx - s.mn) / {QH_BINS}), 6) AS est_q,
+           ROUND(rx.x, 6) AS exact_q,
+           ROUND(s.mn + (p.bin + 1) * ((s.mx - s.mn) / {QH_BINS}) - rx.x, 6) AS err,
+           (s.mn + (p.bin + 1) * ((s.mx - s.mn) / {QH_BINS}) - rx.x) >= 0
+             AND (s.mn + (p.bin + 1) * ((s.mx - s.mn) / {QH_BINS}) - rx.x)
+                 <= ((s.mx - s.mn) / {QH_BINS}) AS within_bin
+    FROM pick p, s, ranked rx WHERE rx.rk = p.r
+"""
+
+
+@query("sketch_quantile_histogram", oracle=_QH_SQL)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a mergeable equi-width histogram
+    sketch over ``events.value``: a {QH_BINS}-bin count histogram
+    (bins over the observed [min, max]) replaces the full sort an
+    exact quantile needs; the q-quantile is read off the cumulative
+    bin counts as the right edge of the bin holding rank ceil(q·n).
+    The right-edge rule gives the one-sided guarantee
+    0 ≤ est − exact ≤ bin_width, carried per row as ``within_bin``
+    (asserted all-true in tests; the exact arm rides along for audit
+    exactly like sketch_kmv_distinct's).
+
+    Scale: bin counts are a {QH_BINS}-cell aggregate — map-side
+    combine bounds the shuffle at {QH_BINS} partials per task, and
+    histograms from disjoint slices merge by addition (same argument
+    as Count-Min), so a 100 TB column costs one scan plus a
+    {QH_BINS}-row reduce; the min/max pre-pass is a 1-row broadcast.
+    The exact rank arm (a global sort) exists only to measure the
+    sketch's realized error at gate scale — production reads the
+    histogram alone."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("value").cast("double").alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+    stats = ev.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").cast("long").alias("n")
+    )
+    width = (F.col("mx") - F.col("mn")) / QH_BINS
+    hist = (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("x") - F.col("mn")) / width).cast("int"), F.lit(QH_BINS - 1)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(Window.orderBy("bin")))
+    qs = spark.range(1).select(
+        F.explode(F.expr(f"array({_QH_QS})").cast("array<double>")).alias("q")
+    )
+    tgt = qs.crossJoin(F.broadcast(stats)).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("r"), "mn", "mx"
+    )
+    pick = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("q", "r", "mn", "mx")
+        .agg(F.min("bin").alias("bin"))
+    )
+    ranked = ev.select(
+        "x", F.row_number().over(Window.orderBy("x")).alias("rk")
+    )
+    est = F.col("mn") + (F.col("bin") + 1) * ((F.col("mx") - F.col("mn")) / QH_BINS)
+    w = (F.col("mx") - F.col("mn")) / QH_BINS
+    return pick.join(ranked, F.col("rk") == F.col("r")).select(
+        "q",
+        F.col("r").alias("target_rank"),
+        F.round(est, 6).alias("est_q"),
+        F.round(F.col("x"), 6).alias("exact_q"),
+        F.round(est - F.col("x"), 6).alias("err"),
+        (((est - F.col("x")) >= 0) & ((est - F.col("x")) <= w)).alias("within_bin"),
+    )

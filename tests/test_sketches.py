@@ -144,3 +144,14 @@ def test_mg_survives_partition_layouts(spark):
             .collect()
         }
         assert got == truth, (parts, len(got), len(truth))
+
+
+def test_quantile_histogram_bound_holds(spark):
+    """Every estimated quantile sits within one bin width ABOVE the
+    exact rank value (the right-edge one-sided guarantee)."""
+    from kinesis_s3_spark.operators.sketches import sketch_quantile_histogram
+
+    rows = sketch_quantile_histogram(spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    assert all(r["within_bin"] for r in rows), rows
+    assert all(r["err"] >= 0 for r in rows), rows
