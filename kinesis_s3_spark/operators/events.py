@@ -555,3 +555,126 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("chi2"), 6).alias("chi2_total"),
         (F.col("chi2") > 9.488).alias("drifted"),
     )
+
+
+_PSI_BINS = 10
+
+_PSI_SQL = f"""
+    WITH lab AS (
+      SELECT CAST(value AS DOUBLE) AS x,
+             CASE WHEN date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                    IN (2, 3) THEN 1 ELSE 0 END AS we
+      FROM events
+    ),
+    ref AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM lab WHERE we = 0),
+    b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((l.x - r.mn) / ((r.mx - r.mn) / {_PSI_BINS}))
+                                 AS INT), 0), {_PSI_BINS - 1}) AS bin,
+             l.we
+      FROM lab l, ref r
+    ),
+    per_bin AS (
+      SELECT bin, CAST(SUM(1 - we) AS BIGINT) AS n_ref, CAST(SUM(we) AS BIGINT) AS n_cur
+      FROM b GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref, CAST(SUM(n_cur) AS DOUBLE) AS t_cur
+      FROM per_bin
+    ),
+    contrib AS (
+      SELECT p.bin, p.n_ref, p.n_cur,
+             ROUND((p.n_ref + 1) / (t.t_ref + {_PSI_BINS}), 6) AS p_ref,
+             ROUND((p.n_cur + 1) / (t.t_cur + {_PSI_BINS}), 6) AS p_cur,
+             ROUND(((p.n_cur + 1) / (t.t_cur + {_PSI_BINS})
+                    - (p.n_ref + 1) / (t.t_ref + {_PSI_BINS}))
+                   * LN(((p.n_cur + 1) / (t.t_cur + {_PSI_BINS}))
+                        / ((p.n_ref + 1) / (t.t_ref + {_PSI_BINS}))), 6) AS psi_contrib
+      FROM per_bin p CROSS JOIN tot t
+    ),
+    total AS (
+      SELECT CAST(SUM(CAST(psi_contrib AS DECIMAL(18,6))) AS DOUBLE) AS psi FROM contrib
+    )
+    SELECT c.bin, c.n_ref, c.n_cur, c.p_ref, c.p_cur, c.psi_contrib,
+           ROUND(t.psi, 6) AS psi_total,
+           t.psi > 0.2 AS drifted
+    FROM contrib c CROSS JOIN total t
+"""
+
+
+@query("events_drift_psi", oracle=_PSI_SQL)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor for the NUMERIC
+    ``value`` feature — the continuous companion to
+    events_drift_chi2's categorical test. Reference population =
+    weekday events, current = weekend (same epoch-day labeling as the
+    chi2 twin); the feature is cut into 10 equi-width bins over the
+    REFERENCE min/max (out-of-range current values clamp into the edge
+    bins — the standard fixed-bin PSI), per-bin shares are
+    Laplace-smoothed by +1 so empty bins stay finite, and
+    PSI = sum((p_cur - p_ref) * ln(p_cur / p_ref)); > 0.2 is the
+    conventional 'significant shift' verdict.
+
+    Determinism: bin ids are integer FLOOR arithmetic on doubles
+    (identical expressions both engines), contributions ROUND 6 then
+    decimal-summed (registry rule).
+
+    Plan/scale: one 1-row reference-range broadcast, one shuffle on
+    the 10-key bin column (map-side combined to ≤ 10 partials per
+    task), a 1-row totals broadcast, then row-local math on 10 rows —
+    the corpus is scanned once, and the monitor's state is 10 counters
+    regardless of corpus size (mergeable by addition like every
+    fixed-cell sketch here)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("date_diff(DAY, DATE'1970-01-01', cast(ts as date))")
+    lab = e.select(
+        F.col("value").cast("double").alias("x"),
+        (day % 7).isin(2, 3).cast("int").alias("we"),
+    )
+    ref = lab.filter(F.col("we") == 0).agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / _PSI_BINS
+    per_bin = (
+        lab.crossJoin(F.broadcast(ref))
+        .select(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("x") - F.col("mn")) / width).cast("int"), F.lit(0)
+                ),
+                F.lit(_PSI_BINS - 1),
+            ).alias("bin"),
+            "we",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(1 - F.col("we")).cast("long").alias("n_ref"),
+            F.sum("we").cast("long").alias("n_cur"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p_ref = (F.col("n_ref") + 1) / (F.col("t_ref") + _PSI_BINS)
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + _PSI_BINS)
+    contrib = per_bin.join(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_contrib"),
+    )
+    total = contrib.agg(
+        F.sum(F.col("psi_contrib").cast("decimal(18,6)")).cast("double").alias("psi")
+    )
+    return contrib.join(F.broadcast(total)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "p_cur",
+        "psi_contrib",
+        F.round(F.col("psi"), 6).alias("psi_total"),
+        (F.col("psi") > 0.2).alias("drifted"),
+    )

@@ -76,3 +76,25 @@ def test_drift_chi2_matches_scipy_free_reference(spark):
     for r in rows:
         assert abs(r["chi2_total"] - round(chi2, 6)) < 1e-6
         assert r["drifted"] == (chi2 > 9.488)
+
+
+def test_drift_psi_contribs_nonnegative_and_sum(spark):
+    """PSI is termwise non-negative ((a-b) and ln(a/b) share sign);
+    recompute each smoothed contribution driver-side and check the
+    decimal-summed total and the 0.2 verdict."""
+    rows = Q["events_drift_psi"](spark, SF_CORRECT).collect()
+    t_ref = sum(r["n_ref"] for r in rows)
+    t_cur = sum(r["n_cur"] for r in rows)
+    psi = 0.0
+    import math
+
+    for r in rows:
+        p_ref = (r["n_ref"] + 1) / (t_ref + 10)
+        p_cur = (r["n_cur"] + 1) / (t_cur + 10)
+        contrib = (p_cur - p_ref) * math.log(p_cur / p_ref)
+        assert contrib >= 0
+        assert abs(round(contrib, 6) - r["psi_contrib"]) < 1e-9, r
+        psi += round(contrib, 6)
+    for r in rows:
+        assert abs(r["psi_total"] - round(psi, 6)) < 1e-6
+        assert r["drifted"] == (psi > 0.2)
