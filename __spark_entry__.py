@@ -39,6 +39,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.search",
     "kinesis_s3_spark.operators.semdedup",
     "kinesis_s3_spark.operators.dsir",
+    "kinesis_s3_spark.operators.quality_lr",
     "kinesis_s3_spark.operators.sampling",
     "kinesis_s3_spark.operators.graph",
     "kinesis_s3_spark.operators.sketches",

@@ -1,0 +1,239 @@
+"""Trainable quality classifier (north-star extension; no reference
+analogue): batch-gradient-descent logistic regression over cheap
+document features — the engine's stand-in for the fasttext-style
+quality filter every LLM curation pipeline trains and applies at
+corpus scale (CCNet / GPT-3 appendix A quality scoring).
+
+Model: y = P(lang = 'en') from f1 = n_chars/1000 and f2 = chars per
+whitespace token, both z-score standardized (moments computed
+engine-side as decimal sums, rounded 6 — standardization is what lets
+full-batch GD at lr = 1 converge instead of oscillating). Three GD
+steps; the weight vector is a broadcast literal per round exactly like
+emb_power_iteration's v and emb_kmeans' centroids — the iterative-
+algorithm pattern this engine uses for all driver-small state.
+
+Determinism (registry rule): per-row gradient terms cast to
+DECIMAL(38,12) before summing; moments, standardized features,
+gradients, and weights all ROUND 6, so the DuckDB oracle unrolls the
+standardization AND all three steps bit-exactly.
+
+Scale: the moments pass and each GD step shuffle a fixed handful of
+partial sums per task (map-side combine), independent of corpus size;
+steps are the convergence budget. At 100 TB the plan per step is one
+columnar scan — the same shape Spark MLlib's LogisticRegression
+aggregates, expressed declaratively and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+LR_ROUNDS = 3
+_DEC = "decimal(38,12)"
+
+_RAW_SQL = r"""
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) / 1000 AS f1,
+             CAST(n_chars AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS f2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+"""
+
+_STATS_SQL = """
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM raw),
+    st1 AS MATERIALIZED (
+      SELECT
+        ROUND(CAST(SUM(CAST(f1 AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM nn), 6) AS m1,
+        ROUND(CAST(SUM(CAST(f2 AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM nn), 6) AS m2,
+        CAST(SUM(CAST(f1 * f1 AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM nn) AS q1,
+        CAST(SUM(CAST(f2 * f2 AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM nn) AS q2
+      FROM raw
+    ),
+    st2 AS MATERIALIZED (
+      SELECT m1, m2,
+             ROUND(sqrt(q1 - m1 * m1), 6) AS s1,
+             ROUND(sqrt(q2 - m2 * m2), 6) AS s2
+      FROM st1
+    ),
+    d AS MATERIALIZED (
+      SELECT doc_id,
+             ROUND((f1 - (SELECT m1 FROM st2)) / (SELECT s1 FROM st2), 6) AS f1,
+             ROUND((f2 - (SELECT m2 FROM st2)) / (SELECT s2 FROM st2), 6) AS f2,
+             y
+      FROM raw
+    )
+"""
+
+# one GD step in SQL: p under the previous weights, per-component
+# decimal-summed gradients / n, weight update + grad norm at 6 dp
+_LR_STEP_SQL = """
+    g{k} AS MATERIALIZED (
+      SELECT
+        ROUND(CAST(SUM(CAST((1 / (1 + exp(0 - ({z}))) - y) AS DECIMAL(38,12)))
+              AS DOUBLE) / (SELECT n FROM nn), 6) AS g0,
+        ROUND(CAST(SUM(CAST((1 / (1 + exp(0 - ({z}))) - y) * f1 AS DECIMAL(38,12)))
+              AS DOUBLE) / (SELECT n FROM nn), 6) AS g1,
+        ROUND(CAST(SUM(CAST((1 / (1 + exp(0 - ({z}))) - y) * f2 AS DECIMAL(38,12)))
+              AS DOUBLE) / (SELECT n FROM nn), 6) AS g2
+      FROM d
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT {k} AS step,
+             ROUND({w0} - g0, 6) AS w0,
+             ROUND({w1} - g1, 6) AS w1,
+             ROUND({w2} - g2, 6) AS w2,
+             ROUND(sqrt(g0 * g0 + g1 * g1 + g2 * g2), 6) AS grad_norm
+      FROM g{k}
+    )
+"""
+
+
+def _w_ref(k: int, j: int) -> str:
+    return f"(SELECT w{j} FROM w{k})"
+
+
+def _lr_chain() -> str:
+    parts = [f"WITH raw AS MATERIALIZED ({_RAW_SQL}),", _STATS_SQL + ","]
+    steps = []
+    for k in range(1, LR_ROUNDS + 1):
+        if k == 1:
+            z, w0, w1, w2 = "0", "0", "0", "0"
+        else:
+            w0, w1, w2 = (_w_ref(k - 1, j) for j in range(3))
+            z = f"{w0} + {w1} * f1 + {w2} * f2"
+        steps.append(_LR_STEP_SQL.format(k=k, z=z, w0=w0, w1=w1, w2=w2))
+    return "\n".join(parts) + ",".join(steps)
+
+
+_LR_SQL = (
+    _lr_chain()
+    + "\n    "
+    + " UNION ALL ".join(
+        f"SELECT step, w0, w1, w2, grad_norm FROM w{k}" for k in range(1, LR_ROUNDS + 1)
+    )
+)
+
+_FINAL = f"w{LR_ROUNDS}"
+_LR_SCORES_SQL = (
+    _lr_chain()
+    + f"""
+    SELECT doc_id,
+           ROUND(1 / (1 + exp(0 - ((SELECT w0 FROM {_FINAL})
+                                   + (SELECT w1 FROM {_FINAL}) * f1
+                                   + (SELECT w2 FROM {_FINAL}) * f2))), 6) AS score,
+           CAST(y AS BIGINT) AS label
+    FROM d
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+"""
+)
+
+
+def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / 1000).alias("f1"),
+        (
+            F.col("n_chars").cast("double")
+            / F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("f2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-score-standardized features: one moments pass (decimal sums
+    collected driver-side — 5 floats), then a map-side projection with
+    the moments as literals."""
+    raw = _raw(spark, sf_dir).cache()
+    row = raw.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("f1").cast(_DEC)).cast("double").alias("sf1"),
+        F.sum(F.col("f2").cast(_DEC)).cast("double").alias("sf2"),
+        F.sum((F.col("f1") * F.col("f1")).cast(_DEC)).cast("double").alias("q1"),
+        F.sum((F.col("f2") * F.col("f2")).cast(_DEC)).cast("double").alias("q2"),
+    ).collect()[0]
+    n = row["n"]
+    m1, m2 = round(row["sf1"] / n, 6), round(row["sf2"] / n, 6)
+    s1 = round((row["q1"] / n - m1 * m1) ** 0.5, 6)
+    s2 = round((row["q2"] / n - m2 * m2) ** 0.5, 6)
+    return raw.select(
+        "doc_id",
+        F.round((F.col("f1") - F.lit(m1)) / F.lit(s1), 6).alias("f1"),
+        F.round((F.col("f2") - F.lit(m2)) / F.lit(s2), 6).alias("f2"),
+        "y",
+    )
+
+
+def _sigmoid(z: F.Column) -> F.Column:
+    return 1 / (1 + F.exp(0 - z))
+
+
+def train_lr(d: DataFrame) -> list[tuple[int, float, float, float, float]]:
+    """Run LR_ROUNDS full-batch GD steps; returns the per-step
+    (step, w0, w1, w2, grad_norm) trajectory. One scan + one 3-cell
+    aggregate collect per step — driver state is 4 floats."""
+    d = d.cache()
+    n = float(d.count())
+    w = [0.0, 0.0, 0.0]
+    out = []
+    for k in range(1, LR_ROUNDS + 1):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("f1") + F.lit(w[2]) * F.col("f2")
+        resid = _sigmoid(z) - F.col("y")
+
+        def g(term: F.Column) -> F.Column:
+            return F.round(F.sum(term.cast(_DEC)).cast("double") / F.lit(n), 6)
+
+        row = d.agg(
+            g(resid).alias("g0"),
+            g(resid * F.col("f1")).alias("g1"),
+            g(resid * F.col("f2")).alias("g2"),
+        ).collect()[0]
+        gs = [float(row["g0"]), float(row["g1"]), float(row["g2"])]
+        # weights already at 6 dp and lr=1, so the update stays exact;
+        # round() here mirrors the oracle's ROUND for parity only
+        w = [round(wi - gi, 6) for wi, gi in zip(w, gs)]
+        norm = round(sum(gi * gi for gi in gs) ** 0.5, 6)
+        out.append((k, w[0], w[1], w[2], norm))
+    d.unpersist()
+    return out
+
+
+@query("curation_quality_lr", oracle=_LR_SQL)
+def curation_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training trajectory (module docstring): one row per GD
+    step with the post-update weights and gradient norm. The norm
+    shrinking across the gated rows is the convergence evidence
+    (asserted monotone in tests)."""
+    rows = train_lr(_features(spark, sf_dir))
+    return spark.createDataFrame(
+        rows, "step int, w0 double, w1 double, w2 double, grad_norm double"
+    )
+
+
+@query("curation_quality_lr_scores", oracle=_LR_SCORES_SQL)
+def curation_quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained classifier: per-doc quality score
+    sigmoid(w·x) under the step-{LR_ROUNDS} weights, top 10 by
+    (score desc, doc_id). Scoring is a pure map-side projection — the
+    deployment path for a 100 TB corpus is exactly this scan with the
+    weights as a broadcast literal, followed by the quality-threshold
+    filter (compare curation_ccnet_buckets)."""
+    d = _features(spark, sf_dir)
+    w = train_lr(d)[-1]
+    z = F.lit(w[1]) + F.lit(w[2]) * F.col("f1") + F.lit(w[3]) * F.col("f2")
+    return (
+        d.select(
+            "doc_id",
+            F.round(_sigmoid(z), 6).alias("score"),
+            F.col("y").cast("long").alias("label"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

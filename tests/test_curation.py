@@ -199,3 +199,25 @@ def test_split_leakage_consistent_with_parts(spark):
     assert got == dict(expected)
     for r in leak:
         assert r["is_leakage"] == (r["split_lo"] != r["split_hi"])
+
+
+def test_quality_lr_converges_and_separates(spark):
+    """GD on standardized features at lr=1 must CONVERGE (grad norm
+    strictly decreasing across the 3 gated steps) and the trained
+    scorer must order the classes correctly on its own training data
+    (mean score of label-1 docs >= label-0 — weak by construction on
+    near-uniform synthetic text, but the direction is deterministic)."""
+    import pyspark.sql.functions as F
+
+    from kinesis_s3_spark.operators.quality_lr import _features, _sigmoid, train_lr
+
+    traj = train_lr(_features(spark, SF_CORRECT))
+    norms = [t[4] for t in traj]
+    assert norms == sorted(norms, reverse=True), norms
+    w = traj[-1]
+    d = _features(spark, SF_CORRECT)
+    z = F.lit(w[1]) + F.lit(w[2]) * F.col("f1") + F.lit(w[3]) * F.col("f2")
+    rows = d.select("y", _sigmoid(z).alias("s")).groupBy("y").agg(F.avg("s").alias("m")).collect()
+    by = {r["y"]: r["m"] for r in rows}
+    assert 0 < by[0.0] < 1 and 0 < by[1.0] < 1
+    assert by[1.0] >= by[0.0]
