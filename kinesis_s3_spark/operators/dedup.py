@@ -695,3 +695,62 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+_FUZZY_SQL = """
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name
+    ),
+    blocked AS (
+      SELECT p_name, n_rows, string_split(p_name, ' ')[-1] AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+           a.n_rows AS rows_a, b.n_rows AS rows_b
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+"""
+
+
+@query("dedup_fuzzy_names", oracle=_FUZZY_SQL)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over part names — the
+    edit-distance sibling of dedup_minhash_lsh for SHORT entity
+    strings (names, titles, addresses) where shingling has nothing to
+    grip: candidate merge pairs are distinct names in the same block
+    (last token — the head noun) at Levenshtein distance 1–2, i.e.
+    near-but-not-exact; exact duplicates are dedup_exact's job. Each
+    pair carries both names' row counts so a resolve step can fold the
+    rarer spelling into the canonical one (the dedup_cluster_resolve
+    pattern).
+
+    Spark-first/scale: linkage runs on the DISTINCT-name catalogue
+    (one map-side-combined groupBy collapses the corpus to its name
+    vocabulary — 64 rows here, catalogue-bound not corpus-bound at
+    100 TB), and the quadratic levenshtein comparison is confined to
+    within-block pairs by an equi-join on the blocking key, the
+    standard record-linkage blocking strategy. levenshtein() is a JVM
+    built-in — no Python in the loop."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    blocked = names.select(
+        "p_name", "n_rows", F.element_at(F.split(F.col("p_name"), " "), -1).alias("blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    lv = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .filter(lv.between(1, 2))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lv.cast("int").alias("edit_dist"),
+            F.col("a.n_rows").alias("rows_a"),
+            F.col("b.n_rows").alias("rows_b"),
+        )
+    )
