@@ -523,3 +523,74 @@ def etl_indexed_gzip_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_grp.join(splits, "grp").select(
         "grp", "n_records", "n_splits", "line_checksum"
     )
+
+
+_SCD2_SQL = """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '2024-01-01' AS valid_from
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_mktsegment || '_V2' AS segment,
+             TIMESTAMP '2024-06-01' AS eff_date
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT d.c_custkey, d.segment, d.valid_from,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.eff_date END AS valid_to,
+           u.c_custkey IS NULL AS is_current
+    FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, segment, eff_date AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM upd
+"""
+
+
+@query("etl_scd2_merge", oracle=_SCD2_SQL)
+def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge — the lakehouse upsert a
+    warehouse runs to version dimension attributes (Kimball SCD2; the
+    MERGE INTO of Delta/Iceberg expressed as a plain join+union so
+    any Spark sink can run it). The base snapshot is the customer
+    dimension (valid from 2024-01-01, open-ended); the change set is a
+    deterministic derived update (every 10th key's segment renamed
+    *_V2, effective 2024-06-01). The merge closes superseded versions
+    (valid_to = effective date, is_current = false) and appends the
+    new versions as current — history is preserved, never updated in
+    place.
+
+    Scale: one equi-join on the dimension key — the update side is a
+    broadcast whenever the day's change set fits (AQE decides;
+    typically ≪ dimension size), so the dimension is scanned once and
+    never shuffled; the union appends |updates| rows. At 100 TB the
+    dimension would additionally be bucketed by key so successive
+    daily merges co-locate without re-shuffling (see
+    tests/test_bucketing.py for the engine's bucketed-join proof)."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+        F.lit("2024-06-01").cast("timestamp").alias("eff_date"),
+    )
+    u = F.broadcast(upd.withColumnRenamed("c_custkey", "u_key").withColumnRenamed("segment", "u_segment"))
+    closed = dim.join(u, dim["c_custkey"] == u["u_key"], "left").select(
+        "c_custkey",
+        "segment",
+        "valid_from",
+        F.when(F.col("u_key").isNotNull(), F.col("eff_date")).alias("valid_to"),
+        F.col("u_key").isNull().alias("is_current"),
+    )
+    appended = upd.select(
+        "c_custkey",
+        "segment",
+        F.col("eff_date").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(appended)

@@ -8,7 +8,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 _QUERIES = entrymod.queries()
 
@@ -31,3 +31,32 @@ def test_query_runs(spark, name):
     df = _QUERIES[name](spark, SF_SMOKE)
     assert df.columns
     df.limit(5).collect()
+
+
+def test_scd2_invariants(spark):
+    """SCD2 merge: exactly one current row per key, history rows
+    carry a valid_to equal to the successor's valid_from, and
+    untouched keys keep a single open-ended row."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["etl_scd2_merge"](spark, SF_CORRECT).cache()
+    per_key = df.groupBy("c_custkey").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_cur"),
+        F.count("*").alias("n"),
+    )
+    assert per_key.filter(F.col("n_cur") != 1).count() == 0
+    assert per_key.filter((F.col("c_custkey") % 10 == 0) & (F.col("n") != 2)).count() == 0
+    assert per_key.filter((F.col("c_custkey") % 10 != 0) & (F.col("n") != 1)).count() == 0
+    closed = df.filter(~F.col("is_current"))
+    succ = df.filter(F.col("is_current")).select(
+        "c_custkey", F.col("valid_from").alias("succ_from")
+    )
+    bad = (
+        closed.join(succ, "c_custkey")
+        .filter(F.col("valid_to") != F.col("succ_from"))
+        .count()
+    )
+    assert bad == 0
+    df.unpersist()
