@@ -67,9 +67,12 @@ for _m in _OPTIONAL_MODULES:
 #     dedup, DSIR, weighted sampling, CCNet buckets, split leakage,
 #     drift chi2, BM25/inverted-index/hybrid-RRF, PageRank/triangles,
 #     KMV, PQ-ANN, batched BPE, stored-bytes + resize multimodal,
-#     indexed-gzip splits, error-bounded approx_distinct_users),
+#     indexed-gzip splits, error-bounded approx_distinct_users,
+#     and the late-r5 additions: MG heavy hitters, histogram
+#     quantiles, PSI drift, the LR quality classifier pair, fuzzy
+#     name linkage, SCD2 merge),
 # (3) a round-4 re-confirmation band, then everything else (green
-#     gate history in r1–r4) last. All 28 round-5-relevant entries
+#     gate history in r1–r4) last. All 37 round-5-relevant entries
 #     fit inside the 50 slots (asserted by inspection per rotation).
 _GATE_FIRST = [
     # -- (1) never driver-gated through round 4 --
@@ -77,6 +80,13 @@ _GATE_FIRST = [
     "sketch_bloom_contamination",
     "approx_percentile_price",
     # -- (2) new or semantically changed in round 5 --
+    "sketch_heavy_hitters",
+    "sketch_quantile_histogram",
+    "events_drift_psi",
+    "curation_quality_lr",
+    "curation_quality_lr_scores",
+    "dedup_fuzzy_names",
+    "etl_scd2_merge",
     "dedup_semantic",
     "dedup_semantic_recall",
     "dedup_semantic_k32",

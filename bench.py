@@ -96,6 +96,13 @@ HEADLINE = [
     "emb_kmeans",
     "events_ewma",
     "text_bigram_surprisal",
+    "sketch_heavy_hitters",
+    "sketch_quantile_histogram",
+    "events_drift_psi",
+    "curation_quality_lr",
+    "curation_quality_lr_scores",
+    "dedup_fuzzy_names",
+    "etl_scd2_merge",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -61,6 +61,9 @@ ALLOW_NESTED_LOOP = {
     "curation_dsir_weights",  # 1-row corpus totals broadcast (dsir.py)
     "curation_ccnet_buckets",  # 1-row token-total broadcast (surprisal pipeline)
     "events_drift_chi2",  # 1-row marginals / |types|-row total broadcasts
+    "events_drift_psi",  # 1-row ref-range / totals broadcasts (events.py PSI)
+    "sketch_heavy_hitters",  # 1-row corpus-total broadcast for the threshold
+    "sketch_quantile_histogram",  # 1-row min/max/n broadcast + <=64-row cum frame
 }
 
 
