@@ -40,6 +40,7 @@ _OPTIONAL_MODULES = (
     "kinesis_s3_spark.operators.semdedup",
     "kinesis_s3_spark.operators.dsir",
     "kinesis_s3_spark.operators.quality_lr",
+    "kinesis_s3_spark.operators.layout",
     "kinesis_s3_spark.operators.sampling",
     "kinesis_s3_spark.operators.graph",
     "kinesis_s3_spark.operators.sketches",
@@ -72,7 +73,7 @@ for _m in _OPTIONAL_MODULES:
 #     quantiles, PSI drift, the LR quality classifier pair, fuzzy
 #     name linkage, SCD2 merge),
 # (3) a round-4 re-confirmation band, then everything else (green
-#     gate history in r1–r4) last. All 37 round-5-relevant entries
+#     gate history in r1–r4) last. All 38 round-5-relevant entries
 #     fit inside the 50 slots (asserted by inspection per rotation).
 _GATE_FIRST = [
     # -- (1) never driver-gated through round 4 --
@@ -87,6 +88,7 @@ _GATE_FIRST = [
     "curation_quality_lr_scores",
     "dedup_fuzzy_names",
     "etl_scd2_merge",
+    "etl_zorder_skipping",
     "dedup_semantic",
     "dedup_semantic_recall",
     "dedup_semantic_k32",

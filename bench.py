@@ -103,6 +103,7 @@ HEADLINE = [
     "curation_quality_lr_scores",
     "dedup_fuzzy_names",
     "etl_scd2_merge",
+    "etl_zorder_skipping",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -1,0 +1,169 @@
+"""Data-layout operators (north-star extension; no reference
+analogue): Z-order (Morton) clustering and the min/max file-skipping
+it buys — the table-layout decision that dominates scan cost at
+100 TB (Delta/Iceberg OPTIMIZE ZORDER BY; Morton 1966).
+
+The experiment is self-contained and fully deterministic: events are
+mapped to 8-bit per-dimension ranks (equi-width over the observed
+range — integer arithmetic, identical in both engines), bit-interleaved
+into a 16-bit Morton key, and assigned to 16 "files" by the key's top
+4 bits; the comparison layout sorts on the time dimension alone. For
+three canonical predicates (time-box, value-box, time×value box) the
+operator counts how many files survive per-file min/max pruning —
+exactly the skipping logic a parquet reader's row-group stats drive.
+Z-ordering's payoff is the gated number: the value-only predicate
+prunes 0 files under time-linear layout but most files under Z-order,
+and the 2-D box hits ~1 file instead of a full time stripe.
+
+Scale: one 1-row range broadcast, one map-side rank/interleave
+projection, one 16-key aggregate per layout — the whole audit costs
+two tiny shuffles at any corpus size. On a real lakehouse the same
+Morton key column is simply the sort key passed to the writer;
+the pruning counts here are the design evidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
+
+_BITS = 8
+_FILES_SHIFT = 12  # 16-bit z >> 12 -> 16 files
+
+# the three audit predicates, as inclusive 8-bit rank boxes:
+# a time stripe, a value stripe, and their intersection
+_BOXES = [
+    ("time_box", 64, 127, 0, 255),
+    ("value_box", 0, 255, 64, 127),
+    ("time_value_box", 64, 127, 64, 127),
+]
+
+_INTERLEAVE_SQL = " + ".join(
+    f"(((xr >> {k}) & 1) << {2 * k + 1}) + (((yr >> {k}) & 1) << {2 * k})"
+    for k in range(_BITS)
+)
+
+_BOXES_SQL = ", ".join(f"('{n}', {a}, {b}, {c}, {d})" for n, a, b, c, d in _BOXES)
+
+_ZORDER_SQL = f"""
+    WITH pts AS (
+      SELECT CAST(epoch(ts) AS DOUBLE) AS t, CAST(value AS DOUBLE) AS v FROM events
+    ),
+    rng AS (
+      SELECT MIN(t) AS tmn, MAX(t) AS tmx, MIN(v) AS vmn, MAX(v) AS vmx FROM pts
+    ),
+    ranked AS (
+      SELECT
+        LEAST(CAST(FLOOR((t - r.tmn) / (r.tmx - r.tmn) * 256) AS INT), 255) AS xr,
+        LEAST(CAST(FLOOR((v - r.vmn) / (r.vmx - r.vmn) * 256) AS INT), 255) AS yr
+      FROM pts, rng r
+    ),
+    keyed AS (
+      SELECT xr, yr, ({_INTERLEAVE_SQL}) >> {_FILES_SHIFT} AS zfile, xr >> 4 AS lfile
+      FROM ranked
+    ),
+    files AS (
+      SELECT 'zorder' AS layout, zfile AS f, MIN(xr) AS mnx, MAX(xr) AS mxx,
+             MIN(yr) AS mny, MAX(yr) AS mxy
+      FROM keyed GROUP BY zfile
+      UNION ALL
+      SELECT 'linear_time', lfile, MIN(xr), MAX(xr), MIN(yr), MAX(yr)
+      FROM keyed GROUP BY lfile
+    ),
+    boxes AS (
+      SELECT * FROM (VALUES {_BOXES_SQL}) AS b(box, x_lo, x_hi, y_lo, y_hi)
+    )
+    SELECT f.layout, b.box,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN f.mxx >= b.x_lo AND f.mnx <= b.x_hi
+                          AND f.mxy >= b.y_lo AND f.mny <= b.y_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+    FROM files f CROSS JOIN boxes b
+    GROUP BY f.layout, b.box
+"""
+
+
+def _interleave(xr: F.Column, yr: F.Column) -> F.Column:
+    z = F.lit(0)
+    for k in range(_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xr, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+            + F.shiftleft(F.shiftright(yr, k).bitwiseAND(F.lit(1)), 2 * k)
+        )
+    return z
+
+
+@query("etl_zorder_skipping", oracle=_ZORDER_SQL)
+def etl_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-order layout vs time-linear layout, judged by min/max
+    file pruning (module docstring): per (layout, predicate), the
+    file count and how many files a stats-driven reader must open.
+    Tests assert the separation (value-box: linear prunes nothing,
+    Z-order prunes; 2-D box: Z-order opens fewer files than linear)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        # NTZ → epoch seconds via an explicit UTC-free diff (NTZ has no
+        # double cast); microsecond resolution matches DuckDB epoch()
+        (
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            .cast("double")
+            / 1_000_000
+        ).alias("t"),
+        F.col("value").cast("double").alias("v"),
+    )
+    rng = ev.agg(
+        F.min("t").alias("tmn"),
+        F.max("t").alias("tmx"),
+        F.min("v").alias("vmn"),
+        F.max("v").alias("vmx"),
+    )
+
+    def rank8(c: F.Column, mn: F.Column, mx: F.Column) -> F.Column:
+        return F.least(
+            F.floor((c - mn) / (mx - mn) * 256).cast("int"), F.lit(255)
+        )
+
+    ranked = ev.crossJoin(F.broadcast(rng)).select(
+        rank8(F.col("t"), F.col("tmn"), F.col("tmx")).alias("xr"),
+        rank8(F.col("v"), F.col("vmn"), F.col("vmx")).alias("yr"),
+    )
+    keyed = ranked.select(
+        "xr",
+        "yr",
+        F.shiftright(_interleave(F.col("xr"), F.col("yr")), _FILES_SHIFT).alias("zfile"),
+        F.shiftright(F.col("xr"), 4).alias("lfile"),
+    )
+    stats = [
+        F.min("xr").alias("mnx"),
+        F.max("xr").alias("mxx"),
+        F.min("yr").alias("mny"),
+        F.max("yr").alias("mxy"),
+    ]
+    files = (
+        keyed.groupBy(F.col("zfile").alias("f"))
+        .agg(*stats)
+        .select(F.lit("zorder").alias("layout"), "f", "mnx", "mxx", "mny", "mxy")
+        .unionByName(
+            keyed.groupBy(F.col("lfile").alias("f"))
+            .agg(*stats)
+            .select(F.lit("linear_time").alias("layout"), "f", "mnx", "mxx", "mny", "mxy")
+        )
+    )
+    boxes = spark.createDataFrame(_BOXES, "box string, x_lo int, x_hi int, y_lo int, y_hi int")
+    hit = (
+        (F.col("mxx") >= F.col("x_lo"))
+        & (F.col("mnx") <= F.col("x_hi"))
+        & (F.col("mxy") >= F.col("y_lo"))
+        & (F.col("mny") <= F.col("y_hi"))
+    )
+    return (
+        files.crossJoin(F.broadcast(boxes))
+        .groupBy("layout", "box")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(hit.cast("int")).cast("long").alias("files_hit"),
+        )
+    )

@@ -60,3 +60,17 @@ def test_scd2_invariants(spark):
     )
     assert bad == 0
     df.unpersist()
+
+
+def test_zorder_skipping_separation(spark):
+    """Z-order must dominate the time-linear layout where it is
+    supposed to: the value-only predicate prunes nothing under
+    time-linear layout but prunes most files under Z-order, and the
+    2-D box opens strictly fewer files under Z-order."""
+    rows = entrymod.queries()["etl_zorder_skipping"](spark, SF_CORRECT).collect()
+    hit = {(r["layout"], r["box"]): (r["files_hit"], r["n_files"]) for r in rows}
+    lin_v, lin_n = hit[("linear_time", "value_box")]
+    zo_v, zo_n = hit[("zorder", "value_box")]
+    assert lin_v == lin_n  # linear layout cannot prune on value
+    assert zo_v <= zo_n // 2  # zorder prunes at least half
+    assert hit[("zorder", "time_value_box")][0] < hit[("linear_time", "time_value_box")][0]

@@ -64,6 +64,7 @@ ALLOW_NESTED_LOOP = {
     "events_drift_psi",  # 1-row ref-range / totals broadcasts (events.py PSI)
     "sketch_heavy_hitters",  # 1-row corpus-total broadcast for the threshold
     "sketch_quantile_histogram",  # 1-row min/max/n broadcast + <=64-row cum frame
+    "etl_zorder_skipping",  # 1-row range broadcast + 3-row predicate-box frame
 }
 
 
