@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_fuzzy_names",
     "etl_scd2_merge",
     "etl_zorder_skipping",
+    "events_session_window",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

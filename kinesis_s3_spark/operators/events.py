@@ -678,3 +678,62 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("psi"), 6).alias("psi_total"),
         (F.col("psi") > 0.2).alias("drifted"),
     )
+
+
+@query(
+    "events_session_window",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             -- strict >: session_window MERGES an event arriving at
+             -- EXACTLY last+gap (pinned by
+             -- test_session_window_boundary_is_inclusive)
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_SEC} * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window()
+    operator — the built-in twin of events_sessionize's lag+cumsum
+    construction, gated against the SAME oracle semantics (a session
+    closes after {SESSION_GAP_SEC}s of inactivity). session_window's
+    window END is last_event + gap by definition, so the gated
+    session_end is the aggregate MAX(ts), identical to the manual
+    construction's.
+
+    Why both exist: the manual form works in any engine and proves the
+    semantics; this form is the one a Spark user should RUN — it's a
+    single groupBy with session-window merging done by the
+    UpdatingSessionsExec machinery (no window-function global sort per
+    user), and it is the exact expression that becomes a streaming
+    stateful session aggregation when fed a readStream (the
+    streaming/stateful.py sessionize_stream path is the
+    applyInPandasWithState variant of the same contract).
+
+    Scale: one shuffle on user_id; per-user session merging is linear
+    in that user's events — no cross-user state, AQE-skew-splittable."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("w"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

@@ -98,3 +98,31 @@ def test_drift_psi_contribs_nonnegative_and_sum(spark):
     for r in rows:
         assert abs(r["psi_total"] - round(psi, 6)) < 1e-6
         assert r["drifted"] == (psi > 0.2)
+
+
+def test_session_window_boundary_is_inclusive(spark):
+    """Pin the native session_window boundary the oracle relies on:
+    an event arriving at EXACTLY last + gap still MERGES into the
+    session (only a strictly larger gap opens a new one) — so the
+    oracle's strict > matches the built-in."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0),
+        ("u1", t0 + dt.timedelta(seconds=1800)),  # exactly the gap
+        ("u2", t0),
+        ("u2", t0 + dt.timedelta(seconds=1800, microseconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp_ntz")
+    sess = (
+        df.groupBy("user_id", F.session_window("ts", "1800 seconds"))
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    by = {r["user_id"]: r["count"] for r in sess}
+    assert by == {"u1": 1, "u2": 2}, by
