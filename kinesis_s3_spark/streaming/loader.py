@@ -103,6 +103,7 @@ def run_loader(
     tracker: SnowplowTracker | None = None,
     dedupe_watermark: str | None = None,
     countmin=None,
+    accumulators=(),
 ) -> StreamingQuery:
     """Wire source → trigger → foreachBatch(emit) → checkpoint and
     start the query (the executor.run() analogue, S3Loader.scala:63-68;
@@ -125,7 +126,12 @@ def run_loader(
     each emitted micro-batch's payload words are folded into the
     persisted Count-Min matrix after the flush (replay-safe: the
     accumulator skips re-delivered batch ids, and its state file
-    reloads on restart)."""
+    reloads on restart).
+
+    ``accumulators``: any further objects with the same
+    ``update(batch_df, batch_id)`` replay-safe contract (e.g.
+    streaming/histogram.py:SizeHistogramAccumulator), applied in
+    order after countmin."""
     stream = build_stream(spark, cfg)
     if dedupe_watermark is not None:
         from kinesis_s3_spark.streaming.dedup import with_incremental_dedup
@@ -161,6 +167,8 @@ def run_loader(
         )
         if countmin is not None:
             countmin.update(batch_df, batch_id)
+        for acc in accumulators:
+            acc.update(batch_df, batch_id)
         if on_flush is not None:
             on_flush(meta)
 

@@ -250,3 +250,73 @@ def test_streaming_countmin_matches_batch_sketch(spark, tmp_path):
     # point estimate serves lookups ≥ truth (CMS guarantee)
     assert cms2.estimate("cat") >= 5
     assert cms2.estimate("never-seen-word-xyz") >= 0
+
+
+def test_streaming_size_histogram_matches_batch(spark, tmp_path):
+    """The loader-maintained record-size histogram, accumulated across
+    micro-batches AND a query stop/restart, must equal the one-pass
+    histogram over the same payloads, and its quantile read-off must
+    sit within one bin width above the exact quantile."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.streaming.histogram import (
+        BIN_WIDTH,
+        SizeHistogramAccumulator,
+        size_bins,
+    )
+    from kinesis_s3_spark.streaming.loader import run_loader
+
+    inp = str(tmp_path / "in")
+    hist_dir = str(tmp_path / "hist")
+
+    def write_input(rows):
+        spark.createDataFrame([(r,) for r in rows], "value string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {"s3": {"path": str(tmp_path / "out"), "compression": "GZIP"}},
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+
+    part1 = ["x" * 10, "y" * 100, "z" * 300]
+    part2 = ["w" * 100, "v" * 5000]  # 5000 clamps into the top bin
+
+    write_input(part1)
+    acc = SizeHistogramAccumulator(hist_dir)
+    q = run_loader(spark, cfg, query_name="hist-a", accumulators=(acc,))
+    q.processAllAvailable()
+    q.stop()
+
+    write_input(part2)
+    acc2 = SizeHistogramAccumulator(hist_dir)
+    assert acc2.bins == acc.bins  # state survived the restart
+    q2 = run_loader(spark, cfg, query_name="hist-b", accumulators=(acc2,))
+    q2.processAllAvailable()
+    q2.stop()
+
+    allrows = spark.createDataFrame([(r,) for r in part1 + part2], "value string")
+    batch = {int(r["bin"]): int(r["cnt"]) for r in size_bins(allrows).collect()}
+    assert acc2.bins == batch
+
+    # replay no-op
+    before = dict(acc2.bins)
+    acc2.update(allrows, acc2.last_batch_id)
+    assert acc2.bins == before
+
+    # quantile: within one bin width above the exact value
+    sizes = sorted(len(r) for r in part1 + part2)
+    import math
+
+    for qq in (0.5, 0.9):
+        exact = sizes[math.ceil(qq * len(sizes)) - 1]
+        est = acc2.quantile(qq)
+        assert est >= min(exact, 64 * BIN_WIDTH - BIN_WIDTH)
+        if exact < 64 * BIN_WIDTH:
+            assert est - exact <= BIN_WIDTH
