@@ -73,7 +73,7 @@ for _m in _OPTIONAL_MODULES:
 #     quantiles, PSI drift, the LR quality classifier pair, fuzzy
 #     name linkage, SCD2 merge),
 # (3) a round-4 re-confirmation band, then everything else (green
-#     gate history in r1–r4) last. All 39 round-5-relevant entries
+#     gate history in r1–r4) last. All 40 round-5-relevant entries
 #     fit inside the 50 slots (asserted by inspection per rotation).
 _GATE_FIRST = [
     # -- (1) never driver-gated through round 4 --
@@ -115,6 +115,7 @@ _GATE_FIRST = [
     "mm_audio_decode_file",
     "mm_image_resize_real",
     "mm_binary_files_meta",
+    "mm_video_frame_sample",
     "approx_distinct_users",
     "etl_indexed_gzip_splits",
     "etl_bad_row_archive",

@@ -105,6 +105,7 @@ HEADLINE = [
     "etl_scd2_merge",
     "etl_zorder_skipping",
     "events_session_window",
+    "mm_video_frame_sample",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

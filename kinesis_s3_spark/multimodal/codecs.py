@@ -378,3 +378,85 @@ def resize_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             out["n_bytes"].append(len(thumb_bytes))
             out["pix_checksum"].append(pixel_checksum(thumb))
         yield pd.DataFrame(out)
+
+
+# --- MV01 video container: real header/stride walk + frame sampling ---------
+#
+# A minimal multi-frame container in the spirit of the BMP/WAV codecs
+# above: dependency-free, byte-real, and fully predictable so the
+# DuckDB oracle can verify every sampled frame arithmetically.
+#
+#   magic 4s b'MV01' | u8 n_frames | u8 width | u8 height
+#   then n_frames grayscale planes of width*height bytes each
+#
+# decode_video REALLY walks the layout (magic check, exact-length
+# check, per-frame stride); sampling keeps every FRAME_STRIDE-th frame
+# — the "sample 1 fps from a video" shape of a multimodal ingest
+# pipeline, where decoding every frame would be decode-bound waste.
+
+VIDEO_MAGIC = b"MV01"
+FRAME_STRIDE = 2  # keep frames 0, 2, 4, ...
+
+
+def synth_video(doc_id: int) -> tuple[np.ndarray, int, int, int]:
+    """Deterministic per-document clip: (frames[n, h, w], n, w, h),
+    every pixel pure doc_id/frame/position arithmetic."""
+    n = doc_id % 6 + 4
+    w = doc_id % 8 + 4
+    h = (doc_id * 3) % 8 + 4
+    f, i, j = np.mgrid[0:n, 0:h, 0:w]
+    frames = ((doc_id * 11 + f * 17 + i * w + j) % 251).astype(np.uint8)
+    return frames, n, w, h
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    n, h, w = frames.shape
+    return struct.pack("<4sBBB", VIDEO_MAGIC, n, w, h) + frames.astype(np.uint8).tobytes()
+
+
+def decode_video(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse MV01 bytes → (n_frames, w, h, frames[n, h, w]). Rejects
+    bad magic and truncated/oversized payloads loudly."""
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not an MV01 container: bad magic")
+    n, w, h = struct.unpack_from("<BBB", data, 4)
+    body = data[7:]
+    if len(body) != n * w * h:
+        raise ValueError(f"MV01 length mismatch: {len(body)} != {n}*{w}*{h}")
+    frames = np.frombuffer(body, dtype=np.uint8).reshape(n, h, w)
+    return n, w, h, frames
+
+
+def frame_checksum(frame: np.ndarray) -> int:
+    """Position-weighted checksum over one grayscale plane — sensitive
+    to row-order and stride mistakes (same design as pcm_checksum)."""
+    h, w = frame.shape
+    i, j = np.mgrid[0:h, 0:w]
+    v = frame.astype(np.int64) * (i * w + j + 1)
+    return int(v.sum()) % CHECKSUM_MOD
+
+
+VIDEO_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, width int, height int, "
+    "frame_checksum bigint"
+)
+
+
+def sample_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for mm_video_frame_sample: synthesize a valid
+    MV01 container per doc_id, REALLY parse it back (magic + stride
+    walk), keep every FRAME_STRIDE-th frame, and report per-sampled-
+    frame checksums."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_idx", "n_frames", "width", "height", "frame_checksum")}
+        for doc_id in pdf["doc_id"]:
+            frames, _n, _w, _h = synth_video(int(doc_id))
+            n, w, h, decoded = decode_video(encode_video(frames))
+            for f in range(0, n, FRAME_STRIDE):
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(f)
+                out["n_frames"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["frame_checksum"].append(frame_checksum(decoded[f]))
+        yield pd.DataFrame(out)

@@ -334,3 +334,55 @@ def mm_image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         resize_image_batches, schema=RESIZE_SCHEMA
     )
+
+
+_VIDEO_SAMPLE_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 6 + 4 AS BIGINT) AS n,
+             CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+             CAST((doc_id * 3) % 8 + 4 AS BIGINT) AS h
+      FROM documents
+    ),
+    sampled AS (
+      SELECT doc_id, n, w, h, unnest(range(0, n, 2)) AS f FROM dims
+    ),
+    px AS (
+      SELECT doc_id, n, w, h, f, unnest(range(0, w * h)) AS p FROM sampled
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(n AS INT) AS n_frames,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(SUM(((doc_id * 11 + f * 17 + p) % 251) * (p + 1)) % 2147483647 AS BIGINT)
+             AS frame_checksum
+    FROM px
+    GROUP BY doc_id, f, n, w, h
+"""
+
+
+@query("mm_video_frame_sample", oracle=_VIDEO_SAMPLE_ORACLE)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from a REAL multi-frame container walk
+    (multimodal/codecs.py MV01: magic + u8 header + per-frame stride):
+    every 2nd frame of each per-doc synthetic clip is decoded and
+    checksummed inside one Arrow ``mapInPandas`` pass — the "sample
+    1 fps from each video" ingest shape, where the pipeline must NOT
+    decode the frames it will drop. The oracle predicts each sampled
+    frame's position-weighted checksum arithmetically (codecs are
+    deterministic pixel formulas), so a stride bug, an off-by-one in
+    the header walk, or sampling the wrong frames breaks the value
+    hash — exactly the mm_audio_decode_real verification design.
+
+    Scale: map-only (zero shuffles before the gate's collect); frames
+    stay inside the UDF and only ~n/2 checksum rows per clip emerge.
+    At 100 TB the same plan reads containers via binaryFile (see
+    mm_image_decode_file for that ingestion edge, proven separately)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from kinesis_s3_spark.multimodal.codecs import (
+        VIDEO_SAMPLE_SCHEMA,
+        sample_video_batches,
+    )
+
+    return docs.mapInPandas(sample_video_batches, VIDEO_SAMPLE_SCHEMA)

@@ -261,3 +261,42 @@ def test_resize_survives_reencode_roundtrip():
     w, h, c, back = decode_bmp(encode_bmp(thumb))
     assert (w, h, c) == (RESIZE_DST, RESIZE_DST, 3)
     assert np.array_equal(back, thumb)
+
+
+def test_video_codec_roundtrip_and_errors():
+    """MV01 container: encode→decode round-trips frames exactly;
+    corrupt magic and truncated payloads are rejected loudly."""
+    import numpy as np
+    import pytest
+
+    from kinesis_s3_spark.multimodal.codecs import (
+        decode_video,
+        encode_video,
+        synth_video,
+    )
+
+    frames, n, w, h = synth_video(123)
+    data = encode_video(frames)
+    dn, dw, dh, decoded = decode_video(data)
+    assert (dn, dw, dh) == (n, w, h)
+    assert np.array_equal(decoded, frames)
+    with pytest.raises(ValueError, match="magic"):
+        decode_video(b"XXXX" + data[4:])
+    with pytest.raises(ValueError, match="length"):
+        decode_video(data[:-1])
+
+
+def test_video_sampling_stride(spark):
+    """Sampled frame indices are exactly 0, 2, 4, ... per clip."""
+    import __spark_entry__ as entrymod
+
+    from tests.conftest import SF_SMOKE
+
+    rows = entrymod.queries()["mm_video_frame_sample"](spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        idxs = sorted(r["frame_idx"] for r in rs)
+        n = rs[0]["n_frames"]
+        assert idxs == list(range(0, n, 2)), (doc_id, idxs, n)
