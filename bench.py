@@ -106,6 +106,7 @@ HEADLINE = [
     "etl_zorder_skipping",
     "events_session_window",
     "mm_video_frame_sample",
+    "events_mad_outliers",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -737,3 +737,103 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+_MAD_SQL = """
+    WITH v AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS x FROM events
+    ),
+    med AS (
+      SELECT event_type, x AS med FROM (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+      ) WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT)
+    ),
+    dev AS (
+      SELECT v.event_id, v.event_type, v.x, m.med, ABS(v.x - m.med) AS d
+      FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, d AS mad FROM (
+        SELECT event_type, d,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ) WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT)
+    ),
+    scored AS (
+      SELECT dv.event_id, dv.event_type, dv.x, dv.med, md.mad,
+             ROUND(0.6745 * (dv.x - dv.med) / md.mad, 6) AS robust_z
+      FROM dev dv JOIN mad md USING (event_type)
+    )
+    SELECT event_id, event_type,
+           ROUND(x, 6) AS x, ROUND(med, 6) AS med, ROUND(mad, 6) AS mad, robust_z
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ABS(robust_z) DESC, event_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+"""
+
+
+@query("events_mad_outliers", oracle=_MAD_SQL)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring by median absolute deviation — the
+    heavy-tail-safe sibling of events_zscore_anomaly (mean/std break
+    down under the very outliers they hunt; median/MAD do not).
+    Per event type: lower median by deterministic rank selection
+    (rank ceil(n/2), event_id tie-break), MAD the same way over
+    absolute deviations, modified z = 0.6745·(x − med)/MAD (Iglewicz &
+    Hoaglin), top-5 |z| rows per type reported with their inputs.
+
+    Scale: two rank selections = two window passes partitioned by
+    event_type (shuffle on the type key only, WindowGroupLimit caps
+    the top-5 read); medians per group are single values joined back
+    broadcast-small (|types| rows). On a 100 TB stream the same
+    medians would come from sketch_quantile_histogram's mergeable
+    bins — this operator is the exact arm, the sketch is the
+    production arm."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("x")
+    )
+
+    def rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(F.col(col), F.col("event_id"))
+        n = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(n))
+            .filter(F.col("rk") == F.ceil(F.col("n") / 2.0).cast("long"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = rank_median(e, "x", "med")
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = rank_median(dev.select("event_type", "event_id", "d"), "d", "mad")
+    scored = dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "x",
+        "med",
+        "mad",
+        F.round(0.6745 * (F.col("x") - F.col("med")) / F.col("mad"), 6).alias("robust_z"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("robust_z")).desc(), F.col("event_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("x", 6).alias("x"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "robust_z",
+        )
+    )
