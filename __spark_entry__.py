@@ -73,7 +73,7 @@ for _m in _OPTIONAL_MODULES:
 #     quantiles, PSI drift, the LR quality classifier pair, fuzzy
 #     name linkage, SCD2 merge),
 # (3) a round-4 re-confirmation band, then everything else (green
-#     gate history in r1–r4) last. All 41 round-5-relevant entries
+#     gate history in r1–r4) last. All 44 round-5-relevant entries
 #     fit inside the 50 slots (asserted by inspection per rotation).
 _GATE_FIRST = [
     # -- (1) never driver-gated through round 4 --
@@ -91,6 +91,9 @@ _GATE_FIRST = [
     "etl_zorder_skipping",
     "events_session_window",
     "events_mad_outliers",
+    "emb_pca_project",
+    "sketch_ams_f2",
+    "dedup_minhash_containment",
     "dedup_semantic",
     "dedup_semantic_recall",
     "dedup_semantic_k32",

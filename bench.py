@@ -107,6 +107,9 @@ HEADLINE = [
     "events_session_window",
     "mm_video_frame_sample",
     "events_mad_outliers",
+    "emb_pca_project",
+    "sketch_ams_f2",
+    "dedup_minhash_containment",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

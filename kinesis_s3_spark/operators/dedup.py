@@ -754,3 +754,99 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_rows").alias("rows_b"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAIN_SQL = f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 1, 1))]) AS gs
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+    ),
+    sh AS (SELECT doc_id, unnest(gs) AS s FROM ws),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || s)) AS m
+      FROM sh, (SELECT unnest(range(0, {N_HASHES})) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) AS ms FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b,
+             md5(ms[b*{ROWS_PER_BAND}+1] || ms[b*{ROWS_PER_BAND}+2] || ms[b*{ROWS_PER_BAND}+3]) AS bk
+      FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.d1, c.d2,
+             CAST(len(list_intersect(g1.gs, g2.gs)) AS DOUBLE) / len(g1.gs) AS c1,
+             CAST(len(list_intersect(g1.gs, g2.gs)) AS DOUBLE) / len(g2.gs) AS c2,
+             CAST(len(list_intersect(g1.gs, g2.gs)) AS DOUBLE) /
+             (len(g1.gs) + len(g2.gs) - len(list_intersect(g1.gs, g2.gs))) AS j
+      FROM cand c JOIN ws g1 ON c.d1 = g1.doc_id JOIN ws g2 ON c.d2 = g2.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(c1, 6) AS contain_1_in_2,
+           ROUND(c2, 6) AS contain_2_in_1,
+           ROUND(j, 6) AS jaccard
+    FROM scored
+    WHERE GREATEST(c1, c2) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_containment", oracle=_CONTAIN_SQL)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: exact shingle containment
+    C(A→B) = |A∩B| / |A| over the SAME LSH band candidates as
+    dedup_minhash_lsh — the quote/excerpt case symmetric Jaccard
+    misses (a short doc fully embedded in a long one has tiny J but
+    containment ≈ 1; Broder 1997 distinguishes resemblance from
+    containment for exactly this reason). Pairs where either direction
+    reaches {CONTAINMENT_THRESHOLD} are reported with both directions
+    and the Jaccard for contrast.
+
+    Scale: identical candidate generation to dedup_minhash_lsh (band
+    equi-join, never all-pairs; one cached shingling feeds signatures
+    and the verify). Caveat shared with every LSH screen: banding
+    recall tracks RESEMBLANCE, so a tiny-in-huge embedding can evade
+    the bands — the span-level screen (dedup_span_exact) is the
+    complementary detector for that regime and both run in the
+    curation pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = shingle_sets(docs).withColumnRenamed("shingles", "gs").cache()
+    sig = minhash_signatures(shingled.select("doc_id", F.col("gs").alias("shingles")))
+    bands = lsh_band_keys(sig).cache()
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    g1 = shingled.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"))
+    g2 = shingled.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"))
+    inter = F.size(F.array_intersect("gs1", "gs2")).cast("double")
+    union = F.size("gs1") + F.size("gs2") - F.size(F.array_intersect("gs1", "gs2"))
+    c1 = inter / F.size("gs1")
+    c2 = inter / F.size("gs2")
+    return (
+        cand.join(g1, "d1")
+        .join(g2, "d2")
+        .filter(F.greatest(c1, c2) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "d1",
+            "d2",
+            F.round(c1, 6).alias("contain_1_in_2"),
+            F.round(c2, 6).alias("contain_2_in_1"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )

@@ -347,7 +347,10 @@ _POWER_ROUND_SQL = """
     v{k} AS (SELECT list(ROUND(w / (SELECT nrm FROM n{k}), 6) ORDER BY pos) AS v FROM w{k})
 """
 
-_POWER_SQL = (
+# shared WITH-chain (scan + seed + unrolled rounds) — reused verbatim
+# by the projection oracle below so both gates run the identical
+# training chain (the quality_lr _lr_chain pattern)
+_POWER_CHAIN = (
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     vv AS (SELECT vec_id, e FROM v),
@@ -357,6 +360,10 @@ _POWER_SQL = (
         _POWER_ROUND_SQL.format(k=k, v=f"(SELECT v FROM v{k-1})")
         for k in range(1, POWER_ITERS + 1)
     )
+)
+
+_POWER_SQL = (
+    _POWER_CHAIN
     + f"""
     SELECT pos, ROUND(w / (SELECT nrm FROM n{POWER_ITERS}), 6) AS component
     FROM w{POWER_ITERS}
@@ -381,6 +388,16 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per round one scan + a 64-cell shuffle; rounds are the
     convergence budget. 100 TB: identical plan."""
+    vec = power_vector(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, v) for p, v in enumerate(vec)], "pos int, component double"
+    )
+
+
+def power_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The POWER_ITERS-round loop itself, returning the final unit
+    vector as 64 driver floats — shared by emb_power_iteration (gated
+    output) and emb_pca_project (downstream projection)."""
     vv = kmeans_vv(spark, sf_dir)
     vec = _power_seed()
     norm = None
@@ -415,6 +432,70 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
         w.unpersist()
         vec = [float(r["c"]) for r in sorted(rows, key=lambda r: int(r["pos"]))]
-    return spark.createDataFrame(
-        [(p, v) for p, v in enumerate(vec)], "pos int, component double"
+    return vec
+
+
+_PCA_PROJECT_SQL = (
+    _POWER_CHAIN
+    + f""",
+    pc AS MATERIALIZED (
+      SELECT list(ROUND(w / (SELECT nrm FROM n{POWER_ITERS}), 6) ORDER BY pos) AS v
+      FROM w{POWER_ITERS}
+    ),
+    proj AS MATERIALIZED (
+      SELECT e.label, ROUND(list_dot_product(v.e, (SELECT v FROM pc)), 6) AS s
+      FROM vv v JOIN embeddings e USING (vec_id)
+    ),
+    stats AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_s,
+             CAST(SUM(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS q
+      FROM proj GROUP BY label
+    )
+    SELECT label, n, mean_s,
+           ROUND(q - mean_s * mean_s, 6) AS var_s
+    FROM stats
+"""
+)
+
+
+@query("emb_pca_project", oracle=_PCA_PROJECT_SQL)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the power-iteration principal
+    direction and report per-label projection statistics (n, mean,
+    variance along the top PC) — the downstream consumer of
+    emb_power_iteration, and the second composition query built from a
+    trained artifact (ann_ivf_kmeans_topk composes emb_kmeans the same
+    way). A label whose mean projection separates from the others is
+    the 1-D evidence the embedding space encodes it.
+
+    Determinism: the projection reuses the EXACT unrolled training
+    chain as emb_power_iteration's oracle (shared _POWER_CHAIN), with
+    scores rounded 6 and per-label moments decimal-summed.
+
+    Scale: the trained vector is 64 driver floats → broadcast literal;
+    projection is a map-side fold per row; moments are one
+    map-side-combined shuffle on the (tiny) label key."""
+    vec = power_vector(spark, sf_dir)
+    vv = kmeans_vv(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    vlit = F.array(*[F.lit(float(x)) for x in vec])
+    proj = vv.join(emb, "vec_id").select(
+        "label", F.round(_dot(F.col("e"), vlit), 6).alias("s")
+    )
+    stats = proj.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("s").cast(_DEC)).cast("double") / F.count("*"), 6).alias(
+            "mean_s"
+        ),
+        (F.sum((F.col("s") * F.col("s")).cast(_DEC)).cast("double") / F.count("*")).alias(
+            "q"
+        ),
+    )
+    return stats.select(
+        "label",
+        "n",
+        "mean_s",
+        F.round(F.col("q") - F.col("mean_s") * F.col("mean_s"), 6).alias("var_s"),
     )

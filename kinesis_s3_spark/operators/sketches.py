@@ -549,3 +549,97 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est - F.col("x"), 6).alias("err"),
         (((est - F.col("x")) >= 0) & ((est - F.col("x")) <= w)).alias("within_bin"),
     )
+
+# --- AMS F2 (second frequency moment) sketch ---------------------------------
+
+AMS_ESTIMATORS = 16
+
+
+_AMS_SQL = f"""
+    WITH r AS (SELECT user_id FROM events),
+    z AS (
+      SELECT j,
+             CAST(SUM(2 * (('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || user_id), 1, 15))::BIGINT % 2) - 1)
+                  AS BIGINT) AS z
+      FROM r, (SELECT unnest(range(0, {AMS_ESTIMATORS})) AS j)
+      GROUP BY j
+    ),
+    est AS (
+      SELECT CAST(SUM(z * z) AS DOUBLE) / {AMS_ESTIMATORS} AS f2_est FROM z
+    ),
+    exact AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c * c) AS BIGINT) AS f2_exact
+      FROM (SELECT user_id, COUNT(*) AS c FROM r GROUP BY user_id)
+    )
+    SELECT x.n, x.n_distinct,
+           ROUND(e.f2_est, 6) AS f2_est,
+           x.f2_exact,
+           ROUND(ABS(e.f2_est - x.f2_exact) / x.f2_exact, 6) AS rel_err,
+           ROUND(CAST(x.f2_exact AS DOUBLE) * x.n_distinct / (CAST(x.n AS DOUBLE) * x.n), 6)
+             AS skew_ratio
+    FROM est e CROSS JOIN exact x
+"""
+
+
+@query("sketch_ams_f2", oracle=_AMS_SQL)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch over the event stream's
+    user_id key (Alon-Matias-Szegedy 1996): {AMS_ESTIMATORS} ±1-signed
+    sums Z_j (sign = an md5 bit of (j, key)), F2 ≈ mean of Z_j² —
+    estimated WITHOUT ever aggregating by key. F2 is the statistic
+    that decides shuffle strategy: skew_ratio = F2·|keys|/n² is 1.0
+    for a perfectly uniform key and grows with concentration, so a
+    pipeline reads this one row to decide whether agg_skew_salted's
+    salting is needed before a groupBy/join on the key. The exact
+    arm (one key aggregate) rides along for audit with the realized
+    relative error, exactly the KMV/CMS reporting design; md5 signs
+    make the sketch deterministic so the gate checks it bit-for-bit.
+
+    Scale: the sketch side explodes each row into {AMS_ESTIMATORS}
+    signed contributions and reduces to {AMS_ESTIMATORS} cells —
+    map-side combine bounds the shuffle at {AMS_ESTIMATORS} partials
+    per task and the KEY IS NEVER SHUFFLED (the whole point when the
+    key is skewed enough to make the exact aggregate the problem).
+    Sketches from disjoint slices merge by adding Z_j."""
+    r = load_table(spark, sf_dir, "events").select("user_id")
+    j = F.explode(F.sequence(F.lit(0), F.lit(AMS_ESTIMATORS - 1))).alias("j")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("j").cast("string"), F.col("user_id"))), 1, 15
+        ),
+        16,
+        10,
+    )
+    signed = r.select(j, "user_id").select(
+        "j", (2 * (h.cast("long") % 2) - 1).alias("s")
+    )
+    z = signed.groupBy("j").agg(F.sum("s").cast("long").alias("z"))
+    est = z.agg(
+        (F.sum(F.col("z") * F.col("z")).cast("double") / AMS_ESTIMATORS).alias("f2_est")
+    )
+    exact = (
+        r.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n",
+        "n_distinct",
+        F.round("f2_est", 6).alias("f2_est"),
+        "f2_exact",
+        F.round(F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 6).alias(
+            "rel_err"
+        ),
+        F.round(
+            F.col("f2_exact").cast("double")
+            * F.col("n_distinct")
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("skew_ratio"),
+    )

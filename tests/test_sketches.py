@@ -155,3 +155,38 @@ def test_quantile_histogram_bound_holds(spark):
     assert len(rows) == 5
     assert all(r["within_bin"] for r in rows), rows
     assert all(r["err"] >= 0 for r in rows), rows
+
+
+def test_ams_f2_unbiased_shape(spark):
+    """AMS invariants on the gate data: the exact F2 equals the
+    sum of squared key counts; the estimator is positive; and on a
+    CONSTRUCTED fully-skewed key (all rows one key) the sketch is
+    EXACT — every estimator's Z is ±n, so mean(Z²) = n² = F2."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["sketch_ams_f2"](spark, SF_CORRECT).collect()[0]
+    assert row["f2_est"] > 0
+    assert row["f2_exact"] >= row["n"]  # equality iff all keys distinct
+    assert row["skew_ratio"] >= 1.0 - 1e-9  # Cauchy-Schwarz lower bound
+
+    from kinesis_s3_spark.operators.sketches import AMS_ESTIMATORS
+
+    one_key = spark.createDataFrame([("u",)] * 100, "user_id string")
+    j = F.explode(F.sequence(F.lit(0), F.lit(AMS_ESTIMATORS - 1))).alias("j")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("j").cast("string"), F.col("user_id"))), 1, 15
+        ),
+        16,
+        10,
+    )
+    z = (
+        one_key.select(j, "user_id")
+        .select("j", (2 * (h.cast("long") % 2) - 1).alias("s"))
+        .groupBy("j")
+        .agg(F.sum("s").alias("z"))
+        .collect()
+    )
+    assert all(abs(r["z"]) == 100 for r in z)

@@ -65,6 +65,7 @@ ALLOW_NESTED_LOOP = {
     "sketch_heavy_hitters",  # 1-row corpus-total broadcast for the threshold
     "sketch_quantile_histogram",  # 1-row min/max/n broadcast + <=64-row cum frame
     "etl_zorder_skipping",  # 1-row range broadcast + 3-row predicate-box frame
+    "sketch_ams_f2",  # 1-row exact-arm broadcast crossed with the 1-row estimate
 }
 
 
