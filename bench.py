@@ -110,6 +110,9 @@ HEADLINE = [
     "emb_pca_project",
     "sketch_ams_f2",
     "dedup_minhash_containment",
+    "events_ar1_autocorr",
+    "events_asof_tolerance",
+    "curation_quality_lr_auc",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

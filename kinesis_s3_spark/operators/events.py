@@ -837,3 +837,161 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robust_z",
         )
     )
+
+
+_AR1_SQL = """
+    WITH v AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS x,
+             LAG(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS xp
+      FROM events
+    ),
+    p AS (SELECT user_id, x, xp FROM v WHERE xp IS NOT NULL),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(x * xp AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xp * xp AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(xp AS DECIMAL(38,12))) AS DOUBLE) AS sxp,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sx2
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n_pairs,
+           ROUND(sxy / sxx, 6) AS ar1_phi,
+           ROUND((n_pairs * sxy - sx * sxp)
+                 / (sqrt(n_pairs * sxx - sxp * sxp)
+                    * sqrt(n_pairs * sx2 - sx * sx)), 6) AS lag1_autocorr
+    FROM s
+    ORDER BY user_id
+    LIMIT 20
+"""
+
+
+@query("events_ar1_autocorr", oracle=_AR1_SQL)
+def events_ar1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user AR(1) dynamics of the value series: the
+    least-squares autoregressive coefficient φ = Σx_t·x_{t-1}/Σx²_{t-1}
+    (through-origin fit) and the Pearson lag-1 autocorrelation — the
+    two numbers that say whether a user's metric is momentum-driven or
+    white noise, feeding the anomaly family (a z-score threshold that
+    ignores autocorrelation over-alarms on smooth series). First 20
+    users by id (deterministic slice; per-user values are the
+    contract).
+
+    Plan/scale: one lag window partitioned by user (shuffle on
+    user_id, per-user linear), then a per-user aggregate of five
+    decimal sums — map-side combined, no second shuffle since the
+    window already co-located the key. 100 TB: identical plan;
+    skewed users split by AQE."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = e.select(
+        "user_id",
+        F.col("value").cast("double").alias("x"),
+        F.lag(F.col("value").cast("double")).over(w).alias("xp"),
+    ).filter(F.col("xp").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    s = v.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        dec(F.col("x") * F.col("xp")).alias("sxy"),
+        dec(F.col("xp") * F.col("xp")).alias("sxx"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("xp")).alias("sxp"),
+        dec(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    n = F.col("n_pairs")
+    return (
+        s.select(
+            "user_id",
+            "n_pairs",
+            F.round(F.col("sxy") / F.col("sxx"), 6).alias("ar1_phi"),
+            F.round(
+                (n * F.col("sxy") - F.col("sx") * F.col("sxp"))
+                / (
+                    F.sqrt(n * F.col("sxx") - F.col("sxp") * F.col("sxp"))
+                    * F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx"))
+                ),
+                6,
+            ).alias("lag1_autocorr"),
+        )
+        .orderBy("user_id")
+        .limit(20)
+    )
+
+
+ASOF_TOLERANCE_DAYS = 9000  # freshness bound; splits the synthetic gap range (8190-9799 d)
+
+
+@query(
+    "events_asof_tolerance",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey AS u, o_orderdate AS t, MAX(o_orderkey) AS ok
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    j AS (
+      SELECT e.event_id, e.user_id, e.ts, o.ok, o.t
+      FROM events e ASOF LEFT JOIN o ON e.user_id = o.u AND e.ts >= o.t
+    )
+    SELECT event_id, user_id,
+           CASE WHEN date_diff('day', t, ts) <= {ASOF_TOLERANCE_DAYS} THEN ok END
+             AS last_orderkey,
+           CASE WHEN date_diff('day', t, ts) <= {ASOF_TOLERANCE_DAYS}
+                THEN CAST(date_diff('day', t, ts) AS BIGINT) END AS staleness_days
+    FROM j
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness tolerance — the feature-store
+    contract ("serve the latest feature value, but never one older
+    than N days"): same union-and-carry-forward plan as
+    events_asof_join, additionally carrying the matched order's OWN
+    timestamp forward so the match can be nulled out past the
+    {ASOF_TOLERANCE_DAYS}-day bound, with the realized staleness
+    reported for audit. Stale features silently served is a classic
+    training/serving-skew bug; the tolerance is the guard.
+
+    Scale: identical to events_asof_join (ONE shuffle on user, no
+    range join, no row explosion) — the tolerance is a row-local
+    post-filter on the carried timestamp, free at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("u"), F.col("o_orderdate").alias("t"))
+        .agg(F.max("o_orderkey").alias("ok"))
+    )
+    left = e.select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("ok"),
+        F.lit(None).cast("timestamp_ntz").alias("ot"),
+        F.lit(1).alias("is_event"),
+    )
+    right = o.select(
+        "u",
+        F.col("t").cast("timestamp_ntz").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "ok",
+        F.col("t").cast("timestamp_ntz").alias("ot"),
+        F.lit(0).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        left.unionByName(right)
+        .withColumn("lk", F.last("ok", ignorenulls=True).over(w))
+        .withColumn("lt", F.last("ot", ignorenulls=True).over(w))
+    )
+    stale = F.expr("timestampdiff(DAY, lt, t)")
+    fresh = stale <= ASOF_TOLERANCE_DAYS
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("u").alias("user_id"),
+        F.when(fresh, F.col("lk")).alias("last_orderkey"),
+        F.when(fresh, stale.cast("long")).alias("staleness_days"),
+    )

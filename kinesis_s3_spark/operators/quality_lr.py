@@ -26,7 +26,7 @@ aggregates, expressed declaratively and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_s3_spark.operators.registry import query
@@ -236,4 +236,77 @@ def curation_quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
+    )
+
+
+_LR_AUC_SQL = (
+    _lr_chain()
+    + f""",
+    scored AS MATERIALIZED (
+      SELECT doc_id, y,
+             ROUND(1 / (1 + exp(0 - ((SELECT w0 FROM {_FINAL})
+                                     + (SELECT w1 FROM {_FINAL}) * f1
+                                     + (SELECT w2 FROM {_FINAL}) * f2))), 6) AS score
+      FROM d
+    ),
+    ranked AS (
+      -- midranks (RANK + tie-count adjustment) so ties contribute 0.5,
+      -- the Mann-Whitney convention
+      SELECT y,
+             RANK() OVER (ORDER BY score)
+               + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS r
+      FROM scored
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 THEN r END) AS DOUBLE) AS rpos,
+             CAST(SUM(y) AS BIGINT) AS n1,
+             CAST(SUM(1 - y) AS BIGINT) AS n0
+      FROM ranked
+    )
+    SELECT n1, n0,
+           ROUND((rpos - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS auc
+    FROM agg
+"""
+)
+
+
+@query("curation_quality_lr_auc", oracle=_LR_AUC_SQL)
+def curation_quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the trained quality classifier with ROC AUC via the
+    Mann-Whitney rank statistic: AUC = (Σ ranks of positives −
+    n1(n1+1)/2) / (n1·n0), midranks for score ties — the eval harness
+    a real curation pipeline runs before trusting a filter (GPT-3
+    appendix A reports exactly this check for its quality classifier).
+    AUC > 0.5 says the classifier orders the classes better than
+    chance even when the 1-D mean separation looks tiny.
+
+    Scale: scoring is map-side; the rank is ONE global sort of
+    (score) — at 100 TB the standard move is rank-by-partition +
+    offset correction or quantile-bucketed AUC, both straightforward
+    refinements of this plan; the gate pins the exact statistic."""
+    d = _features(spark, sf_dir)
+    w = train_lr(d)[-1]
+    z = F.lit(w[1]) + F.lit(w[2]) * F.col("f1") + F.lit(w[3]) * F.col("f2")
+    scored = d.select("y", F.round(_sigmoid(z), 6).alias("score"))
+    rw = Window.orderBy("score")
+    ranked = scored.select(
+        "y",
+        (
+            F.rank().over(rw)
+            + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
+        ).alias("r"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r"))).cast("double").alias("rpos"),
+        F.sum("y").cast("long").alias("n1"),
+        F.sum(1 - F.col("y")).cast("long").alias("n0"),
+    )
+    return agg.select(
+        "n1",
+        "n0",
+        F.round(
+            (F.col("rpos") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc"),
     )

@@ -92,6 +92,30 @@ class SizeHistogramAccumulator:
             )
         os.replace(tmp, self._path)
 
+    def psi_against(self, ref_bins: dict[int, int]) -> float:
+        """Population Stability Index of THIS histogram against a
+        reference histogram over the same fixed bins (e.g. yesterday's
+        persisted accumulator) — the streaming form of
+        events_drift_psi, possible precisely because the bins are
+        fixed/absolute rather than observed-range. Laplace-smoothed
+        over the union of occupied bins; > 0.2 is the conventional
+        alert threshold for record-size mix shift (a producer change,
+        a new payload schema)."""
+        import math as _math
+
+        bins = sorted(set(self.bins) | set(ref_bins))
+        n_cur = sum(self.bins.values())
+        n_ref = sum(ref_bins.values())
+        if n_cur == 0 or n_ref == 0:
+            return 0.0
+        psi = 0.0
+        k = len(bins)
+        for b in bins:
+            p_cur = (self.bins.get(b, 0) + 1) / (n_cur + k)
+            p_ref = (ref_bins.get(b, 0) + 1) / (n_ref + k)
+            psi += (p_cur - p_ref) * _math.log(p_cur / p_ref)
+        return psi
+
     def quantile(self, q: float) -> int:
         """Estimated q-quantile of record size in bytes: right edge of
         the bin holding rank ceil(q·n). Guarantee (same as the batch

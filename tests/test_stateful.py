@@ -320,3 +320,20 @@ def test_streaming_size_histogram_matches_batch(spark, tmp_path):
         assert est >= min(exact, 64 * BIN_WIDTH - BIN_WIDTH)
         if exact < 64 * BIN_WIDTH:
             assert est - exact <= BIN_WIDTH
+
+
+def test_streaming_histogram_psi(spark, tmp_path):
+    """PSI of a histogram against itself is 0; against a shifted size
+    mix it is positive and crosses the 0.2 alert line for a gross
+    shift."""
+    from kinesis_s3_spark.streaming.histogram import SizeHistogramAccumulator
+
+    a = SizeHistogramAccumulator(str(tmp_path / "a"))
+    a.bins = {0: 100, 1: 100}
+    assert a.psi_against(dict(a.bins)) == 0.0
+    b = SizeHistogramAccumulator(str(tmp_path / "b"))
+    b.bins = {30: 100, 31: 100}  # payloads 30x larger
+    psi = b.psi_against(a.bins)
+    assert psi > 0.2, psi
+    # symmetric-ish and order-sensitive sanity: reverse also alerts
+    assert a.psi_against(b.bins) > 0.2

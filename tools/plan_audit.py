@@ -77,6 +77,11 @@ ALLOW_NESTED_LOOP = {
 # EVERY round, far beyond the slack).
 EXCHANGE_SLACK = {
     "dedup_cluster_resolve": 8,  # label propagation, ~5 rounds embedded
+    # the full pipeline embeds the label-propagation rounds inside a
+    # larger DAG (~2300 Exchange occurrences in the captured string);
+    # reuse decisions inside that many repeated subtrees drift a few
+    # percent run to run — slack well below one extra round's cost
+    "curation_dedup_pipeline": 96,
 }
 
 # NOTE on budget provenance: budgets are IN-SESSION measurements
