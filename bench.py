@@ -113,6 +113,7 @@ HEADLINE = [
     "events_ar1_autocorr",
     "events_asof_tolerance",
     "curation_quality_lr_auc",
+    "text_bpe_fertility",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

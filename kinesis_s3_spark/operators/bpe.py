@@ -322,7 +322,11 @@ def train_bpe_batched(
 
 # --- apply the learned merges back to the corpus -----------------------------
 
-_BPE_TOKENIZE_SQL = (
+# train chain + per-word replace chain, WITHOUT a final select — the
+# shared prefix of text_bpe_tokenize and text_bpe_fertility (factored
+# per the ADVICE r4 rule: build SQL from named parts, never by
+# splitting a finished string)
+_BPE_APPLY_CHAIN = (
     _BPE_CHAIN
     + r""",
     docw AS (
@@ -341,6 +345,10 @@ _BPE_TOKENIZE_SQL = (
     )"""
         for k in range(1, N_MERGES + 1)
     )
+)
+
+_BPE_TOKENIZE_SQL = (
+    _BPE_APPLY_CHAIN
     + f"""
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -376,4 +384,65 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("long").alias("n_words"),
         F.sum("n_sym").cast("long").alias("n_symbols"),
+    )
+
+
+_BPE_FERTILITY_SQL = (
+    _BPE_APPLY_CHAIN
+    + f""",
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(len(string_split(seg, ' '))) AS BIGINT) AS n_symbols
+      FROM d{N_MERGES} GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_symbols) AS BIGINT) AS n_symbols,
+           CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+           ROUND(100.0 * SUM(p.n_symbols) / SUM(d.n_chars), 6) AS symbols_per_100_chars
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+"""
+)
+
+
+@query("text_bpe_fertility", oracle=_BPE_FERTILITY_SQL)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: symbols per 100 characters
+    under the learned merge table — the metric that tells you a
+    tokenizer trained on one language mix punishes another (high
+    fertility = more tokens per text = higher serving cost and
+    shorter effective context for that language). Composes the same
+    train → apply chain as text_bpe_tokenize and rolls it up per
+    lang; the oracle re-runs the whole chain so the gate checks the
+    composition end-to-end.
+
+    Scale: training as text_bpe_train; application is a map stage
+    (merge-table expression literals); the rollup is a groupBy on the
+    tiny lang key (map-side combined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, N_MERGES)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    seg = F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    for _rank, left, right, _cnt in merges:
+        seg = F.replace(seg, F.lit(f"{left} {right}"), F.lit(left + right))
+    per_doc = (
+        words.select("doc_id", F.size(F.split(seg, " ")).alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").cast("long").alias("n_symbols"))
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_symbols").cast("long").alias("n_symbols"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.round(
+                100.0 * F.sum("n_symbols") / F.sum("n_chars"), 6
+            ).alias("symbols_per_100_chars"),
+        )
     )
