@@ -114,6 +114,7 @@ HEADLINE = [
     "events_asof_tolerance",
     "curation_quality_lr_auc",
     "text_bpe_fertility",
+    "text_zipf_fit",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

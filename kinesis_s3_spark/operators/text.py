@@ -481,3 +481,81 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("surp").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
         ).alias("avg_bigram_surprisal"),
     )
+
+
+_ZIPF_SQL = r"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents
+    ),
+    f AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM w WHERE word != '' GROUP BY word
+    ),
+    r AS (
+      SELECT LN(ROW_NUMBER() OVER (ORDER BY freq DESC, word)) AS x,
+             LN(freq) AS y
+      FROM f
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM r
+    )
+    SELECT n AS vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+"""
+
+
+@query("text_zipf_fit", oracle=_ZIPF_SQL)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency-rank curve: OLS slope of
+    ln(freq) on ln(rank) (natural text ≈ −1; the synthetic corpus's
+    near-uniform vocabulary fits much shallower — the slope is itself
+    a corpus-naturalness diagnostic a curation pipeline can threshold
+    on), with intercept and R². Deterministic ranks (freq desc, word
+    tie-break); decimal-summed OLS moments.
+
+    Scale: one word count (map-side combined, |vocab| rows out), one
+    |vocab|-row rank window, a 1-row moment aggregate. For a
+    web-scale vocabulary the rank window is the only global step —
+    and it sorts |vocab| rows, not tokens."""
+    w = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    f = w.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    win = Window.orderBy(F.col("freq").desc(), "word")
+    r = f.select(
+        F.log(F.row_number().over(win).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    s = r.agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
