@@ -73,7 +73,7 @@ for _m in _OPTIONAL_MODULES:
 #     quantiles, PSI drift, the LR quality classifier pair, fuzzy
 #     name linkage, SCD2 merge),
 # (3) a round-4 re-confirmation band, then everything else (green
-#     gate history in r1–r4) last. All 49 round-5-relevant entries
+#     gate history in r1–r4) last. All 50 round-5-relevant entries
 #     fit inside the 50 slots (asserted by inspection per rotation).
 _GATE_FIRST = [
     # -- (1) never driver-gated through round 4 --
@@ -99,6 +99,7 @@ _GATE_FIRST = [
     "curation_quality_lr_auc",
     "text_bpe_fertility",
     "text_zipf_fit",
+    "curation_epoch_shuffle",
     "dedup_semantic",
     "dedup_semantic_recall",
     "dedup_semantic_k32",

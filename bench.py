@@ -115,6 +115,7 @@ HEADLINE = [
     "curation_quality_lr_auc",
     "text_bpe_fertility",
     "text_zipf_fit",
+    "curation_epoch_shuffle",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

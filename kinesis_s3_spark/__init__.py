@@ -21,7 +21,7 @@ Layout:
     sources/      — table loaders + stream source abstraction
     sinks/        — the emit() micro-batch sink (serialize + partition)
     streaming/    — readStream→foreachBatch loader + monitoring listeners
-    multimodal/   — binary-column plumbing with stubbed codecs
+    multimodal/   — binary-column plumbing with real BMP/WAV/MV01 codecs
 """
 
 __version__ = "0.1.0"

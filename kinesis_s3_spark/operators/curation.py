@@ -982,3 +982,41 @@ def _register_leakage_oracle() -> None:
 
 
 _register_leakage_oracle()
+
+
+_EPOCH_SHUFFLE_SQL = """
+    WITH p AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY md5('epoch1|' || doc_id), doc_id) AS pos_epoch1,
+             ROW_NUMBER() OVER (ORDER BY md5('epoch2|' || doc_id), doc_id) AS pos_epoch2
+      FROM documents
+    )
+    SELECT doc_id, CAST(pos_epoch1 AS BIGINT) AS pos_epoch1,
+           CAST(pos_epoch2 AS BIGINT) AS pos_epoch2
+    FROM p
+"""
+
+
+@query("curation_epoch_shuffle", oracle=_EPOCH_SHUFFLE_SQL)
+def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch corpus shuffling: each epoch's training
+    order is the rank of md5(epoch_seed | doc_id) — a deterministic
+    permutation that any worker can recompute from the doc_id alone
+    (no shared RNG state, no shuffle files to persist), and different
+    seeds give independent permutations (tested). This is how a
+    100 TB training run gets epoch ordering that is (a) reproducible
+    for debugging, (b) resumable mid-epoch (position is a pure
+    function), and (c) free of the pathological orderings a
+    sorted-by-source corpus would feed the model.
+
+    Scale note: the global rank here is the gate-checkable SMALL-scale
+    form; at 100 TB the same md5 key is used as a SORT KEY for the
+    writer (like the Z-order key in etl_zorder_skipping) — ordering
+    without ever materializing a global row number, which consumers
+    read back in file order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = docs
+    for e in (1, 2):
+        w = Window.orderBy(F.md5(F.concat(F.lit(f"epoch{e}|"), F.col("doc_id"))), F.col("doc_id"))
+        out = out.withColumn(f"pos_epoch{e}", F.row_number().over(w).cast("long"))
+    return out

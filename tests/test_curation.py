@@ -221,3 +221,16 @@ def test_quality_lr_converges_and_separates(spark):
     by = {r["y"]: r["m"] for r in rows}
     assert 0 < by[0.0] < 1 and 0 < by[1.0] < 1
     assert by[1.0] >= by[0.0]
+
+
+def test_epoch_shuffle_permutations_differ(spark):
+    """Both epoch orderings are true permutations of 1..n, and the
+    two seeds give substantially different orders (decorrelated
+    epochs — the point of seeding by epoch)."""
+    rows = Q["curation_epoch_shuffle"](spark, SF_CORRECT).collect()
+    n = len(rows)
+    p1 = sorted(r["pos_epoch1"] for r in rows)
+    p2 = sorted(r["pos_epoch2"] for r in rows)
+    assert p1 == list(range(1, n + 1)) and p2 == list(range(1, n + 1))
+    same = sum(1 for r in rows if r["pos_epoch1"] == r["pos_epoch2"])
+    assert same < n * 0.05  # fixed points of a random permutation: ~1 expected
