@@ -249,3 +249,48 @@ def test_budget_file_flags_unknown_query(spark):
     row = {"query": "brand_new_op", "cartesian": 0, "nested_loop": 0,
            "row_python": 0, "arrow_python": 0, "exchanges": 1}
     assert "NO_EXCHANGE_BUDGET" in flag_row(row, {})
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom-filter join (the 100 TB semi-join
+    pushdown: a bloom filter built from the selective side prunes the
+    fact scan before the shuffle) injects under the engine's conf
+    path. Thresholds are lowered only because gate-scale inputs sit
+    far below the production defaults (10 GB application side) — the
+    assertion pins that the capability is available and wired, so a
+    real deployment gets fact-scan pruning for free."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.sources.tables import load_table
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
