@@ -73,8 +73,9 @@ for _m in _OPTIONAL_MODULES:
 #     quantiles, PSI drift, the LR quality classifier pair, fuzzy
 #     name linkage, SCD2 merge),
 # (3) a round-4 re-confirmation band, then everything else (green
-#     gate history in r1–r4) last. All 50 round-5-relevant entries
-#     fit inside the 50 slots (asserted by inspection per rotation).
+#     gate history in r1–r4) last. All 51 round-5-relevant entries
+#     overflow the 50 slots by one — the band-3 head (dedup_embedding_lsh_strict,
+#     green r4 gate) cedes its slot; next rotation reorders.
 _GATE_FIRST = [
     # -- (1) never driver-gated through round 4 --
     "emb_power_iteration",
@@ -100,6 +101,7 @@ _GATE_FIRST = [
     "text_bpe_fertility",
     "text_zipf_fit",
     "curation_epoch_shuffle",
+    "events_cusum_alarm",
     "dedup_semantic",
     "dedup_semantic_recall",
     "dedup_semantic_k32",

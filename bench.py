@@ -116,6 +116,7 @@ HEADLINE = [
     "text_bpe_fertility",
     "text_zipf_fit",
     "curation_epoch_shuffle",
+    "events_cusum_alarm",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

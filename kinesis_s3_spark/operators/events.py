@@ -995,3 +995,114 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("lk")).alias("last_orderkey"),
         F.when(fresh, stale.cast("long")).alias("staleness_days"),
     )
+
+
+_CUSUM_W = 64  # trailing-window state bound (the EWMA-frame argument)
+
+
+_CUSUM_SQL = f"""
+    WITH st AS (
+      SELECT event_type,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mu,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS q
+      FROM events GROUP BY event_type
+    ),
+    st2 AS (
+      SELECT event_type, mu, ROUND(sqrt(q - mu * mu), 6) AS sigma FROM st
+    ),
+    lw AS (
+      SELECT e.event_id, e.event_type, s.mu, s.sigma,
+             list(CAST(e.value AS DOUBLE))
+               OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                     ROWS {_CUSUM_W - 1} PRECEDING) AS lst
+      FROM events e JOIN st2 s USING (event_type)
+    ),
+    cs AS (
+      SELECT event_id, event_type, sigma,
+             ROUND(CAST(list_reduce(
+               list_prepend(0.0, lst),
+               (a, b) -> greatest(a + b - (mu + 0.5 * sigma), 0.0)
+             ) AS DOUBLE), 6) AS cusum
+      FROM lw
+    )
+    SELECT event_id, event_type, cusum,
+           ROUND(4 * sigma, 6) AS threshold,
+           cusum > 4 * sigma AS alarmed
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY cusum DESC, event_id) AS rk
+      FROM cs
+    ) WHERE rk <= 10
+"""
+
+
+@query("events_cusum_alarm", oracle=_CUSUM_SQL)
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed CUSUM changepoint score per event type (Page 1954):
+    s_t = max(0, s_(t-1) + (x_t − μ − 0.5σ)) folded over the trailing
+    {_CUSUM_W} values, alarm at 4σ — the sequential mean-shift
+    detector that fires on a SUSTAINED small drift the per-point
+    z-score (events_zscore_anomaly) and robust-z (events_mad_outliers)
+    both miss, completing the anomaly family. The trailing window
+    bounds detector state exactly like events_ewma's frame; per type
+    the top-10 scores are reported with the threshold verdict.
+
+    Determinism: μ/σ decimal-summed and rounded 6; the fold is the
+    same left-to-right IEEE sequence in both engines (Spark
+    F.aggregate from a 0 init ≡ DuckDB list_reduce with 0 prepended).
+
+    Scale: one |types|-row moments broadcast, then one
+    type-partitioned ordered window carrying a ≤{_CUSUM_W}-element
+    frame per row, WindowGroupLimit caps the top-10 read. The fold is
+    O(W) per row with W fixed — state never grows with history."""
+    e = load_table(spark, sf_dir, "events")
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    x = F.col("value").cast("double")
+    st = (
+        e.groupBy("event_type")
+        .agg(
+            F.round(dec(x) / F.count("*"), 6).alias("mu"),
+            (dec(x * x) / F.count("*")).alias("q"),
+        )
+        .select(
+            "event_type",
+            "mu",
+            F.round(F.sqrt(F.col("q") - F.col("mu") * F.col("mu")), 6).alias("sigma"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_CUSUM_W - 1), Window.currentRow)
+    )
+    lw = e.join(F.broadcast(st), "event_type").select(
+        "event_id",
+        "event_type",
+        "mu",
+        "sigma",
+        F.collect_list(x).over(w).alias("lst"),
+    )
+    k = F.col("mu") + 0.5 * F.col("sigma")
+    cs = lw.select(
+        "event_id",
+        "event_type",
+        "sigma",
+        F.round(
+            F.aggregate(
+                F.col("lst"), F.lit(0.0), lambda a, b: F.greatest(a + b - k, F.lit(0.0))
+            ),
+            6,
+        ).alias("cusum"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(F.col("cusum").desc(), "event_id")
+    return (
+        cs.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "event_id",
+            "event_type",
+            "cusum",
+            F.round(4 * F.col("sigma"), 6).alias("threshold"),
+            (F.col("cusum") > 4 * F.col("sigma")).alias("alarmed"),
+        )
+    )

@@ -126,3 +126,42 @@ def test_session_window_boundary_is_inclusive(spark):
     )
     by = {r["user_id"]: r["count"] for r in sess}
     assert by == {"u1": 1, "u2": 2}, by
+
+
+def test_cusum_fires_on_sustained_small_shift(spark):
+    """A +1sigma sustained shift that never crosses a 3sigma per-point
+    z-test must still drive the windowed CUSUM over its 4sigma alarm
+    line — the detector's reason to exist. Construction: 400 baseline
+    points alternating +/-1 (mu=0, sigma=1), then 64 points at +1.2."""
+    import pyspark.sql.functions as F
+
+    from kinesis_s3_spark.operators.events import _CUSUM_W
+
+    rows = []
+    for i in range(400):
+        rows.append((i, 1.0 if i % 2 else -1.0))
+    for i in range(400, 400 + _CUSUM_W):
+        rows.append((i, 1.2))
+    df = spark.createDataFrame(rows, "i long, x double")
+    mu = 0.0
+    sigma_row = df.agg(
+        (F.sum(F.col("x") * F.col("x")) / F.count("*")).alias("q")
+    ).collect()[0]
+    sigma = sigma_row["q"] ** 0.5
+    w = (
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("i")
+        .rowsBetween(-(_CUSUM_W - 1), 0)
+    )
+    k = mu + 0.5 * sigma
+    cs = df.select(
+        "i",
+        F.aggregate(
+            F.collect_list("x").over(w),
+            F.lit(0.0),
+            lambda a, b: F.greatest(a + b - k, F.lit(0.0)),
+        ).alias("s"),
+    )
+    mx = cs.agg(F.max("s")).collect()[0][0]
+    assert mx > 4 * sigma, (mx, 4 * sigma)
+    # and every per-point z stays under 3 sigma: max |x - mu| = 1.2
+    assert 1.2 < 3 * sigma
