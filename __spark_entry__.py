@@ -74,8 +74,9 @@ for _m in _OPTIONAL_MODULES:
 #     name linkage, SCD2 merge),
 # (3) a round-4 re-confirmation band, then everything else (green
 #     gate history in r1–r4) last. All 51 round-5-relevant entries
-#     overflow the 50 slots by one — the band-3 head (dedup_embedding_lsh_strict,
-#     green r4 gate) cedes its slot; next rotation reorders.
+#     fill the 50 slots exactly (band 1 + band 2 = 50; verified by
+#     tests-free inspection each rotation — see the demotion note in
+#     band 3).
 _GATE_FIRST = [
     # -- (1) never driver-gated through round 4 --
     "emb_power_iteration",
@@ -130,8 +131,10 @@ _GATE_FIRST = [
     "mm_video_frame_sample",
     "approx_distinct_users",
     "etl_indexed_gzip_splits",
-    "etl_bad_row_archive",
     # -- (3) round-4 band, then older greens --
+    # (etl_bad_row_archive demoted here: r4 gate green; the r5 change
+    # only keys its output dir by applicationId, same gated rows)
+    "etl_bad_row_archive",
     "dedup_embedding_lsh_strict",
     "mm_image_decode_real",
     "mm_audio_decode_real",
