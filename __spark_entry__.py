@@ -122,7 +122,6 @@ _GATE_FIRST = [
     "ann_pq_topk",
     "ann_recall_pq",
     "text_bpe_train_k64",
-    "text_bpe_train",
     "text_bpe_tokenize",
     "mm_image_decode_file",
     "mm_audio_decode_file",
@@ -132,8 +131,11 @@ _GATE_FIRST = [
     "approx_distinct_users",
     "etl_indexed_gzip_splits",
     # -- (3) round-4 band, then older greens --
-    # (etl_bad_row_archive demoted here: r4 gate green; the r5 change
-    # only keys its output dir by applicationId, same gated rows)
+    # (demoted here: r4 gates green and r5 left their gated semantics
+    # unchanged — text_bpe_train's oracle was only refactored into the
+    # shared chain constant, etl_bad_row_archive only keys its output
+    # dir by applicationId)
+    "text_bpe_train",
     "etl_bad_row_archive",
     "dedup_embedding_lsh_strict",
     "mm_image_decode_real",
