@@ -73,7 +73,7 @@ for _m in _OPTIONAL_MODULES:
 #     quantiles, PSI drift, the LR quality classifier pair, fuzzy
 #     name linkage, SCD2 merge),
 # (3) a round-4 re-confirmation band, then everything else (green
-#     gate history in r1–r4) last. All 51 round-5-relevant entries
+#     gate history in r1–r4) last. All 52 round-5-relevant entries
 #     fill the 50 slots exactly (band 1 + band 2 = 50; verified by
 #     tests-free inspection each rotation — see the demotion note in
 #     band 3).
@@ -103,6 +103,7 @@ _GATE_FIRST = [
     "text_zipf_fit",
     "curation_epoch_shuffle",
     "events_cusum_alarm",
+    "dedup_recall_minhash",
     "dedup_semantic",
     "dedup_semantic_recall",
     "dedup_semantic_k32",
@@ -122,7 +123,6 @@ _GATE_FIRST = [
     "ann_pq_topk",
     "ann_recall_pq",
     "text_bpe_train_k64",
-    "text_bpe_tokenize",
     "mm_image_decode_file",
     "mm_audio_decode_file",
     "mm_image_resize_real",
@@ -132,10 +132,11 @@ _GATE_FIRST = [
     "etl_indexed_gzip_splits",
     # -- (3) round-4 band, then older greens --
     # (demoted here: r4 gates green and r5 left their gated semantics
-    # unchanged — text_bpe_train's oracle was only refactored into the
+    # unchanged — the bpe pair's oracle was only refactored into the
     # shared chain constant, etl_bad_row_archive only keys its output
     # dir by applicationId)
     "text_bpe_train",
+    "text_bpe_tokenize",
     "etl_bad_row_archive",
     "dedup_embedding_lsh_strict",
     "mm_image_decode_real",

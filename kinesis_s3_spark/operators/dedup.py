@@ -850,3 +850,61 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / union, 6).alias("jaccard"),
         )
     )
+
+
+_RECALL_MINHASH_SQL = f"""
+    WITH truth AS (
+      WITH ws AS (
+        SELECT doc_id, source,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, greatest(len(toks) - 1, 1))]) AS gs
+        FROM (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM documents)
+      )
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM ws a JOIN ws b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+            (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    mh AS ({_MINHASH_ORACLE}),
+    hit AS (
+      SELECT t.d1, t.d2, m.d1 IS NOT NULL AS found
+      FROM truth t LEFT JOIN mh m ON t.d1 = m.d1 AND t.d2 = m.d2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
+           CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           ROUND(CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS recall
+    FROM hit
+"""
+
+
+@query("dedup_recall_minhash", oracle=_RECALL_MINHASH_SQL)
+def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the MinHash+LSH screen — the last dedup family
+    member without one (embedding-LSH and SemDeDup recalls shipped
+    r3/r5): of the exact within-source Jaccard-≥-{JACCARD_THRESHOLD}
+    pairs (the guarded blocked truth dedup_ngram_jaccard computes),
+    what fraction does the banded sketch find? Banding theory says a
+    J=0.7 pair hits ≥1 of the 4 bands with p = 1−(1−0.7³)⁴ ≈ 0.81,
+    rising fast with J — the gated recall realizes that curve on data
+    and tests assert it stays ≥ 0.75.
+
+    Scale: the truth arm inherits dedup_ngram_jaccard's block guard
+    (quadratic refused past the cap); the minhash arm is the
+    production band join. The recall row is 1-row driver output —
+    the eval harness shape, like ann_recall_*."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    ).select("d1", "d2")
+    mh = minhash_pairs(docs).select("d1", "d2", F.lit(1).alias("found"))
+    hit = truth.join(mh, ["d1", "d2"], "left")
+    return hit.agg(
+        F.count("*").cast("long").alias("n_truth_pairs"),
+        F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("long").alias("n_found"),
+        F.round(
+            F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("double") / F.count("*"), 6
+        ).alias("recall"),
+    )

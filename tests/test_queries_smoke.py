@@ -74,3 +74,27 @@ def test_zorder_skipping_separation(spark):
     assert lin_v == lin_n  # linear layout cannot prune on value
     assert zo_v <= zo_n // 2  # zorder prunes at least half
     assert hit[("zorder", "time_value_box")][0] < hit[("linear_time", "time_value_box")][0]
+
+
+def test_minhash_recall_on_planted_near_dups(spark):
+    """Banding recall on CONSTRUCTED near-dups (the parquet corpus has
+    almost no J>=0.7 pairs): 20 base docs of 40 tokens, each with a
+    twin differing in one token (J ~ 0.85 on 3-gram shingles). The
+    12-hash/4-band sketch must recover >= 75% of the twin pairs
+    (theory: hit prob at J=0.85 is 1-(1-0.85^3)^4 ~ 0.97)."""
+    import pyspark.sql.functions as F
+
+    from kinesis_s3_spark.operators.dedup import minhash_pairs
+
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for d in range(20):
+        toks = [vocab[(d * 7 + j * 3) % 200] for j in range(40)]
+        rows.append((2 * d, " ".join(toks)))
+        twin = list(toks)
+        twin[20] = "CHANGED"
+        rows.append((2 * d + 1, " ".join(twin)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["d1"], r["d2"]) for r in minhash_pairs(docs).collect()}
+    found = sum(1 for d in range(20) if (2 * d, 2 * d + 1) in pairs)
+    assert found >= 15, (found, sorted(pairs))
