@@ -58,124 +58,218 @@ for _m in _OPTIONAL_MODULES:
         pass
 
 # The driver's correctness gate historically checks the FIRST ~50
-# registry entries, so gate slots are scarce. Priority order:
-# (1) the 3 registry queries that had never had a driver-gate row
-#     through round 4 (emb_power_iteration, sketch_bloom_contamination,
-#     approx_percentile_price — the last of these ALSO changed r5:
-#     it now carries a rank-error-bound oracle instead of no_oracle),
-# (2) queries added or semantically CHANGED in round 5 — the new
-#     operator families (SemDeDup + its k-scaling variant, span-level
-#     dedup, DSIR, weighted sampling, CCNet buckets, split leakage,
-#     drift chi2, BM25/inverted-index/hybrid-RRF, PageRank/triangles,
-#     KMV, PQ-ANN, batched BPE, stored-bytes + resize multimodal,
-#     indexed-gzip splits, error-bounded approx_distinct_users,
-#     and the late-r5 additions: MG heavy hitters, histogram
-#     quantiles, PSI drift, the LR quality classifier pair, fuzzy
-#     name linkage, SCD2 merge),
-# (3) a round-4 re-confirmation band, then everything else (green
-#     gate history in r1–r4) last. All 52 round-5-relevant entries
-#     fill the 50 slots exactly (band 1 + band 2 = 50; verified by
-#     tests-free inspection each rotation — see the demotion note in
-#     band 3).
+# registry entries, so gate slots are scarce. Round-6 rotation policy
+# (VERDICT r5 task #5): oldest-green-first. Band 0 holds queries added
+# or semantically changed THIS round (never driver-gated = infinitely
+# stale); after that, every registry query ordered by the round of its
+# most recent green driver-gate row (ascending, name-tiebreak), computed
+# from CORRECTNESS_r01..r05.json. The r6 artifact therefore refreshes
+# the ~50 stalest entries (band 0 + the round-2 band); subsequent
+# rounds keep rotating by regenerating this list from the artifacts.
 _GATE_FIRST = [
-    # -- (1) never driver-gated through round 4 --
-    "emb_power_iteration",
-    "sketch_bloom_contamination",
-    "approx_percentile_price",
-    # -- (2) new or semantically changed in round 5 --
-    "sketch_heavy_hitters",
-    "sketch_quantile_histogram",
-    "events_drift_psi",
-    "curation_quality_lr",
-    "curation_quality_lr_scores",
-    "dedup_fuzzy_names",
-    "etl_scd2_merge",
-    "etl_zorder_skipping",
-    "events_session_window",
-    "events_mad_outliers",
-    "emb_pca_project",
-    "sketch_ams_f2",
-    "dedup_minhash_containment",
-    "events_ar1_autocorr",
-    "events_asof_tolerance",
-    "curation_quality_lr_auc",
-    "text_bpe_fertility",
-    "text_zipf_fit",
-    "curation_epoch_shuffle",
-    "events_cusum_alarm",
-    "dedup_recall_minhash",
-    "dedup_semantic",
-    "dedup_semantic_recall",
-    "dedup_semantic_k32",
-    "dedup_span_exact",
-    "curation_dsir_weights",
-    "curation_weighted_sample",
-    "curation_ccnet_buckets",
-    "curation_split_leakage",
-    "events_drift_chi2",
-    "text_bm25_search",
-    "text_inverted_index",
-    "search_hybrid_rrf",
-    "graph_pagerank",
-    "graph_triangles",
-    "sketch_kmv_distinct",
-    "sketch_kmv_union",
-    "ann_pq_topk",
-    "ann_recall_pq",
-    "text_bpe_train_k64",
-    "mm_image_decode_file",
-    "mm_audio_decode_file",
-    "mm_image_resize_real",
-    "mm_binary_files_meta",
-    "mm_video_frame_sample",
-    "approx_distinct_users",
-    "etl_indexed_gzip_splits",
-    # -- (3) round-4 band, then older greens --
-    # (demoted here: r4 gates green and r5 left their gated semantics
-    # unchanged — the bpe pair's oracle was only refactored into the
-    # shared chain constant, etl_bad_row_archive only keys its output
-    # dir by applicationId)
-    "text_bpe_train",
-    "text_bpe_tokenize",
-    "etl_bad_row_archive",
-    "dedup_embedding_lsh_strict",
-    "mm_image_decode_real",
-    "mm_audio_decode_real",
-    "curation_dedup_pipeline",
-    "sketch_countmin",
-    "sketch_countmin_estimate",
+    # -- (0) added or semantically changed in round 6, never gated --
+    # -- last driver-gated in round 2 --
+    "agg_conditional_pivot",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_skew_salted",
+    "agg_stats_suite",
+    "etl_bad_row_envelope",
+    "etl_base_filename",
+    "etl_batch_meta",
+    "etl_buffer_flush",
+    "etl_dynamic_path",
+    "etl_row_type_partition",
+    "events_asof_join",
+    "events_hourly_active",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "fn_array_suite",
+    "fn_conditional_suite",
+    "fn_date_suite",
+    "fn_json_suite",
+    "fn_math_suite",
+    "fn_string_suite",
+    "join_anti",
+    "join_argmin_supplier",
+    "join_broadcast_dims",
+    "join_outer_counts",
+    "join_range_bands",
+    "join_self_correlation",
+    "join_semi",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "reshape_pivot",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_distinct",
+    "sort_multi_key",
+    "sort_topk_global",
+    "subquery_in",
+    "subquery_scalar_agg",
+    "window_lag_lead",
+    "window_ntile_moving",
+    "window_rank_dense",
+    "window_running_total",
+    "window_topk_per_group",
+    # -- last driver-gated in round 3 --
+    "agg_argminmax",
+    "agg_listagg",
+    "agg_mode_per_user",
+    "agg_regression",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "approx_error_bounds",
+    "curation_hash_split",
+    "curation_length_histogram",
+    "curation_mixture_temperature",
+    "curation_pack_sequences",
+    "curation_pipeline_funnel",
+    "curation_source_report",
+    "curation_stratified_sample",
+    "curation_token_budget_sample",
+    "dedup_cluster_resolve",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_recall_embedding_lsh",
+    "emb_kmeans",
+    "emb_label_centroids",
+    "emb_normalize_quantize",
+    "events_ewma",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_zscore_anomaly",
+    "fn_bitwise_suite",
+    "fn_struct_suite",
+    "join_skew_salted",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q16_supplier_part_counts",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "text_bigram_surprisal",
+    "text_gopher_repetition",
+    "text_pii_mask",
+    "text_tfidf_topk",
+    "text_unigram_surprisal",
+    "window_first_last_nth",
+    # -- last driver-gated in round 4 --
+    "ann_bruteforce_topk",
     "ann_ivf_kmeans_topk",
+    "ann_multi_query_topk",
     "ann_recall_ivf_kmeans",
-    "etl_buffer_flush_bytes",
-    "etl_enriched_parse",
-    "fn_map_suite",
+    "curation_dedup_pipeline",
+    "dedup_contamination",
+    "dedup_embedding_lsh_strict",
     "dedup_exact",
     "dedup_exact_normalized",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_contamination",
-    "ann_bruteforce_topk",
-    "ann_multi_query_topk",
-    "text_token_stats",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_ngram_top",
-    "text_token_bpe_regex",
-    "text_chunking",
-    "text_vocabulary",
+    "etl_bad_row_archive",
+    "etl_bad_row_roundtrip",
+    "etl_buffer_flush_bytes",
+    "etl_enriched_parse",
+    "fn_map_suite",
+    "fn_regex_suite",
+    "fn_url_suite",
+    "mm_audio_decode_real",
     "mm_binary_meta",
-    "mm_image_decode_stub",
     "mm_frame_offsets",
-    "q4_order_priority",
+    "mm_image_decode_real",
+    "mm_image_decode_stub",
     "q10_returned_items",
     "q12_priority_shipping",
     "q14_promo_revenue",
-    "q19_disjunctive_join",
     "q15_top_supplier",
     "q17_small_quantity",
     "q18_large_orders",
+    "q19_disjunctive_join",
+    "q22_global_balance",
+    "q4_order_priority",
+    "reshape_unpivot",
+    "setop_intersect_all",
+    "sketch_countmin",
+    "sketch_countmin_estimate",
+    "text_bpe_tokenize",
+    "text_bpe_train",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid",
+    "text_ngram_top",
+    "text_quality",
+    "text_token_bpe_regex",
+    "text_token_stats",
+    "text_vocabulary",
+    "window_distribution",
+    "window_range_frame",
+    # -- last driver-gated in round 5 --
+    "ann_pq_topk",
+    "ann_recall_pq",
+    "approx_distinct_users",
+    "approx_percentile_price",
+    "curation_ccnet_buckets",
+    "curation_dsir_weights",
+    "curation_epoch_shuffle",
+    "curation_quality_lr",
+    "curation_quality_lr_auc",
+    "curation_quality_lr_scores",
+    "curation_split_leakage",
+    "curation_weighted_sample",
+    "dedup_fuzzy_names",
+    "dedup_minhash_containment",
+    "dedup_recall_minhash",
+    "dedup_semantic",
+    "dedup_semantic_k32",
+    "dedup_semantic_recall",
+    "dedup_span_exact",
+    "emb_pca_project",
+    "emb_power_iteration",
+    "etl_indexed_gzip_splits",
+    "etl_scd2_merge",
+    "etl_zorder_skipping",
+    "events_ar1_autocorr",
+    "events_asof_tolerance",
+    "events_cusum_alarm",
+    "events_drift_chi2",
+    "events_drift_psi",
+    "events_mad_outliers",
+    "events_session_window",
+    "graph_pagerank",
+    "graph_triangles",
+    "mm_audio_decode_file",
+    "mm_binary_files_meta",
+    "mm_image_decode_file",
+    "mm_image_resize_real",
+    "mm_video_frame_sample",
+    "search_hybrid_rrf",
+    "sketch_ams_f2",
+    "sketch_bloom_contamination",
+    "sketch_heavy_hitters",
+    "sketch_kmv_distinct",
+    "sketch_kmv_union",
+    "sketch_quantile_histogram",
+    "text_bm25_search",
+    "text_bpe_fertility",
+    "text_bpe_train_k64",
+    "text_inverted_index",
+    "text_zipf_fit",
 ]
 
 

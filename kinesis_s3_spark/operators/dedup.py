@@ -169,7 +169,7 @@ _MINHASH_ORACLE = f"""
       FROM cand c JOIN ws g1 ON c.d1 = g1.doc_id JOIN ws g2 ON c.d2 = g2.doc_id
     )
     SELECT d1, d2, ROUND(j, 6) AS jaccard
-    FROM verified WHERE j >= {JACCARD_THRESHOLD}
+    FROM verified WHERE ROUND(j, 6) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -353,8 +353,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
                  (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
     FROM ws a JOIN ws b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-          (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+    WHERE ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,8 +424,8 @@ _CLUSTER_MAX_ITERS = 15
     pairs AS (
       SELECT c.d1, c.d2
       FROM cand c JOIN ws g1 ON c.d1 = g1.doc_id JOIN ws g2 ON c.d2 = g2.doc_id
-      WHERE CAST(len(list_intersect(g1.gs, g2.gs)) AS DOUBLE) /
-            (len(g1.gs) + len(g2.gs) - len(list_intersect(g1.gs, g2.gs)))
+      WHERE ROUND(CAST(len(list_intersect(g1.gs, g2.gs)) AS DOUBLE) /
+                  (len(g1.gs) + len(g2.gs) - len(list_intersect(g1.gs, g2.gs))), 6)
             >= {JACCARD_THRESHOLD}
     ),
     edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
@@ -863,8 +863,8 @@ _RECALL_MINHASH_SQL = f"""
       )
       SELECT a.doc_id AS d1, b.doc_id AS d2
       FROM ws a JOIN ws b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-            (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+      WHERE ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+                  (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6)
             >= {JACCARD_THRESHOLD}
     ),
     mh AS ({_MINHASH_ORACLE}),

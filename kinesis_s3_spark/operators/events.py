@@ -765,7 +765,8 @@ _MAD_SQL = """
     ),
     scored AS (
       SELECT dv.event_id, dv.event_type, dv.x, dv.med, md.mad,
-             ROUND(0.6745 * (dv.x - dv.med) / md.mad, 6) AS robust_z
+             CASE WHEN md.mad = 0 THEN NULL
+                  ELSE ROUND(0.6745 * (dv.x - dv.med) / md.mad, 6) END AS robust_z
       FROM dev dv JOIN mad md USING (event_type)
     )
     SELECT event_id, event_type,
@@ -820,7 +821,14 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "med",
         "mad",
-        F.round(0.6745 * (F.col("x") - F.col("med")) / F.col("mad"), 6).alias("robust_z"),
+        # mad = 0 (majority value repeats) → undefined score, NULL on
+        # both sides: Spark's Divide would NULL while DuckDB yields
+        # ±inf, so the guard is what keeps the two engines ranking the
+        # same top-5 (ADVICE r5)
+        F.when(
+            F.col("mad") != 0,
+            F.round(0.6745 * (F.col("x") - F.col("med")) / F.col("mad"), 6),
+        ).alias("robust_z"),
     )
     w = Window.partitionBy("event_type").orderBy(
         F.abs(F.col("robust_z")).desc(), F.col("event_id")
@@ -858,10 +866,12 @@ _AR1_SQL = """
       FROM p GROUP BY user_id
     )
     SELECT user_id, n_pairs,
-           ROUND(sxy / sxx, 6) AS ar1_phi,
-           ROUND((n_pairs * sxy - sx * sxp)
-                 / (sqrt(n_pairs * sxx - sxp * sxp)
-                    * sqrt(n_pairs * sx2 - sx * sx)), 6) AS lag1_autocorr
+           CASE WHEN sxx = 0 THEN NULL ELSE ROUND(sxy / sxx, 6) END AS ar1_phi,
+           CASE WHEN (n_pairs * sxx - sxp * sxp) * (n_pairs * sx2 - sx * sx) = 0
+                THEN NULL
+                ELSE ROUND((n_pairs * sxy - sx * sxp)
+                           / (sqrt(n_pairs * sxx - sxp * sxp)
+                              * sqrt(n_pairs * sx2 - sx * sx)), 6) END AS lag1_autocorr
     FROM s
     ORDER BY user_id
     LIMIT 20
@@ -905,14 +915,24 @@ def events_ar1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(
             "user_id",
             "n_pairs",
-            F.round(F.col("sxy") / F.col("sxx"), 6).alias("ar1_phi"),
-            F.round(
-                (n * F.col("sxy") - F.col("sx") * F.col("sxp"))
-                / (
-                    F.sqrt(n * F.col("sxx") - F.col("sxp") * F.col("sxp"))
-                    * F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx"))
+            # zero-variance guards (ADVICE r5): a constant series makes
+            # sxx / the Pearson denominator 0 — Spark's Divide NULLs on
+            # /0 while DuckDB IEEE-divides to ±inf, so pin NULL on both
+            F.when(
+                F.col("sxx") != 0, F.round(F.col("sxy") / F.col("sxx"), 6)
+            ).alias("ar1_phi"),
+            F.when(
+                (n * F.col("sxx") - F.col("sxp") * F.col("sxp"))
+                * (n * F.col("sx2") - F.col("sx") * F.col("sx"))
+                != 0,
+                F.round(
+                    (n * F.col("sxy") - F.col("sx") * F.col("sxp"))
+                    / (
+                        F.sqrt(n * F.col("sxx") - F.col("sxp") * F.col("sxp"))
+                        * F.sqrt(n * F.col("sx2") - F.col("sx") * F.col("sx"))
+                    ),
+                    6,
                 ),
-                6,
             ).alias("lag1_autocorr"),
         )
         .orderBy("user_id")

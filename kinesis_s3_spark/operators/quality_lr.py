@@ -62,8 +62,12 @@ _STATS_SQL = """
     ),
     d AS MATERIALIZED (
       SELECT doc_id,
-             ROUND((f1 - (SELECT m1 FROM st2)) / (SELECT s1 FROM st2), 6) AS f1,
-             ROUND((f2 - (SELECT m2 FROM st2)) / (SELECT s2 FROM st2), 6) AS f2,
+             CASE WHEN (SELECT s1 FROM st2) = 0 THEN NULL
+                  ELSE ROUND((f1 - (SELECT m1 FROM st2)) / (SELECT s1 FROM st2), 6)
+                  END AS f1,
+             CASE WHEN (SELECT s2 FROM st2) = 0 THEN NULL
+                  ELSE ROUND((f2 - (SELECT m2 FROM st2)) / (SELECT s2 FROM st2), 6)
+                  END AS f2,
              y
       FROM raw
     )
@@ -163,10 +167,18 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1, m2 = round(row["sf1"] / n, 6), round(row["sf2"] / n, 6)
     s1 = round((row["q1"] / n - m1 * m1) ** 0.5, 6)
     s2 = round((row["q2"] / n - m2 * m2) ** 0.5, 6)
+    # zero-variance guard (ADVICE r5): a constant feature makes s = 0 —
+    # Spark's Divide NULLs on /0 while DuckDB IEEE-divides to ±inf, so
+    # pin NULL on both sides (the oracle's CASE WHEN s = 0 mirror)
+    def _z(col: str, m: float, s: float) -> F.Column:
+        if s == 0:
+            return F.lit(None).cast("double")
+        return F.round((F.col(col) - F.lit(m)) / F.lit(s), 6)
+
     return raw.select(
         "doc_id",
-        F.round((F.col("f1") - F.lit(m1)) / F.lit(s1), 6).alias("f1"),
-        F.round((F.col("f2") - F.lit(m2)) / F.lit(s2), 6).alias("f2"),
+        _z("f1", m1, s1).alias("f1"),
+        _z("f2", m2, s2).alias("f2"),
         "y",
     )
 

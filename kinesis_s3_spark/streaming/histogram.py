@@ -42,7 +42,10 @@ def size_bins(batch_df: DataFrame) -> DataFrame:
     return (
         batch_df.select(
             F.least(
-                (F.length(F.col("value").cast("string")) / BIN_WIDTH).cast("int"),
+                # octet_length: this is a record-SIZE (bytes) histogram —
+                # F.length counts characters and undercounts multi-byte
+                # UTF-8 payloads (ADVICE r5)
+                (F.octet_length(F.col("value").cast("string")) / BIN_WIDTH).cast("int"),
                 F.lit(HIST_BINS - 1),
             ).alias("bin")
         )
