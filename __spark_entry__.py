@@ -68,6 +68,7 @@ for _m in _OPTIONAL_MODULES:
 # rounds keep rotating by regenerating this list from the artifacts.
 _GATE_FIRST = [
     # -- (0) added or semantically changed in round 6, never gated --
+    "etl_raw_roundtrip",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

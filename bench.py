@@ -117,6 +117,7 @@ HEADLINE = [
     "text_zipf_fit",
     "curation_epoch_shuffle",
     "events_cusum_alarm",
+    "etl_raw_roundtrip",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -594,3 +594,83 @@ def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionByName(appended)
+
+
+@query(
+    "etl_raw_roundtrip",
+    oracle=r"""
+    WITH payload AS (
+      SELECT to_base64(unhex(md5(CAST(event_id AS VARCHAR)))
+                       || '\x0A'::BLOB || encode(event_type)) AS b64
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT b64) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(('0x' || substr(md5(b64), 1, 15))::BIGINT
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sum_hash,
+           MIN(b64) AS b64_min,
+           MAX(b64) AS b64_max
+    FROM payload
+    """,
+)
+def etl_raw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purpose.RAW byte-fidelity, gated end to end (VERDICT r5 task
+    #1): every event synthesizes an OPAQUE BINARY payload — 16
+    md5-derived bytes (non-UTF-8 in general), an embedded newline,
+    then the event type's UTF-8 — which is pushed through the real
+    emit() path as Purpose.RAW + GZIP (base64 line framing), read
+    back from the archive tree with read_archive(raw=True), and
+    checksummed. The oracle computes the same checksums from the
+    CONSTRUCTED payloads directly, so any byte the round trip
+    corrupts (the reference's record is Array[Byte], package.scala:28;
+    GZipSerializer writes it verbatim, GZipSerializer.scala:29-40)
+    breaks the hash. Output dir keyed by applicationId (the
+    bad-row-archive concurrency precedent).
+
+    Scale: emit()'s own path (one repartition by writer salt, task-side
+    gzip); the read-back is a parallel text scan with unbase64 in-scan.
+    Nothing driver-sized beyond the 1-row aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.sinks.emitter import emit
+    from kinesis_s3_spark.sources.archive import read_archive
+
+    payloads = load_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.unhex(F.md5(F.col("event_id").cast("string"))),
+            F.lit(b"\n"),
+            F.encode(F.col("event_type"), "UTF-8"),
+        ).alias("value")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "kinesis_s3_spark_raw_roundtrip",
+        spark.sparkContext.applicationId,
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "raw-roundtrip"},
+            "output": {"s3": {"path": out, "compression": "GZIP"}},
+        }
+    )
+    emit(payloads, batch_id=0, cfg=cfg)
+
+    back = read_archive(spark, out, compression="GZIP", raw=True)
+    # base64 strip-CRLF mirrors the emitter's framing helper; payloads
+    # here are < 57 bytes so Spark's MIME chunking never fires, but the
+    # strip keeps the checksum framing-proof
+    b64 = F.regexp_replace(F.base64("value"), "[\\r\\n]", "")
+    h60 = F.conv(F.substring(F.md5(F.col("b64")), 1, 15), 16, 10).cast("long")
+    return back.select(b64.alias("b64")).agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.countDistinct("b64").cast("long").alias("n_distinct"),
+        F.sum(h60.cast("decimal(38,0)")).cast("double").alias("sum_hash"),
+        F.min("b64").alias("b64_min"),
+        F.max("b64").alias("b64_max"),
+    )

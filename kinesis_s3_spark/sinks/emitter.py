@@ -75,12 +75,22 @@ class BatchMeta:
 
 def _with_result_columns(df: DataFrame, cfg: LoaderConfig) -> DataFrame:
     """IdentityTransformer + Result split (O2/O3,
-    IdentityTransformer.scala:29-37): normalize to a string ``value``
-    column and a boolean ``is_bad`` (NULL payload = unreadable record,
-    the ReadingError branch of Common.scala:68-70)."""
+    IdentityTransformer.scala:29-37): normalize the ``value`` column
+    and add a boolean ``is_bad`` (NULL payload = unreadable record,
+    the ReadingError branch of Common.scala:68-70).
+
+    The record type is a purpose decision: RAW keeps ``value`` as
+    opaque BYTES end to end — the reference's record is Array[Byte]
+    (package.scala:28) and its serializers write those bytes verbatim
+    (GZipSerializer.scala:29-40); casting to string would silently
+    corrupt non-UTF-8 payloads (binary Thrift CollectorPayload
+    records, the LZO path's raison d'être). The text purposes
+    (SELF_DESCRIBING JSON / ENRICHED_EVENTS TSV) normalize to string,
+    which their row-type/timestamp extraction needs anyway."""
     if "value" not in df.columns:
         raise ValueError(f"input batch must carry a 'value' column; got {df.columns}")
-    value = F.col("value").cast("string")
+    target = "binary" if cfg.purpose is Purpose.RAW else "string"
+    value = F.col("value").cast(target)
     out = df.withColumn("value", value).withColumn("is_bad", F.col("value").isNull())
     if cfg.purpose is Purpose.SELF_DESCRIBING and cfg.output.s3.partition_for_purpose:
         out = out.withColumn(
@@ -124,14 +134,31 @@ def emit(
     if bad_sink is None:
         bad_sink = build_bad_sink(cfg)
     df = _with_result_columns(batch_df, cfg).cache()
+    is_raw = cfg.purpose is Purpose.RAW
+    gzip_family = cfg.output.s3.compression in (
+        Compression.GZIP,
+        Compression.GZIP_INDEXED,
+    )
+    # largest framed record as it will land ON DISK — sizes the
+    # byteLimit file roll below. Text purposes: payload BYTES (not
+    # chars — octet_length) + newline; RAW through a line sink: the
+    # base64 line (4·⌈n/3⌉ chars) + newline; RAW through parquet: the
+    # bytes themselves.
+    if is_raw:
+        rec_len = (
+            (F.floor((F.length("value") + 2) / 3) * 4 + 1)
+            if gzip_family
+            else F.length("value")
+        )
+    else:
+        rec_len = F.octet_length("value") + 1
     try:
         agg = df.agg(
             F.count("*").alias("n"),
             F.sum(F.col("is_bad").cast("int")).alias("n_bad"),
             F.min("_tstamp").alias("earliest"),
-            # largest framed record (value + newline) — sizes the
-            # byteLimit file roll below; same single aggregation pass
-            F.max(F.when(~F.col("is_bad"), F.length("value") + 1)).alias("max_rec"),
+            # same single aggregation pass
+            F.max(F.when(~F.col("is_bad"), rec_len)).alias("max_rec"),
         ).collect()[0]
         n, n_bad = agg["n"] or 0, agg["n_bad"] or 0
 
@@ -166,8 +193,21 @@ def emit(
             routed = typed.repartition(
                 F.col(ROW_TYPE_COL),
                 F.col(ROW_SUBTYPE_COL),
-                F.pmod(F.crc32(F.col("value")), F.lit(k)),
+                F.pmod(F.crc32(F.col("value").cast("binary")), F.lit(k)),
             )
+            if is_raw and gzip_family:
+                # RAW bytes through a line-oriented sink: one base64
+                # line per record (CR/LF stripped — Spark's base64 is
+                # MIME-chunked). The reference's framing (raw bytes +
+                # '\n', GZipSerializer.scala:36-38) is write-faithful
+                # but unreadable for payloads containing '\n'; base64
+                # lines are the round-trippable framing the archive
+                # reader (sources/archive.py raw=True) decodes back to
+                # the exact bytes. Parquet RAW needs no framing: the
+                # binary column IS the bytes.
+                routed = routed.withColumn(
+                    "value", F.regexp_replace(F.base64("value"), "[\\r\\n]", "")
+                )
             writer = routed.write.partitionBy(ROW_TYPE_COL, ROW_SUBTYPE_COL).mode(
                 "overwrite"
             )
@@ -216,7 +256,7 @@ def emit(
             if bad_sink is not None:
                 bad = df.filter(F.col("is_bad")).select(
                     bad_row_json_col(
-                        F.coalesce(F.col("value"), F.lit("")),
+                        F.coalesce(F.col("value").cast("binary"), F.lit(b"")),
                         F.array(F.lit("Cannot deserialize record")),
                     ).alias("value")
                 )

@@ -29,14 +29,21 @@ def read_archive(
     spark: SparkSession,
     path: str,
     compression: str = "GZIP",
+    raw: bool = False,
 ) -> DataFrame:
     """Load an emit() output tree rooted at ``path`` (the directory
     holding ``batch_id=*/`` or ``run=*/batch_id=*/`` children; with
     ``date_format`` set, point at one decorated directory — mixed
     literal/partition layouts are a Hive-layout limitation, not ours).
 
+    ``raw=True`` reads a Purpose.RAW tree: gzip lines are the
+    emitter's base64 framing and are decoded back to the exact
+    payload BYTES (``value`` comes back BinaryType); parquet RAW
+    trees already store the binary column verbatim.
+
     Returns columns:
-    - ``value``      the record line (GZIP) or stored columns (parquet)
+    - ``value``      the record line (GZIP), payload bytes (raw),
+                     or stored columns (parquet)
     - ``batch_id``   recovered from the directory name (long)
     - ``row_type``   the reference's combined partition string,
                      ``vendor.name/format-model`` (or ``unpartitioned``
@@ -44,8 +51,12 @@ def read_archive(
     - plus ``run`` when the tree is run-namespaced.
     """
     reader = spark.read.option("basePath", path)
-    if compression.upper() == "GZIP":
-        df = reader.text(path)
+    if compression.upper() in ("GZIP", "GZIP_INDEXED"):
+        # pathGlobFilter: a GZIP_INDEXED tree interleaves ``.index``
+        # sidecars with the ``.gz`` objects — only the latter are data
+        df = reader.option("pathGlobFilter", "*.gz").text(path)
+        if raw:
+            df = df.withColumn("value", F.unbase64("value"))
     else:
         df = reader.parquet(path)
     combined = F.when(
