@@ -249,6 +249,13 @@ def emit(
                     [ROW_TYPE_COL, ROW_SUBTYPE_COL],
                     roll_bytes=cfg.buffer.byte_limit or None,
                 )
+                # completion marker, matching the Hadoop sinks' own
+                # _SUCCESS: written only after every task finished, so
+                # archive_replay's requireComplete mode can tell a
+                # finished batch dir from one mid-write
+                import os
+
+                open(os.path.join(batch_dir, "_SUCCESS"), "w").close()
             else:
                 writer.option("compression", "zstd").parquet(batch_dir)
 

@@ -20,9 +20,22 @@ Design (scale notes):
   archived batch, exactly the granularity the writer produced.
 - **Planning is driver-side, reading is executor-side.** The driver
   only *lists* (one dirent per batch/row_type — thousands of entries,
-  not data); each gzip object becomes one ``InputPartition`` and is
+  not data); each gzip object becomes ≥1 ``InputPartition`` and is
   decompressed on an executor. Replaying a 100 TB archive is then
   bounded by executor count, not the driver.
+- **Indexed objects split mid-file.** When an object carries the
+  ``GZIP_INDEXED`` ``.index`` sidecar (sinks/indexed_gzip.py), the
+  planner chops its sync points into ~``splitTargetBytes``-sized
+  ranges and plans one InputPartition per range — each range
+  raw-inflates independently, so a batch of few huge objects
+  parallelizes across executors instead of one task per object.
+- **Finished archives only.** ``latestOffset`` advances to the max
+  batch directory present and partitions are the objects present at
+  planning time — a ``batch_id=N`` directory still being written
+  when observed would replay partially and never be revisited. The
+  emitter's sinks all leave a ``_SUCCESS`` marker on completion;
+  pass ``requireComplete=true`` to make the reader treat unmarked
+  trailing batches as not-yet-arrived (the live-tail-safe mode).
 - **Layout is recovered, not re-parsed.** ``row_type``/``row_subtype``
   directory names are folded back into the reference's combined
   RowType partition string (``vendor.name/format-model``,
@@ -60,9 +73,56 @@ REPLAY_SCHEMA = "value string, batch_id bigint, row_type string"
 
 @dataclass
 class _GzPartition(InputPartition):
+    """One unit of executor read parallelism: a whole gzip object
+    (``start < 0``) or, for indexed objects, the compressed byte
+    range ``[start, end)`` beginning at a full-flush sync point."""
+
     path: str
     batch_id: int
     row_type: str
+    start: int = -1
+    end: int = -1
+
+
+# default compressed-bytes-per-split when an object has an .index
+# sidecar — the Hadoop-input-split shape: a handful of fat ranges per
+# object, not one task per 100-record sync block
+DEFAULT_SPLIT_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def _read_index_points(index_path: str) -> tuple[list[int], int]:
+    """Sync-point byte offsets + total compressed bytes from a
+    ``.index`` sidecar. Behavior-pinned to
+    sinks/indexed_gzip.py:read_index (tests assert equality) but
+    inlined: this module must stay import-free for by-value worker
+    pickling (see register_replay_source)."""
+    offsets: list[int] = []
+    total_bytes = -1
+    with open(index_path) as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if parts[0] == "total":
+                total_bytes = int(parts[2])
+            else:
+                offsets.append(int(parts[1]))
+    if total_bytes < 0:
+        raise ValueError(f"{index_path}: missing 'total' line (truncated index?)")
+    return offsets, total_bytes
+
+
+def _split_ranges(
+    offsets: list[int], total_bytes: int, target: int
+) -> list[tuple[int, int]]:
+    """Chop ascending sync offsets into contiguous [start, end) ranges
+    of >= ``target`` compressed bytes each (the last takes the tail)."""
+    ranges: list[tuple[int, int]] = []
+    start = offsets[0] if offsets else 0
+    for off in offsets[1:]:
+        if off - start >= target:
+            ranges.append((start, off))
+            start = off
+    ranges.append((start, total_bytes))
+    return ranges
 
 
 def _list_batch_ids(root: str) -> list[int]:
@@ -90,10 +150,18 @@ def _combined_row_type(type_dir: str, subtype_dir: str) -> str:
     return t if s == NO_SUBTYPE else f"{t}/{s}"
 
 
-def _plan_batch(root: str, batch_id: int) -> list[_GzPartition]:
-    """One InputPartition per gzip object in ``batch_id=N`` — the unit
-    of executor parallelism (mirrors the emitter's one-object-per
-    row_type layout)."""
+def _plan_batch(
+    root: str,
+    batch_id: int,
+    split_target_bytes: int = DEFAULT_SPLIT_TARGET_BYTES,
+) -> list[_GzPartition]:
+    """InputPartitions for ``batch_id=N``: one per gzip object
+    (mirroring the emitter's one-object-per-row_type layout), except
+    that objects carrying a ``GZIP_INDEXED`` ``.index`` sidecar are
+    split into ~``split_target_bytes`` sync-aligned ranges — the
+    mid-file parallelism the sidecar exists to provide. Reading the
+    sidecar is a driver-side dirent-scale cost (a few hundred bytes
+    per object)."""
     parts: list[_GzPartition] = []
     batch_dir = os.path.join(root, f"batch_id={batch_id}")
     try:
@@ -109,10 +177,20 @@ def _plan_batch(root: str, batch_id: int) -> list[_GzPartition]:
             row_type = _combined_row_type(td, sd)
             leaf = os.path.join(batch_dir, td, sd)
             for f in sorted(os.listdir(leaf)):
-                if f.endswith(".gz"):
-                    parts.append(
-                        _GzPartition(os.path.join(leaf, f), batch_id, row_type)
-                    )
+                if not f.endswith(".gz"):
+                    continue
+                path = os.path.join(leaf, f)
+                index = path + ".index"
+                if os.path.exists(index):
+                    offsets, total = _read_index_points(index)
+                    for start, end in _split_ranges(
+                        offsets, total, split_target_bytes
+                    ):
+                        parts.append(
+                            _GzPartition(path, batch_id, row_type, start, end)
+                        )
+                else:
+                    parts.append(_GzPartition(path, batch_id, row_type))
     return parts
 
 
@@ -124,21 +202,42 @@ class ArchiveReplayStreamReader(DataSourceStreamReader):
         self._root = path
         # replay everything by default; startingBatchId=N skips ids < N
         self._floor = int(options.get("startingBatchId", 0)) - 1
+        self._split_target = int(
+            options.get("splitTargetBytes", DEFAULT_SPLIT_TARGET_BYTES)
+        )
+        # live-tail safety: only consider batch dirs whose write
+        # completed (the emitter's _SUCCESS marker). Off by default —
+        # finished archives (the documented target) have no race.
+        self._require_complete = (
+            str(options.get("requireComplete", "false")).lower() == "true"
+        )
+
+    def _visible_batch_ids(self) -> list[int]:
+        ids = _list_batch_ids(self._root)
+        if self._require_complete:
+            ids = [
+                b
+                for b in ids
+                if os.path.exists(
+                    os.path.join(self._root, f"batch_id={b}", "_SUCCESS")
+                )
+            ]
+        return ids
 
     def initialOffset(self) -> dict:
         return {"batch_id": self._floor}
 
     def latestOffset(self) -> dict:
-        ids = _list_batch_ids(self._root)
+        ids = self._visible_batch_ids()
         latest = ids[-1] if ids else self._floor
         return {"batch_id": max(latest, self._floor)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = start["batch_id"], end["batch_id"]
         parts: list[InputPartition] = []
-        for bid in _list_batch_ids(self._root):
+        for bid in self._visible_batch_ids():
             if lo < bid <= hi:
-                parts.extend(_plan_batch(self._root, bid))
+                parts.extend(_plan_batch(self._root, bid, self._split_target))
         # Spark requires >= 1 partition per microbatch; an id-range
         # with no surviving objects (all-bad batch) yields one no-op.
         return parts or [_GzPartition("", hi, "")]
@@ -146,11 +245,36 @@ class ArchiveReplayStreamReader(DataSourceStreamReader):
     def read(self, partition: _GzPartition):
         if not partition.path:
             return
+        if partition.start >= 0:
+            # indexed mid-file range: every sync offset is a
+            # byte-aligned full-flush record boundary, so the raw
+            # deflate bytes in [start, end) decode to exactly that
+            # range's records with no state from any other range
+            # (behavior-pinned to sinks/indexed_gzip.py:read_split)
+            import zlib
+
+            with open(partition.path, "rb") as fh:
+                fh.seek(partition.start)
+                raw = fh.read(partition.end - partition.start)
+            d = zlib.decompressobj(-15)
+            out = d.decompress(raw)
+            if not d.eof:
+                out += d.flush()
+            text = out.decode("utf-8")
+            for line in text.split("\n")[:-1] if text else []:
+                yield (line, partition.batch_id, partition.row_type)
+            return
         import gzip
 
+        # stream the member line-by-line (constant memory) instead of
+        # loading the whole decompressed object
         with gzip.open(partition.path, "rt", encoding="utf-8") as fh:
-            for line in fh.read().splitlines():
-                yield (line, partition.batch_id, partition.row_type)
+            for line in fh:
+                yield (
+                    line[:-1] if line.endswith("\n") else line,
+                    partition.batch_id,
+                    partition.row_type,
+                )
 
     def commit(self, end: dict) -> None:
         pass
