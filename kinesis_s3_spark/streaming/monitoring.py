@@ -73,6 +73,40 @@ class StatsDClient:
             self.send(self.LATENCY_METRIC, f"{latency_sec:.3f}", "g")
 
 
+class SizeDriftReporter:
+    """Wire the loader-maintained record-size histogram
+    (streaming/histogram.py) into the StatsD surface (O18): after each
+    flush, report the PSI of the accumulated histogram against a
+    pinned REFERENCE histogram (e.g. yesterday's persisted bins) as a
+    gauge — the streaming form of events_drift_psi, delivered on the
+    same wire the reference's count/latency metrics use
+    (StatsD.scala:83-91 format). PSI > 0.2 is the conventional alarm
+    for record-size mix shift (a producer change, a new payload
+    schema).
+
+    Compose with the count/latency report in run_loader's on_flush:
+
+        hist = SizeHistogramAccumulator(state_dir)
+        drift = SizeDriftReporter(statsd, hist, ref_bins)
+        run_loader(..., accumulators=(hist,),
+                   on_flush=lambda m: (statsd.report(m), drift(m)))
+
+    The gauge is computed from the accumulator's ≤64 driver-held bins —
+    no extra Spark work per flush."""
+
+    PSI_METRIC = "size_psi"  # gauge name under cfg.statsd_prefix
+
+    def __init__(self, statsd: StatsDClient, hist, ref_bins: dict[int, int]) -> None:
+        self.statsd = statsd
+        self.hist = hist
+        self.ref_bins = dict(ref_bins)
+        self.last_psi: float | None = None  # test/inspection trail
+
+    def __call__(self, meta: BatchMeta) -> None:  # noqa: ARG002 - on_flush shape
+        self.last_psi = self.hist.psi_against(self.ref_bins)
+        self.statsd.send(self.PSI_METRIC, f"{self.last_psi:.4f}", "g")
+
+
 def capture_error(error: BaseException) -> None:
     """O20 (Monitoring.captureError, Monitoring.scala:62-65)."""
     if sentry_sdk is not None:  # pragma: no cover

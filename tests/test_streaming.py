@@ -4,6 +4,7 @@ integration layer the reference never covers — SURVEY §5 gap)."""
 
 from __future__ import annotations
 
+import base64
 import glob
 import gzip
 import json
@@ -89,7 +90,9 @@ def test_checkpoint_resume(spark, tmp_path):
     for f in glob.glob(str(tmp_path / "out" / "**" / "*.gz"), recursive=True):
         with gzip.open(f, "rt") as fh:
             lines.extend(fh.read().splitlines())
-    assert sorted(lines) == ["r1", "r2"]  # no duplicates after restart
+    # RAW frames as base64 lines (byte-faithful contract); decode back
+    payloads = sorted(base64.b64decode(x).decode() for x in lines)
+    assert payloads == ["r1", "r2"]  # no duplicates after restart
 
 
 def test_listener_and_statsd(spark, tmp_path):
@@ -187,3 +190,62 @@ def test_kinesis_option_assembly_all_positions():
     )
     assert at["kinesis.startingPosition"] == "AT_TIMESTAMP"
     assert at["kinesis.startingTimestamp"] == "2026-01-01T00:00:00Z"
+
+
+def test_size_psi_gauge_on_drifted_batch(spark, tmp_path):
+    """VERDICT r5 task #7: the loader-maintained size histogram's PSI
+    against a reference histogram reaches the StatsD wire as a gauge
+    after a flush of drifted (much larger) records — the engine's
+    drift signal on the reference's monitoring surface (O18)."""
+    from kinesis_s3_spark.streaming.histogram import SizeHistogramAccumulator
+    from kinesis_s3_spark.streaming.monitoring import SizeDriftReporter
+
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(5)
+    port = recv.getsockname()[1]
+    statsd = StatsDClient(
+        MonitoringConfig(
+            statsd_host="127.0.0.1",
+            statsd_port=port,
+            statsd_prefix="snowplow.s3loader",
+        )
+    )
+
+    # reference: yesterday's traffic was tiny records (bin 0)
+    ref_bins = {0: 1000}
+    hist = SizeHistogramAccumulator(str(tmp_path / "state"))
+    drift = SizeDriftReporter(statsd, hist, ref_bins)
+
+    inp = str(tmp_path / "in")
+    _write_input(spark, inp, ["y" * 900 for _ in range(20)])  # bin 14
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {"s3": {"path": str(tmp_path / "out"), "compression": "GZIP"}},
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+    q = run_loader(
+        spark,
+        cfg,
+        accumulators=(hist,),
+        on_flush=drift,
+        query_name="psi-test",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    datagram = recv.recvfrom(4096)[0].decode()
+    recv.close()
+    name, rest = datagram.split(":", 1)
+    value, kind = rest.split("|", 1)
+    assert name == "snowplow.s3loader.size_psi"
+    assert kind == "g"
+    # total mix shift (bin 0 -> bin 14): PSI far above the 0.2 alarm
+    assert float(value) > 0.2
+    assert drift.last_psi is not None and drift.last_psi > 0.2
