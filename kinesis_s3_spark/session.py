@@ -28,6 +28,14 @@ _SCALE_DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # split-size FLOOR: maxSplitBytes = min(maxPartitionBytes,
+    # max(openCostInBytes, totalBytes/defaultParallelism)). The 4 MiB
+    # default is an HDFS-era open-latency model; on NVMe/object storage
+    # with vectorized parquet it forces a 10 MB table into 3 splits and
+    # idles 29 of 32 cores (measured: q1's scan). 256 KiB keeps small
+    # inputs parallel; at 100 TB files dwarf either floor, so the knob
+    # only matters exactly where it helps.
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",

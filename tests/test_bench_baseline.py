@@ -1,0 +1,33 @@
+"""The bench time-ratchet (VERDICT r5 task #3): injected slowdowns go
+red; within-tolerance jitter does not."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_injected_slowdown_is_flagged():
+    baseline = {"q": {"median": 2.0, "spread": 0.1}}
+    # tolerance = 2.0 + max(0.2, 0.5) = 2.5
+    assert bench.flag_regressions({"q": 2.49}, baseline) == {}
+    flagged = bench.flag_regressions({"q": 2.6}, baseline)
+    assert flagged["q"]["limit_sec"] == 2.5 and flagged["q"]["sec"] == 2.6
+
+
+def test_wide_spread_widens_tolerance():
+    baseline = {"q": {"median": 1.0, "spread": 0.9}}
+    # 2*spread (1.8) dominates 25% (0.25): limit 2.8
+    assert bench.flag_regressions({"q": 2.7}, baseline) == {}
+    assert "q" in bench.flag_regressions({"q": 2.9}, baseline)
+
+
+def test_unknown_query_not_flagged():
+    assert bench.flag_regressions({"new_query": 99.0}, {}) == {}
+
+
+def test_shipped_baseline_covers_headline():
+    """Every baseline entry corresponds to a current HEADLINE query
+    (stale entries would silently never fire)."""
+    base = bench.load_baseline()
+    assert base, "tools/bench_baseline.json must exist and parse"
+    assert set(base) <= set(bench.HEADLINE)
