@@ -60,6 +60,11 @@ BPE_K64_ROUNDS = 6
 BPE_K64_ACCEPT = 16
 BPE_K64_WINDOW = 64
 
+# truncate the training state's lineage every N rounds (see
+# train_bpe_batched docstring); a divisor-free stride > BPE_K64_ROUNDS
+# keeps the gated k64 path on the pure cache policy it was proven on
+_LINEAGE_CUT_EVERY = 8
+
 # --- shared oracle fragments -------------------------------------------------
 
 # word-frequency frame + initial per-character segmentation; shared by
@@ -279,23 +284,49 @@ def train_bpe(docs: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]]
 
 
 def train_bpe_batched(
-    docs: DataFrame, n_rounds: int, accept_cap: int, window: int
+    docs: DataFrame,
+    n_rounds: int,
+    accept_cap: int,
+    window: int,
+    target_merges: int | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """The batched training loop (module docstring) — returns the
     learned merge table [(rank, l, r, weighted_pair_count), ...] in
     acceptance order. Per round: ONE pair-count job + top-``window``
     collect (driver-sized), greedy symbol-disjoint acceptance of up to
     ``accept_cap`` pairs, and one chained-replace projection applying
-    them all."""
+    them all.
+
+    ``target_merges``: stop as soon as that many merges are learned
+    (rounds late in training accept fewer than ``accept_cap`` when the
+    candidate window runs short of disjoint pairs, so a fixed round
+    count under-delivers at large budgets); the result is trimmed to
+    exactly the target.
+
+    Large-budget hygiene (the 1k-merge experiment's findings,
+    SCALE.md): the parent round's cache is released only AFTER the
+    current round's collect has materialized the child (dropping it
+    before would recompute the whole replace chain from scratch every
+    round — quadratic), and every ``_LINEAGE_CUT_EVERY`` rounds the
+    state is localCheckpoint'ed so the logical plan stays shallow
+    instead of accreting one replace-chain per round (analysis time
+    otherwise grows with round² at vocab-scale budgets)."""
     cur = _segmentations(docs).cache()
+    prev = None
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_rounds):
+    for rnd in range(n_rounds):
+        if target_merges is not None and len(merges) >= target_merges:
+            break
         top = (
             _pair_counts(cur)
             .orderBy(F.col("cnt").desc(), "l", "r")
             .limit(window)
             .collect()
         )
+        # cur is materialized now; its parent's cache is safe to drop
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         used: set[str] = set()
         accepted: list[tuple[str, str, int]] = []
         for row in top:
@@ -312,11 +343,22 @@ def train_bpe_batched(
         seg: Column = F.col("seg")
         for left, right, _cnt in accepted:
             seg = F.replace(seg, F.lit(f"{left} {right}"), F.lit(left + right))
-        nxt = cur.withColumn("seg", seg).cache()
-        cur.unpersist()
+        nxt = cur.withColumn("seg", seg)
+        if (rnd + 1) % _LINEAGE_CUT_EVERY == 0:
+            # materializes nxt AND truncates lineage; parent cache can
+            # go immediately since the checkpoint holds real partitions
+            nxt = nxt.localCheckpoint(eager=True)
+            cur.unpersist()
+        else:
+            nxt = nxt.cache()
+            prev = cur
         cur = nxt
         merges.extend(accepted)
     cur.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    if target_merges is not None:
+        merges = merges[:target_merges]
     return [(i + 1, left, right, cnt) for i, (left, right, cnt) in enumerate(merges)]
 
 

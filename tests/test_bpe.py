@@ -67,3 +67,79 @@ def test_bpe_tiebreak_lexicographic(spark):
     docs = spark.createDataFrame([("xy yz",)], "text string")
     merges = train_bpe(docs, 1)
     assert merges[0] == (1, "x", "y", 1)
+
+
+def _trigram_docs(spark, sf_dir="/root/testdata/sf0.001"):
+    """High-vocabulary corpus derived from documents (word-trigram
+    pseudo-words) — the 1k-merge experiment's input shape
+    (tools/bpe_scale_experiment.py)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return raw.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+                lambda i: F.concat_ws(
+                    "_",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def test_bpe_large_budget_prefix_stable_and_vocab_grows(spark):
+    """VERDICT r5 task #6 invariants at a >64-merge budget: running
+    MORE rounds of the batched loop (incl. past the lineage-cut
+    stride) never changes the already-accepted prefix, learns no
+    duplicate merges, and grows the symbol vocabulary by exactly one
+    new symbol per merge."""
+    docs = _trigram_docs(spark).cache()
+    small = train_bpe_batched(docs, n_rounds=4, accept_cap=16, window=64)
+    big = train_bpe_batched(
+        docs, n_rounds=64, accept_cap=16, window=64, target_merges=200
+    )
+    assert len(big) == 200
+    assert big[: len(small)] == small  # prefix stability
+
+    pairs = [(l, r) for _k, l, r, _c in big]
+    assert len(set(pairs)) == len(pairs)  # no duplicate merges
+    new_symbols = [l + r for l, r in pairs]
+    assert len(set(new_symbols)) == len(new_symbols)  # one new symbol per merge
+    docs.unpersist()
+
+
+def test_bpe_more_merges_reduce_fertility(spark):
+    """The reason to buy a bigger merge budget: total symbol count of
+    the tokenized corpus strictly decreases as the merge table grows
+    (each accepted merge had a positive pre-round pair count)."""
+    from pyspark.sql import functions as F
+
+    docs = _trigram_docs(spark).cache()
+
+    def total_symbols(merges):
+        words = docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        ).filter(F.col("word") != "")
+        seg = F.trim(F.regexp_replace("word", "(.)", "$1 "))
+        for _rank, left, right, _cnt in merges:
+            seg = F.replace(seg, F.lit(f"{left} {right}"), F.lit(left + right))
+        return words.agg(
+            F.sum(F.size(F.split(seg, " "))).cast("long").alias("n")
+        ).collect()[0]["n"]
+
+    table = train_bpe_batched(
+        docs, n_rounds=64, accept_cap=16, window=64, target_merges=192
+    )
+    f64, f192 = total_symbols(table[:64]), total_symbols(table)
+    base = total_symbols([])
+    assert base > f64 > f192
+    docs.unpersist()
