@@ -69,6 +69,9 @@ for _m in _OPTIONAL_MODULES:
 _GATE_FIRST = [
     # -- (0) added or semantically changed in round 6, never gated --
     "etl_raw_roundtrip",
+    "ann_mips_topk",
+    "text_gopher_rules",
+    "etl_incremental_agg_merge",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

@@ -118,6 +118,9 @@ HEADLINE = [
     "curation_epoch_shuffle",
     "events_cusum_alarm",
     "etl_raw_roundtrip",
+    "ann_mips_topk",
+    "text_gopher_rules",
+    "etl_incremental_agg_merge",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

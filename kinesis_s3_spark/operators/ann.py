@@ -1324,3 +1324,66 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("q_id").agg(
         F.round(F.count("a_vec").cast("double") / TOP_K, 4).alias("recall_at_10")
     )
+
+
+# --- maximum inner product search (MIPS) -------------------------------------
+
+_MIPS_SQL = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES})
+    SELECT q_id, vec_id, dot, rank FROM (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_inner_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS dot,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY ROUND(list_inner_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e JOIN q ON e.vec_id != q.q_id
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+def inner_product(v1: Column, v2: Column) -> Column:
+    """Dot product of two float vectors in double precision — JVM-side
+    fold, same left-to-right order as DuckDB's list_inner_product."""
+    return F.aggregate(
+        F.zip_with(v1, v2, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("ann_mips_topk", oracle=_MIPS_SQL)
+def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k — the retrieval scoring most
+    recommender / dual-encoder stacks actually serve (un-normalized
+    embeddings: popularity lives in the norm, which cosine throws
+    away). Same batched shape as ann_multi_query_topk: broadcast the
+    query block, one fused scan scores dot products, per-query Window
+    keeps k.
+
+    Scale: |queries| × |vectors| exact scan. For sub-linear serving,
+    MIPS reduces to cosine by norm augmentation (append
+    sqrt(M² − ‖x‖²) to each item, 0 to each query; Bachrach et al.
+    2014) — after which ann_lsh_bucketed / ann_ivf_kmeans_topk apply
+    unchanged; the exact arm here is the recall oracle for that
+    reduction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(inner_product(F.col("embedding"), F.col("qe")), 4).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )

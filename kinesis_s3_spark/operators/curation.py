@@ -1020,3 +1020,130 @@ def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.orderBy(F.md5(F.concat(F.lit(f"epoch{e}|"), F.col("doc_id"))), F.col("doc_id"))
         out = out.withColumn(f"pos_epoch{e}", F.row_number().over(w).cast("long"))
     return out
+
+
+# --- full Gopher document-level rule suite -----------------------------------
+
+# Rae et al. 2021 (Gopher) §A1.1 quality rules, adapted to the
+# single-line corpus (the line-level bullet/ellipsis rules collapse to
+# the whole-document prefix/suffix). The repetition rules are a
+# separate operator (text_gopher_repetition); this is the rest of the
+# suite. Every keep/drop predicate is evaluated in INTEGER arithmetic
+# (3n ≤ Σlen ≤ 10n instead of 3 ≤ mean ≤ 10, 5·alpha ≥ 4·words, …) so
+# the verdicts can never diverge between engines at a float boundary;
+# the rounded ratios are reported for display only.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_STOP_IN = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+
+_GOPHER_RULES_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+    ),
+    w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM d
+    ),
+    wa AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(w)) AS BIGINT) AS sum_len,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_alpha,
+             CAST(COUNT(DISTINCT CASE WHEN w IN ({_STOP_IN}) THEN w END)
+                  AS BIGINT) AS n_stop
+      FROM w GROUP BY doc_id
+    ),
+    sy AS (
+      SELECT doc_id,
+             CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+             + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT)
+               AS n_symbols
+      FROM d
+    )
+    SELECT wa.doc_id, wa.n_words,
+           ROUND(CAST(wa.sum_len AS DOUBLE) / wa.n_words, 6) AS mean_word_len,
+           ROUND(CAST(wa.n_alpha AS DOUBLE) / wa.n_words, 6) AS frac_alpha_words,
+           ROUND(CAST(sy.n_symbols AS DOUBLE) / wa.n_words, 6) AS symbol_word_ratio,
+           wa.n_stop AS n_stopwords,
+           (wa.n_words BETWEEN 50 AND 100000) AS r_wordcount,
+           (wa.sum_len BETWEEN 3 * wa.n_words AND 10 * wa.n_words) AS r_wordlen,
+           (5 * wa.n_alpha >= 4 * wa.n_words) AS r_alpha,
+           (10 * sy.n_symbols <= wa.n_words) AS r_symbol,
+           (wa.n_stop >= 2) AS r_stopwords,
+           ((wa.n_words BETWEEN 50 AND 100000)
+            AND (wa.sum_len BETWEEN 3 * wa.n_words AND 10 * wa.n_words)
+            AND (5 * wa.n_alpha >= 4 * wa.n_words)
+            AND (10 * sy.n_symbols <= wa.n_words)
+            AND (wa.n_stop >= 2)) AS keep
+    FROM wa JOIN sy USING (doc_id)
+"""
+
+
+@query("text_gopher_rules", oracle=_GOPHER_RULES_SQL)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule suite beyond repetition (Rae et al.
+    2021 §A1.1): word-count bounds [50, 100k], mean word length
+    [3, 10], ≥80% words containing an alphabetic character,
+    symbol-to-word ratio ('#'/'…') ≤ 0.1, and ≥2 distinct Gopher
+    stopwords — per-rule verdicts plus the conjunctive keep flag,
+    alongside the measured ratios.
+
+    Scale: one explode → per-doc map-side-combined aggregate (the
+    shuffle carries one row per document, not per token) joined to a
+    scan-only symbol count; all predicates integer-exact, so the
+    filter is reproducible bit-for-bit on any engine. At 100 TB this
+    is the archetypal first-pass corpus filter: embarrassingly
+    parallel, no skew risk beyond document length itself."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    wa = words.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("sum_len"),
+        F.sum(F.col("w").rlike("[a-z]").cast("int")).cast("long").alias("n_alpha"),
+        F.count_distinct(
+            F.when(F.col("w").isin(*GOPHER_STOPWORDS), F.col("w"))
+        ).cast("long").alias("n_stop"),
+    )
+    sy = docs.select(
+        "doc_id",
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+            + (
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit(""))))
+                / 3
+            ).cast("long")
+        ).cast("long").alias("n_symbols"),
+    )
+    j = wa.join(sy, "doc_id")
+    r_wordcount = F.col("n_words").between(50, 100000)
+    r_wordlen = (F.col("sum_len") >= 3 * F.col("n_words")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_symbol = 10 * F.col("n_symbols") <= F.col("n_words")
+    r_stop = F.col("n_stop") >= 2
+    return j.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("sum_len").cast("double") / F.col("n_words"), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(F.col("n_alpha").cast("double") / F.col("n_words"), 6).alias(
+            "frac_alpha_words"
+        ),
+        F.round(F.col("n_symbols").cast("double") / F.col("n_words"), 6).alias(
+            "symbol_word_ratio"
+        ),
+        F.col("n_stop").alias("n_stopwords"),
+        r_wordcount.alias("r_wordcount"),
+        r_wordlen.alias("r_wordlen"),
+        r_alpha.alias("r_alpha"),
+        r_symbol.alias("r_symbol"),
+        r_stop.alias("r_stopwords"),
+        (r_wordcount & r_wordlen & r_alpha & r_symbol & r_stop).alias("keep"),
+    )

@@ -674,3 +674,81 @@ def etl_raw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b64").alias("b64_min"),
         F.max("b64").alias("b64_max"),
     )
+
+
+# --- incremental materialized-view maintenance -------------------------------
+
+_MV_CUTOFF = "2024-01-21 00:00:00"
+
+_MV_MERGE_SQL = f"""
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sum_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+@query("etl_incremental_agg_merge", oracle=_MV_MERGE_SQL)
+def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-(event_type,
+    day) aggregate STATE built from history (ts < cutoff) is merged
+    with a DELTA batch (ts >= cutoff) using only mergeable-aggregate
+    algebra — counts add, decimal sums add, min/max combine — via one
+    full-outer join on the group keys. The oracle computes the same
+    view from the full table in one shot, so the gate proves the
+    merge path is indistinguishable from recomputation: the invariant
+    every warehouse's incremental refresh relies on.
+
+    Scale: this is the O(|delta| + |state|) refresh pattern that
+    replaces an O(|history|) recomputation on a 100 TB event store —
+    both arms shuffle on the (type, day) key only; the state side of
+    the join is |types|×|days| rows (tiny, broadcast); avg-style
+    metrics derive from (sum, count) at read time rather than being
+    stored, which is what keeps the state mergeable."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        F.col("value").cast("double").alias("v"),
+    )
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def view(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("v").cast("decimal(38,12)")).alias("sum_dec"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    state = view(e.filter(F.col("ts") < cutoff))
+    delta = view(e.filter(F.col("ts") >= cutoff))
+    s, d = state.alias("s"), delta.alias("d")
+    merged = s.join(
+        F.broadcast(d), ["event_type", "day"], "full_outer"
+    ).select(
+        "event_type",
+        "day",
+        (
+            F.coalesce(F.col("s.n_events"), F.lit(0))
+            + F.coalesce(F.col("d.n_events"), F.lit(0))
+        ).cast("long").alias("n_events"),
+        (
+            F.coalesce(F.col("s.sum_dec"), F.lit(0).cast("decimal(38,12)"))
+            + F.coalesce(F.col("d.sum_dec"), F.lit(0).cast("decimal(38,12)"))
+        ).alias("sum_merged"),
+        F.least(F.col("s.first_ts"), F.col("d.first_ts")).alias("first_ts"),
+        F.greatest(F.col("s.last_ts"), F.col("d.last_ts")).alias("last_ts"),
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("sum_merged").cast("double").alias("sum_value"),
+        "first_ts",
+        "last_ts",
+    )

@@ -209,3 +209,39 @@ def test_pq_codes_are_compressed_domain(spark):
     assert bad == 0
     n = enc.count()
     assert enc.select("vec_id").distinct().count() == n  # one code word per vector
+
+
+def test_mips_differs_from_cosine_by_norm(spark):
+    """MIPS ranks by norm × direction: doubling a vector's magnitude
+    doubles its dot score but leaves cosine unchanged — the semantic
+    reason ann_mips_topk exists next to the cosine family."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators.ann import inner_product
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [2.0, 0.0]), ([0.5, 0.5], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        inner_product(F.col("a"), F.col("b")).alias("ab"),
+        inner_product(F.col("a"), F.col("a")).alias("aa"),
+    ).collect()
+    assert rows[0]["ab"] == 2.0 and rows[0]["aa"] == 1.0
+    assert rows[1]["ab"] == 1.0
+
+
+def test_mips_topk_ranks_descending(spark):
+    from kinesis_s3_spark.operators.ann import TOP_K, ann_mips_topk
+
+    out = ann_mips_topk(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOP_K
+        dots = [r["dot"] for r in rows]
+        assert dots == sorted(dots, reverse=True)
+        assert all(r["vec_id"] != q for r in rows)

@@ -234,3 +234,29 @@ def test_epoch_shuffle_permutations_differ(spark):
     assert p1 == list(range(1, n + 1)) and p2 == list(range(1, n + 1))
     same = sum(1 for r in rows if r["pos_epoch1"] == r["pos_epoch2"])
     assert same < n * 0.05  # fixed points of a random permutation: ~1 expected
+
+
+def test_gopher_rules_keep_is_conjunction(spark):
+    from kinesis_s3_spark.operators.curation import text_gopher_rules
+
+    rows = text_gopher_rules(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    kept = dropped = 0
+    for r in rows:
+        assert r["keep"] == (
+            r["r_wordcount"] and r["r_wordlen"] and r["r_alpha"]
+            and r["r_symbol"] and r["r_stopwords"]
+        )
+        assert 0 <= r["n_stopwords"] <= 8
+        # integer predicates must agree with the reported ratios
+        assert r["r_wordcount"] == (50 <= r["n_words"] <= 100000)
+        assert r["r_alpha"] == (r["frac_alpha_words"] >= 0.8 - 1e-9)
+        kept += r["keep"]
+        dropped += not r["keep"]
+    # conjunctive keep is honestly false corpus-wide here (the 31-word
+    # synthetic vocabulary carries only one Gopher stopword, so
+    # r_stopwords >= 2 never holds) — but individual rules must still
+    # discriminate: the corpus spans the 50-word threshold
+    assert dropped == len(rows) if kept == 0 else kept > 0
+    wc = {r["r_wordcount"] for r in rows}
+    assert wc == {True, False}

@@ -95,3 +95,39 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     drate, dch, dn, out = decode_wav(encode_wav(s, rate))
     assert (drate, dch, dn) == (rate, ch, n)
     assert np.array_equal(out, s)
+
+
+def test_incremental_merge_equals_recompute_any_cutoff(spark):
+    """The MV merge invariant at a DIFFERENT cutoff than the gated
+    query's: state(<c) ⊕ delta(≥c) == full recompute for any c."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators import etl
+    from kinesis_s3_spark.sources.tables import load_table
+
+    orig = etl._MV_CUTOFF
+    try:
+        etl._MV_CUTOFF = "2024-01-07 12:00:00"
+        merged = {
+            (r["event_type"], r["day"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in etl.etl_incremental_agg_merge(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+    finally:
+        etl._MV_CUTOFF = orig
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    full = {
+        (r["event_type"], r["day"]): (r["n"], round(r["s"], 6))
+        for r in e.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("double").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert merged == full
