@@ -4,6 +4,7 @@ equality), plus partitioning and bad-row dead-lettering."""
 
 from __future__ import annotations
 
+import base64
 import glob
 import gzip
 import json
@@ -116,7 +117,11 @@ def test_unpartitioned_purpose_raw(spark, tmp_path):
     lines = _read_gzip_lines(
         str(tmp_path / "out" / "batch_id=3" / "row_type=unpartitioned" / "*" / "*.gz")
     )
-    assert sorted(lines) == ["anything", "at all"]
+    # RAW frames as base64 lines (byte-faithful contract); decode back
+    assert sorted(base64.b64decode(x).decode() for x in lines) == [
+        "anything",
+        "at all",
+    ]
 
 
 def test_replay_is_idempotent(spark, tmp_path):
@@ -187,7 +192,7 @@ def test_byte_limit_bounds_object_size(spark, tmp_path):
             lines = fh.read().splitlines()
         payload = sum(len(line) + 1 for line in lines)
         assert payload <= byte_limit or len(lines) == 1, (f, payload)
-        seen.extend(lines)
+        seen.extend(base64.b64decode(x).decode() for x in lines)
     assert sorted(seen) == sorted(r[0] for r in rows)  # nothing lost to the roll
 
 

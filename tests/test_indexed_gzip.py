@@ -6,6 +6,8 @@ integration."""
 
 from __future__ import annotations
 
+import base64
+
 import glob
 import gzip
 import os
@@ -224,4 +226,5 @@ def test_streaming_restart_idempotent_gzip_indexed(spark, tmp_path):
     got = []
     for f in glob.glob(str(tmp_path / "out" / "**" / "*.txt.gz"), recursive=True):
         got.extend(read_all_via_splits(f))
-    assert sorted(got) == ["r1", "r2", "r3"]
+    # RAW frames as base64 lines (byte-faithful contract); decode back
+    assert sorted(base64.b64decode(x).decode() for x in got) == ["r1", "r2", "r3"]

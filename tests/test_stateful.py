@@ -3,6 +3,8 @@ incrementally must match the batch sessionization of the same data."""
 
 from __future__ import annotations
 
+import base64
+
 from datetime import datetime, timedelta
 
 from kinesis_s3_spark.streaming.stateful import sessionize_stream
@@ -104,7 +106,8 @@ def test_stream_incremental_dedup_checkpoint_resume(spark, tmp_path):
     for f in glob.glob(str(tmp_path / "out" / "**" / "*.gz"), recursive=True):
         with gzip.open(f, "rt") as fh:
             lines.extend(fh.read().splitlines())
-    assert sorted(lines) == ["a", "b", "c"]
+    # RAW frames as base64 lines (byte-faithful contract); decode back
+    assert sorted(base64.b64decode(x).decode() for x in lines) == ["a", "b", "c"]
 
 
 def test_stream_dedup_null_payloads_not_swallowed(spark, tmp_path):
