@@ -657,6 +657,11 @@ def etl_raw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purpose": "RAW",
             "input": {"stream_name": "raw-roundtrip"},
             "output": {"s3": {"path": out, "compression": "GZIP"}},
+            # production-sized flush buffer (the loader-bench value):
+            # the config DEFAULT byteLimit (2048 B, mirroring the
+            # sample's test value) would roll ~25k tiny objects here
+            # and measure file creation, not the round trip
+            "buffer": {"byte_limit": 64 * 1024 * 1024},
         }
     )
     emit(payloads, batch_id=0, cfg=cfg)
