@@ -72,6 +72,8 @@ _GATE_FIRST = [
     "ann_mips_topk",
     "text_gopher_rules",
     "etl_incremental_agg_merge",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

@@ -121,6 +121,7 @@ HEADLINE = [
     "ann_mips_topk",
     "text_gopher_rules",
     "etl_incremental_agg_merge",
+    "sketch_hll_estimate",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

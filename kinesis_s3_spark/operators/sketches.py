@@ -643,3 +643,159 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+# --- HyperLogLog (explicit registers) ----------------------------------------
+
+# Flajolet et al. 2007: m = 2^p registers, register j keeps the max
+# rank (leading-zeros+1) of the hash suffix among keys routed to j;
+# estimate = alpha_m * m^2 / sum(2^-reg). p=6 -> 64 registers, alpha_64
+# = 0.709. The 60-bit md5 hash splits top-6 bucket / 54-bit suffix.
+# Ranks are clamped at 48 so sum(2^-reg) is a sum of dyadic rationals
+# k/2^48 whose total needs <= 53 mantissa bits — EXACT in double in any
+# summation order, which is what makes the estimate bit-identical
+# across engines (the engine-determinism analogue of the decimal-sum
+# rule). Spark's approx_count_distinct wraps its own HLL++ (gated in
+# approx.py); this is the register-level construction, portable and
+# mergeable by pairwise MAX — the form you persist per partition/day
+# and OR together at 100 TB.
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64
+HLL_ALPHA = 0.709  # alpha_64
+_HLL_SUFFIX_BITS = 60 - HLL_P  # 54
+_HLL_RANK_CAP = 48
+
+_HLL_HASH_SQL = "('0x' || substr(md5('hll|' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT"
+
+_HLL_REG_SQL = f"""
+    WITH h AS (
+      SELECT DISTINCT {_HLL_HASH_SQL} AS hv FROM orders
+    ),
+    br AS (
+      SELECT CAST(hv // {1 << _HLL_SUFFIX_BITS} AS BIGINT) AS bucket,
+             hv % {1 << _HLL_SUFFIX_BITS} AS suffix
+      FROM h
+    ),
+    rk AS (
+      SELECT bucket,
+             LEAST(CASE WHEN suffix = 0 THEN {_HLL_SUFFIX_BITS + 1}
+                        ELSE {_HLL_SUFFIX_BITS + 1} - length(bin(suffix)) END,
+                   {_HLL_RANK_CAP}) AS rank
+      FROM br
+    )
+    SELECT bucket, CAST(MAX(rank) AS BIGINT) AS reg
+    FROM rk GROUP BY bucket
+"""
+
+
+@query("sketch_hll_registers", oracle=_HLL_REG_SQL)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register table over orders.o_custkey — every occupied
+    bucket's max rank, register-exact vs the oracle. Shuffle carries
+    at most m=64 rows after the map-side MAX combine; the register
+    table is the mergeable persisted artifact (pairwise MAX merges
+    shards/days)."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), F.col("o_custkey").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    suffix_mod = 1 << _HLL_SUFFIX_BITS
+    d = o.select(h.alias("hv")).distinct()
+    br = d.select(
+        F.floor(F.col("hv") / suffix_mod).cast("long").alias("bucket"),
+        (F.col("hv") % suffix_mod).alias("suffix"),
+    )
+    rank = F.least(
+        F.when(F.col("suffix") == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(
+            F.lit(_HLL_SUFFIX_BITS + 1) - F.length(F.bin(F.col("suffix")))
+        ),
+        F.lit(_HLL_RANK_CAP),
+    )
+    return (
+        br.select("bucket", rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").cast("long").alias("reg"))
+    )
+
+
+_HLL_EST_SQL = f"""
+    WITH regs AS ({_HLL_REG_SQL}),
+    allregs AS (
+      SELECT m.bucket, COALESCE(r.reg, 0) AS reg
+      FROM (SELECT unnest(range(0, {HLL_M})) AS bucket) m
+      LEFT JOIN regs r USING (bucket)
+    ),
+    s AS (
+      SELECT SUM(power(2.0, 0 - reg)) AS harm,
+             CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      FROM allregs
+    ),
+    e AS (
+      SELECT CASE
+               WHEN {HLL_ALPHA} * {HLL_M} * {HLL_M} / harm <= 2.5 * {HLL_M}
+                    AND n_zero > 0
+               THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / n_zero)
+               ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M} / harm
+             END AS raw_est,
+             n_zero
+      FROM s
+    ),
+    t AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+          FROM orders)
+    SELECT ROUND(e.raw_est, 4) AS hll_est,
+           e.n_zero,
+           t.exact_distinct,
+           ROUND(ABS(e.raw_est - t.exact_distinct) / t.exact_distinct, 6) AS rel_err,
+           (ABS(e.raw_est - t.exact_distinct) / t.exact_distinct
+              <= 3 * 1.04 / sqrt({HLL_M})) AS within_3_sigma
+    FROM e, t
+"""
+
+
+@query("sketch_hll_estimate", oracle=_HLL_EST_SQL)
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL cardinality read-off with its accuracy contract: the
+    raw harmonic-mean estimate (linear-counting small-range branch
+    included for faithfulness, not taken at this cardinality), the
+    exact distinct count, and a gated within-3σ check against the
+    theoretical 1.04/√m standard error — the same
+    estimate-plus-error-bound harness shape as sketch_kmv_distinct
+    and approx_distinct_users.
+
+    Scale: registers shuffle ≤ m rows (map-side MAX); the read-off is
+    a 64-row fold. Exactness note: ranks are capped at 48, making
+    sum(2^-reg) order-independent in double (see module constant)."""
+    regs = sketch_hll_registers(spark, sf_dir)
+    spark_range = spark.range(HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    full = spark_range.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+    )
+    s = full.agg(
+        F.sum(F.pow(F.lit(2.0), 0 - F.col("reg"))).alias("harm"),
+        F.sum((F.col("reg") == 0).cast("int")).cast("long").alias("n_zero"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    t = o.agg(F.countDistinct("o_custkey").cast("long").alias("exact_distinct"))
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("harm")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("n_zero") > 0),
+        HLL_M * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return (
+        s.crossJoin(t)
+        .select(
+            F.round(est, 4).alias("hll_est"),
+            "n_zero",
+            "exact_distinct",
+            F.round(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6).alias(
+                "rel_err"
+            ),
+            (
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct")
+                <= 3 * 1.04 / (HLL_M ** 0.5)
+            ).alias("within_3_sigma"),
+        )
+    )

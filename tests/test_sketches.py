@@ -190,3 +190,57 @@ def test_ams_f2_unbiased_shape(spark):
         .collect()
     )
     assert all(abs(r["z"]) == 100 for r in z)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The mergeability contract the register table exists for:
+    registers built over two disjoint halves, merged by pairwise MAX,
+    equal the whole-corpus registers — so per-shard/per-day sketches
+    OR together losslessly."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators.sketches import sketch_hll_registers
+    from kinesis_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    whole = {
+        r["bucket"]: r["reg"] for r in sketch_hll_registers(spark, sf).collect()
+    }
+
+    o = load_table(spark, sf, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col("o_custkey").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    halves = [
+        o.filter(F.col("o_orderkey") % 2 == i).select(h.alias("hv")).distinct()
+        for i in (0, 1)
+    ]
+    merged: dict[int, int] = {}
+    for half in halves:
+        br = half.select(
+            F.floor(F.col("hv") / (1 << 54)).cast("long").alias("bucket"),
+            (F.col("hv") % (1 << 54)).alias("suffix"),
+        )
+        rank = F.least(
+            F.when(F.col("suffix") == 0, F.lit(55)).otherwise(
+                F.lit(55) - F.length(F.bin(F.col("suffix")))
+            ),
+            F.lit(48),
+        )
+        for r in br.select("bucket", rank.alias("rank")).groupBy("bucket").agg(
+            F.max("rank").alias("reg")
+        ).collect():
+            merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["reg"])
+    assert merged == whole
+
+
+def test_hll_estimate_within_bound(spark):
+    from kinesis_s3_spark.operators.sketches import sketch_hll_estimate
+
+    row = sketch_hll_estimate(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["within_3_sigma"]
+    assert row["rel_err"] <= 3 * 1.04 / 8  # m=64 -> sigma = 13%
