@@ -74,6 +74,8 @@ _GATE_FIRST = [
     "etl_incremental_agg_merge",
     "sketch_hll_registers",
     "sketch_hll_estimate",
+    "events_asof_nearest",
+    "ann_matryoshka_recall",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

@@ -122,6 +122,8 @@ HEADLINE = [
     "text_gopher_rules",
     "etl_incremental_agg_merge",
     "sketch_hll_estimate",
+    "events_asof_nearest",
+    "ann_matryoshka_recall",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -1387,3 +1387,90 @@ def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
+
+
+# --- Matryoshka truncation evaluation ----------------------------------------
+
+MRL_DIM = 16  # truncated prefix length evaluated against the full 64
+
+_MRL_SQL = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) DESC,
+                          e.vec_id) AS rank
+        FROM embeddings e JOIN q ON e.vec_id != q.q_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            e.embedding[1:{MRL_DIM}]::DOUBLE[],
+                            q.qe[1:{MRL_DIM}]::DOUBLE[]), 4) DESC,
+                          e.vec_id) AS rank
+        FROM embeddings e JOIN q ON e.vec_id != q.q_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT t.q_id,
+           ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {TOP_K}, 4) AS recall_at_10
+    FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+    GROUP BY t.q_id
+"""
+
+
+@query("ann_matryoshka_recall", oracle=_MRL_SQL)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-embedding retrieval quality (the Matryoshka question,
+    Kusupati et al. 2022): per query, recall@10 of cosine top-k
+    computed on the FIRST {MRL_DIM} dimensions against the full-width
+    truth — the number that says whether you can serve a 4× cheaper
+    index from the same vectors. Same eval-harness shape as
+    ann_recall_lsh/_pq (the gated recall family).
+
+    Scale: both arms are the batched broadcast-scan plan
+    (|queries|×|vectors|, linear); the truncated arm reads the same
+    parquet column and slices in-scan, JVM-side — an engine built on
+    real MRL embeddings would instead store the prefix as its own
+    column family and prune the read, which parquet's column pruning
+    gives for free once the prefix is materialized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+    )
+    pairs = emb.crossJoin(q).filter(F.col("vec_id") != F.col("q_id"))
+
+    def topk(score: Column, label: str) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(F.col(label).desc(), F.col("vec_id"))
+        return (
+            pairs.select("q_id", "vec_id", F.round(score, 4).alias(label))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "vec_id")
+        )
+
+    truth = topk(cosine_sim(F.col("embedding"), F.col("qe")), "c_full")
+    approx = topk(
+        cosine_sim(
+            F.slice(F.col("embedding"), 1, MRL_DIM), F.slice(F.col("qe"), 1, MRL_DIM)
+        ),
+        "c_trunc",
+    )
+    hits = truth.join(
+        approx.withColumnRenamed("vec_id", "a_vec"),
+        (truth["q_id"] == approx["q_id"]) & (truth["vec_id"] == F.col("a_vec")),
+        "left",
+    ).select(truth["q_id"], F.col("a_vec"))
+    return hits.groupBy("q_id").agg(
+        F.round(F.count("a_vec").cast("double") / TOP_K, 4).alias("recall_at_10")
+    )

@@ -1126,3 +1126,135 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cusum") > 4 * F.col("sigma")).alias("alarmed"),
         )
     )
+
+
+@query(
+    "events_asof_nearest",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS u, o_orderdate AS t, MAX(o_orderkey) AS ok
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    m AS (
+      SELECT user_id AS u, ts AS t, event_id,
+             NULL::BIGINT AS ok, 1 AS is_event
+      FROM events
+      UNION ALL
+      SELECT u, t, NULL::BIGINT AS event_id, ok, 0 AS is_event FROM o
+    ),
+    c AS (
+      SELECT *,
+             LAST_VALUE(ok IGNORE NULLS) OVER wp AS pk,
+             LAST_VALUE(CASE WHEN is_event = 0 THEN t END IGNORE NULLS)
+               OVER wp AS pt,
+             FIRST_VALUE(ok IGNORE NULLS) OVER wn AS nk,
+             FIRST_VALUE(CASE WHEN is_event = 0 THEN t END IGNORE NULLS)
+               OVER wn AS nt
+      FROM m
+      WINDOW
+        wp AS (PARTITION BY u ORDER BY t, is_event
+               ROWS UNBOUNDED PRECEDING),
+        wn AS (PARTITION BY u ORDER BY t, is_event
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, u AS user_id,
+           CASE WHEN pk IS NULL AND nk IS NULL THEN NULL
+                WHEN pk IS NULL THEN nk
+                WHEN nk IS NULL THEN pk
+                WHEN date_diff('second', t, nt) < date_diff('second', pt, t)
+                  THEN nk
+                ELSE pk END AS nearest_orderkey,
+           CASE WHEN pk IS NULL AND nk IS NULL THEN NULL
+                WHEN pk IS NULL THEN 'next'
+                WHEN nk IS NULL THEN 'prev'
+                WHEN date_diff('second', t, nt) < date_diff('second', pt, t)
+                  THEN 'next'
+                ELSE 'prev' END AS direction,
+           CASE WHEN pk IS NULL AND nk IS NULL THEN NULL
+                WHEN pk IS NULL THEN CAST(date_diff('second', t, nt) AS BIGINT)
+                WHEN nk IS NULL THEN CAST(date_diff('second', pt, t) AS BIGINT)
+                ELSE CAST(LEAST(date_diff('second', t, nt),
+                                date_diff('second', pt, t)) AS BIGINT)
+           END AS dist_seconds
+    FROM c WHERE is_event = 1
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join — completes the as-of family
+    (backward = events_asof_join, backward-with-tolerance =
+    events_asof_tolerance): each event matches the CLOSEST order of
+    that user in either time direction, ties to the earlier one, with
+    the realized distance and direction reported. The sensor-fusion /
+    record-linkage matching mode (align each reading with the nearest
+    reference sample, whichever side it falls on).
+
+    Spark-first: the union-and-carry trick run BOTH ways in one
+    window-partition pass — carry the last order forward and the
+    first order backward over the same (user, time)-sorted merge,
+    then a row-local CASE picks the nearer. Still ONE shuffle on
+    user, no range join, no row explosion; the same plan at 100 TB
+    (AQE splits skewed users)."""
+    e = load_table(spark, sf_dir, "events")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("u"), F.col("o_orderdate").alias("t"))
+        .agg(F.max("o_orderkey").alias("ok"))
+    )
+    left = e.select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("ok"),
+        F.lit(None).cast("timestamp_ntz").alias("ot"),
+        F.lit(1).alias("is_event"),
+    )
+    right = o.select(
+        "u",
+        F.col("t").cast("timestamp_ntz").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "ok",
+        F.col("t").cast("timestamp_ntz").alias("ot"),
+        F.lit(0).alias("is_event"),
+    )
+    wp = (
+        Window.partitionBy("u")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("u")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = (
+        left.unionByName(right)
+        .withColumn("pk", F.last("ok", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last("ot", ignorenulls=True).over(wp))
+        .withColumn("nk", F.first("ok", ignorenulls=True).over(wn))
+        .withColumn("nt", F.first("ot", ignorenulls=True).over(wn))
+    )
+    d_prev = F.expr("timestampdiff(SECOND, pt, t)")
+    d_next = F.expr("timestampdiff(SECOND, t, nt)")
+    next_wins = d_next < d_prev  # ties -> prev (the earlier order)
+    both_null = F.col("pk").isNull() & F.col("nk").isNull()
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("u").alias("user_id"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(F.col("pk").isNull(), F.col("nk"))
+        .when(F.col("nk").isNull(), F.col("pk"))
+        .when(next_wins, F.col("nk"))
+        .otherwise(F.col("pk"))
+        .alias("nearest_orderkey"),
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(F.col("pk").isNull(), F.lit("next"))
+        .when(F.col("nk").isNull(), F.lit("prev"))
+        .when(next_wins, F.lit("next"))
+        .otherwise(F.lit("prev"))
+        .alias("direction"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(F.col("pk").isNull(), d_next.cast("long"))
+        .when(F.col("nk").isNull(), d_prev.cast("long"))
+        .otherwise(F.least(d_next, d_prev).cast("long"))
+        .alias("dist_seconds"),
+    )

@@ -245,3 +245,23 @@ def test_mips_topk_ranks_descending(spark):
         dots = [r["dot"] for r in rows]
         assert dots == sorted(dots, reverse=True)
         assert all(r["vec_id"] != q for r in rows)
+
+
+def test_matryoshka_recall_in_range_and_degrading(spark):
+    """Truncation can only lose information: prefix-16 recall is in
+    (0, 1], and the full-width 'truncation' at dim 64 is exactly 1."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators import ann
+
+    out = ann.ann_matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == ann.N_QUERIES
+    assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in out)
+
+    orig = ann.MRL_DIM
+    try:
+        ann.MRL_DIM = 64  # full width: approx arm == truth arm
+        full = ann.ann_matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
+    finally:
+        ann.MRL_DIM = orig
+    assert all(r["recall_at_10"] == 1.0 for r in full)

