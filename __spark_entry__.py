@@ -76,6 +76,7 @@ _GATE_FIRST = [
     "sketch_hll_estimate",
     "events_asof_nearest",
     "ann_matryoshka_recall",
+    "curation_dedup_survivorship",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

@@ -124,6 +124,7 @@ HEADLINE = [
     "sketch_hll_estimate",
     "events_asof_nearest",
     "ann_matryoshka_recall",
+    "curation_dedup_survivorship",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

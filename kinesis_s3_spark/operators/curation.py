@@ -1147,3 +1147,122 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stopwords"),
         (r_wordcount & r_wordlen & r_alpha & r_symbol & r_stop).alias("keep"),
     )
+
+
+# --- duplicate-cluster survivorship ------------------------------------------
+
+
+@query(
+    "curation_dedup_survivorship",
+    oracle=None,  # assigned below: composes dedup._CLUSTER_CTES verbatim
+)
+def curation_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after connected components in a real dedup pipeline:
+    per duplicate cluster, keep the BEST document rather than the
+    arbitrary min-id — argmax of the text_quality score (tie → lower
+    doc_id), with the cluster size and how many members were dropped.
+    Min-id keeping (dedup_cluster_resolve) discards a clean original
+    whenever a mangled copy happens to carry the smaller id; quality
+    survivorship is what production curation does instead.
+
+    Composes two REGISTERED chains — MinHash pair clustering
+    (dedup_cluster_resolve's label propagation) and the text_quality
+    score — and the oracle composes their SQL verbatim, so the gate
+    checks the composition end to end.
+
+    Scale: label propagation as dedup_cluster_resolve (edge-list
+    bound); the survivor pick is one row_number window partitioned by
+    cluster (shuffle on cluster_id, skew bounded by the largest dup
+    cluster — near-cliques, shallow)."""
+    from kinesis_s3_spark.functions.text import quality_signals
+    from kinesis_s3_spark.operators.dedup import dedup_minhash_lsh, resolve_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").cache()
+    pairs.count()
+    labels = resolve_labels(docs.select("doc_id"), pairs)
+    pairs.unpersist()
+
+    s = quality_signals(F.col("text"))
+    raw = (
+        s["alpha_ratio"]
+        - 0.5 * s["punct_ratio"]
+        - 0.3 * s["digit_ratio"]
+        - 0.2 * s["upper_ratio"]
+    )
+    q = docs.select(
+        "doc_id",
+        F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6).alias("quality"),
+    )
+    member = labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    ).join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = member.withColumn("rk", F.row_number().over(w))
+    best = ranked.filter(F.col("rk") == 1)
+    sizes = member.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return best.join(sizes, "cluster_id").select(
+        F.col("cluster_id"),
+        F.col("doc_id").alias("kept_doc_id"),
+        "quality",
+        "n_members",
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+def _cluster_ctes() -> str:
+    from kinesis_s3_spark.operators.dedup import _CLUSTER_CTES
+
+    return _CLUSTER_CTES
+
+
+# quality CTE mirroring text_quality's oracle, then argmax per cluster
+# over the composed _CLUSTER_CTES component labels
+_SURVIVOR_SQL = f"""
+    {_cluster_ctes()}
+    , comp AS (
+      SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    ),
+    qs AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id,
+             ROUND(GREATEST(LEAST(
+               n_alpha / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE)
+               - 0.5 * (n_punct / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+               - 0.3 * (n_digit / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+               - 0.2 * (n_upper / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE))
+             , 1.0), 0.0), 6) AS quality
+      FROM qs
+    ),
+    member AS (
+      SELECT c.cluster_id, c.doc_id, q.quality
+      FROM comp c JOIN quality q USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM member
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, quality,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rk = 1
+"""
+
+
+from kinesis_s3_spark.operators.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["curation_dedup_survivorship"] = _SURVIVOR_SQL

@@ -394,10 +394,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_MAX_ITERS = 15
 
 
-@query(
-    "dedup_cluster_resolve",
-    oracle=f"""
-    WITH RECURSIVE
+# dedup pairs -> connected components, as a reusable oracle CTE chain
+# (WITH RECURSIVE <chain> yields `reach`(node, lab)); shared by
+# dedup_cluster_resolve and curation_dedup_survivorship per the
+# build-SQL-from-named-parts rule
+_CLUSTER_CTES = f"""WITH RECURSIVE
     ws AS (
       SELECT doc_id,
              list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -434,6 +435,13 @@ _CLUSTER_MAX_ITERS = 15
       UNION
       SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
     )
+"""
+
+
+@query(
+    "dedup_cluster_resolve",
+    oracle=f"""
+    {_CLUSTER_CTES}
     SELECT node AS doc_id, MIN(lab) AS cluster_id, (MIN(lab) = node) AS keep
     FROM reach GROUP BY node
     """,

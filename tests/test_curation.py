@@ -260,3 +260,29 @@ def test_gopher_rules_keep_is_conjunction(spark):
     assert dropped == len(rows) if kept == 0 else kept > 0
     wc = {r["r_wordcount"] for r in rows}
     assert wc == {True, False}
+
+
+def test_survivorship_keeps_best_quality_member(spark):
+    """Survivor = argmax quality (tie: min doc_id) within each cluster,
+    and cluster membership agrees with dedup_cluster_resolve."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators.curation import curation_dedup_survivorship
+    from kinesis_s3_spark.operators.dedup import dedup_cluster_resolve
+    from kinesis_s3_spark.operators.text import text_quality
+
+    sf = "/root/testdata/sf0.001"
+    out = curation_dedup_survivorship(spark, sf).collect()
+    members: dict[int, list[int]] = {}
+    for r in dedup_cluster_resolve(spark, sf).collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    quality = {
+        r["doc_id"]: r["quality"] for r in text_quality(spark, sf).collect()
+    }
+    assert len(out) == len(members)
+    for r in out:
+        ms = members[r["cluster_id"]]
+        assert r["n_members"] == len(ms) and r["n_dropped"] == len(ms) - 1
+        best = min(ms, key=lambda d: (-quality[d], d))
+        assert r["kept_doc_id"] == best
+        assert r["quality"] == quality[best]
