@@ -152,13 +152,18 @@ def flag_regressions(
     timings: dict[str, float], baseline: dict[str, dict]
 ) -> dict[str, dict]:
     """Pure so tests can inject a slowdown: queries whose warm median
-    exceeds baseline median + max(2*spread, 25% of median)."""
+    exceeds baseline median + max(2*spread, 25% of median, 0.15 s).
+    The absolute floor is the local[32] scheduler-noise scale: without
+    it, sub-second queries carry tens-of-ms tolerances and the flag
+    set churns run to run on environment jitter (r6 observed two
+    consecutive suites flag 15 queries each with only 6 in common,
+    most within ~5 ms of their limit)."""
     flags: dict[str, dict] = {}
     for q, t in timings.items():
         b = baseline.get(q)
         if not b:
             continue
-        limit = b["median"] + max(2 * b["spread"], 0.25 * b["median"])
+        limit = b["median"] + max(2 * b["spread"], 0.25 * b["median"], 0.15)
         if t > limit:
             flags[q] = {
                 "sec": t,
