@@ -77,6 +77,7 @@ _GATE_FIRST = [
     "events_asof_nearest",
     "ann_matryoshka_recall",
     "curation_dedup_survivorship",
+    "sketch_kmv_intersection",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

@@ -125,6 +125,7 @@ HEADLINE = [
     "events_asof_nearest",
     "ann_matryoshka_recall",
     "curation_dedup_survivorship",
+    "sketch_kmv_intersection",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

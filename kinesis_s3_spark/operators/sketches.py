@@ -799,3 +799,110 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_3_sigma"),
         )
     )
+
+
+# --- KMV intersection / Jaccard ----------------------------------------------
+
+KMV_TYPE_A, KMV_TYPE_B = "view", "click"
+
+_KMV_INTER_SQL = f"""
+    WITH ranked AS ({_KMV_PER_TYPE_SQL}),
+    ka AS (SELECT u FROM ranked WHERE event_type = '{KMV_TYPE_A}' AND rk <= {KMV_K}),
+    kb AS (SELECT u FROM ranked WHERE event_type = '{KMV_TYPE_B}' AND rk <= {KMV_K}),
+    uni AS (
+      SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rk
+      FROM (SELECT u FROM ka UNION SELECT u FROM kb)
+    ),
+    bk AS (SELECT u FROM uni WHERE rk <= {KMV_K}),
+    kth AS (SELECT u AS kth_u FROM uni WHERE rk = {KMV_K}),
+    rho AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM bk
+      WHERE u IN (SELECT u FROM ka) AND u IN (SELECT u FROM kb)
+    ),
+    ex AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM (
+        SELECT user_id FROM events WHERE event_type = '{KMV_TYPE_A}' GROUP BY user_id
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = '{KMV_TYPE_B}' GROUP BY user_id
+      )
+    )
+    SELECT '{KMV_TYPE_A}' AS type_a, '{KMV_TYPE_B}' AS type_b,
+           ROUND(({KMV_K} - 1) / k.kth_u, 6) AS union_est,
+           ROUND(CAST(r.n_both AS DOUBLE) / {KMV_K}, 6) AS jaccard_est,
+           ROUND(CAST(r.n_both AS DOUBLE) / {KMV_K}
+                 * (({KMV_K} - 1) / k.kth_u), 6) AS inter_est,
+           e.exact_inter,
+           ROUND(ABS(CAST(r.n_both AS DOUBLE) / {KMV_K}
+                     * (({KMV_K} - 1) / k.kth_u) - e.exact_inter)
+                 / e.exact_inter, 6) AS rel_err_inter
+    FROM kth k, rho r, ex e
+"""
+
+
+@query("sketch_kmv_intersection", oracle=_KMV_INTER_SQL)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra beyond union (the theta-sketch operation set):
+    estimate |A ∩ B| and Jaccard between two event types' user sets
+    FROM THEIR SKETCHES ALONE — ρ = fraction of the union sketch's
+    bottom-k present in both per-type k-sets, intersection = ρ ×
+    union estimate (Beyer et al. 2007). The gate carries the exact
+    intersection and realized relative error, the same
+    estimate-plus-error harness as the rest of the sketch family.
+
+    Scale: everything after the per-type bottom-k (k·|types| rows) is
+    driver-trivial; the per-type sketches are the SAME ones
+    sketch_kmv_distinct maintains, so the marginal cost of an
+    intersection query on persisted sketches is zero corpus reads."""
+    events = load_table(spark, sf_dir, "events")
+    hashed = events.select(
+        "event_type", _kmv_u(F.col("user_id")).alias("u")
+    ).distinct()
+    win = Window.partitionBy("event_type").orderBy("u")
+    ranked = hashed.withColumn("rk", F.row_number().over(win))
+    ka = ranked.filter(
+        (F.col("event_type") == KMV_TYPE_A) & (F.col("rk") <= KMV_K)
+    ).select("u")
+    kb = ranked.filter(
+        (F.col("event_type") == KMV_TYPE_B) & (F.col("rk") <= KMV_K)
+    ).select("u")
+    uni = (
+        ka.unionByName(kb)
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy("u")))
+    )
+    bk = uni.filter(F.col("rk") <= KMV_K).select("u")
+    kth = uni.filter(F.col("rk") == KMV_K).select(F.col("u").alias("kth_u"))
+    n_both = (
+        bk.join(ka, "u", "left_semi")
+        .join(kb, "u", "left_semi")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    exact = (
+        events.filter(F.col("event_type") == KMV_TYPE_A)
+        .select("user_id")
+        .intersect(
+            events.filter(F.col("event_type") == KMV_TYPE_B).select("user_id")
+        )
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    union_est = F.lit(KMV_K - 1) / F.col("kth_u")
+    rho = F.col("n_both").cast("double") / KMV_K
+    inter_est = rho * union_est
+    return (
+        kth.crossJoin(n_both)
+        .crossJoin(exact)
+        .select(
+            F.lit(KMV_TYPE_A).alias("type_a"),
+            F.lit(KMV_TYPE_B).alias("type_b"),
+            F.round(union_est, 6).alias("union_est"),
+            F.round(rho, 6).alias("jaccard_est"),
+            F.round(inter_est, 6).alias("inter_est"),
+            "exact_inter",
+            F.round(
+                F.abs(inter_est - F.col("exact_inter")) / F.col("exact_inter"), 6
+            ).alias("rel_err_inter"),
+        )
+    )

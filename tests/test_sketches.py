@@ -244,3 +244,17 @@ def test_hll_estimate_within_bound(spark):
     row = sketch_hll_estimate(spark, "/root/testdata/sf0.01").collect()[0]
     assert row["within_3_sigma"]
     assert row["rel_err"] <= 3 * 1.04 / 8  # m=64 -> sigma = 13%
+
+
+def test_kmv_intersection_reasonable_and_consistent(spark):
+    """Jaccard/intersection from sketches alone: estimates live in
+    valid ranges, the identity inter = jaccard * union holds by
+    construction, and the realized error stays within the loose
+    k=256 band the estimator theory gives."""
+    from kinesis_s3_spark.operators.sketches import sketch_kmv_intersection
+
+    r = sketch_kmv_intersection(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0.0 <= r["jaccard_est"] <= 1.0
+    assert r["union_est"] > 0 and r["exact_inter"] > 0
+    assert abs(r["inter_est"] - r["jaccard_est"] * r["union_est"]) < 1e-3
+    assert r["rel_err_inter"] < 0.5  # loose sanity band, not the gate
