@@ -38,6 +38,8 @@ ALLOW_NESTED_LOOP = {
     "ann_multi_query_topk",  # broadcast 5-row query side
     "ann_mips_topk",  # broadcast 5-row query side (dot-product twin)
     "ann_matryoshka_recall",  # same broadcast query side, both eval arms
+    "sketch_hll_estimate",  # 1-row harmonic-sum x 1-row exact-count join
+    "sketch_kmv_intersection",  # 1-row kth x n_both x exact joins
     "ann_ivf_topk",  # broadcast 16-centroid side
     "ann_recall_ivf",
     "ann_recall_ivf_kmeans",  # same brute-force truth side as ann_recall_ivf
