@@ -149,25 +149,55 @@ def load_baseline() -> dict[str, dict]:
         return {}
 
 
+# Above this suite-wide ratio-to-baseline, the run is flagged as a
+# whole: a GLOBAL slowdown (session config, scan splitting — the r6
+# openCostInBytes incident) must not hide inside the normalizer below.
+DRIFT_ALERT = 1.35
+
+
+def suite_drift(timings: dict[str, float], baseline: dict[str, dict]) -> float:
+    """Median per-query ratio to baseline across the whole suite — the
+    run's environment factor. Two idle-box r6 full-suite runs came in
+    with near-uniform per-query ratios around 1.2x and 1.4x (15 and 31
+    flags, unrelated operators, no code change between them): shared-
+    host VM throughput variance, not plans. The median over 90+ queries
+    estimates that factor robustly (a handful of true regressions
+    cannot move it)."""
+    ratios = sorted(
+        t / baseline[q]["median"]
+        for q, t in timings.items()
+        if q in baseline and baseline[q]["median"] > 0
+    )
+    if not ratios:
+        return 1.0
+    return round(statistics.median(ratios), 4)
+
+
 def flag_regressions(
-    timings: dict[str, float], baseline: dict[str, dict]
+    timings: dict[str, float], baseline: dict[str, dict], drift: float = 1.0
 ) -> dict[str, dict]:
-    """Pure so tests can inject a slowdown: queries whose warm median
-    exceeds baseline median + max(2*spread, 25% of median, 0.15 s).
-    The absolute floor is the local[32] scheduler-noise scale: without
-    it, sub-second queries carry tens-of-ms tolerances and the flag
-    set churns run to run on environment jitter (r6 observed two
-    consecutive suites flag 15 queries each with only 6 in common,
-    most within ~5 ms of their limit)."""
+    """Pure so tests can inject a slowdown: queries whose DRIFT-
+    NORMALIZED warm median exceeds baseline median + max(2*spread,
+    25% of median, 0.15 s). The absolute floor is the local[32]
+    scheduler-noise scale: without it, sub-second queries carry
+    tens-of-ms tolerances and the flag set churns run to run on
+    environment jitter (r6 observed two consecutive suites flag 15
+    queries each with only 6 in common, most within ~5 ms of their
+    limit). A real plan regression is idiosyncratic — one query,
+    usually well over 2x — so it still fires after dividing out the
+    suite-level drift; a uniformly slow box fires the DRIFT_ALERT
+    instead (recorded in the artifact), never 31 per-query flags."""
+    norm = max(drift, 1.0)  # a fast box never excuses absolute slowness
     flags: dict[str, dict] = {}
     for q, t in timings.items():
         b = baseline.get(q)
         if not b:
             continue
         limit = b["median"] + max(2 * b["spread"], 0.25 * b["median"], 0.15)
-        if t > limit:
+        if t / norm > limit:
             flags[q] = {
                 "sec": t,
+                "drift_adj_sec": round(t / norm, 3),
                 "baseline_sec": b["median"],
                 "limit_sec": round(limit, 3),
             }
@@ -318,7 +348,9 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = round(max(samples) - min(samples), 3)
 
-    regressions = flag_regressions(timings, load_baseline())
+    baseline = load_baseline()
+    drift = suite_drift(timings, baseline)
+    regressions = flag_regressions(timings, baseline, drift)
 
     loader = loader_throughput(spark, sf_dir)
 
@@ -343,6 +375,8 @@ def main() -> None:
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "warm_spread_sec": spread,
                 "regressions_vs_baseline": regressions,
+                "suite_drift": drift,
+                "drift_alert": drift > DRIFT_ALERT,
                 "loader": loader,
                 "sf1_single_run_sec": sf1_times,
                 "sf1_errors": sf1_errors,
@@ -361,6 +395,7 @@ def main() -> None:
         "loader": loader,
         "n_regressions": len(regressions),
         "regressed": sorted(regressions),
+        "suite_drift": drift,
     }
     if sf1_times:
         # array aligned with the `queries` map's key order (HEADLINE

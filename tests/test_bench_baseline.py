@@ -31,3 +31,28 @@ def test_shipped_baseline_covers_headline():
     base = bench.load_baseline()
     assert base, "tools/bench_baseline.json must exist and parse"
     assert set(base) <= set(bench.HEADLINE)
+
+
+def test_uniform_drift_not_flagged_but_reported():
+    """A uniformly slow box (shared-host VM variance) reports suite
+    drift instead of flagging every query; an idiosyncratic regression
+    on the same box still fires after normalization."""
+    baseline = {f"q{i}": {"median": 1.0, "spread": 0.05} for i in range(20)}
+    uniform = {f"q{i}": 1.4 for i in range(20)}
+    drift = bench.suite_drift(uniform, baseline)
+    assert abs(drift - 1.4) < 1e-9
+    assert drift > bench.DRIFT_ALERT
+    assert bench.flag_regressions(uniform, baseline, drift) == {}
+    # same drifted box, one query truly regressed 3x
+    one_bad = dict(uniform, q7=3.0)
+    flagged = bench.flag_regressions(one_bad, baseline, bench.suite_drift(one_bad, baseline))
+    assert set(flagged) == {"q7"}
+
+
+def test_fast_box_never_loosens_limits():
+    baseline = {f"q{i}": {"median": 1.0, "spread": 0.05} for i in range(10)}
+    fast = {f"q{i}": 0.7 for i in range(10)}
+    fast["q3"] = 1.5  # above the absolute limit of 1.25
+    drift = bench.suite_drift(fast, baseline)
+    assert drift < 1.0
+    assert set(bench.flag_regressions(fast, baseline, drift)) == {"q3"}
