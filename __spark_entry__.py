@@ -78,6 +78,10 @@ _GATE_FIRST = [
     "ann_matryoshka_recall",
     "curation_dedup_survivorship",
     "sketch_kmv_intersection",
+    "join_interval_overlap",
+    "sketch_hll_sliding",
+    "etl_compaction_bins",
+    "diag_key_skew",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

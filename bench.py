@@ -126,6 +126,10 @@ HEADLINE = [
     "ann_matryoshka_recall",
     "curation_dedup_survivorship",
     "sketch_kmv_intersection",
+    "join_interval_overlap",
+    "sketch_hll_sliding",
+    "etl_compaction_bins",
+    "diag_key_skew",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -24,7 +24,7 @@ the pruning counts here are the design evidence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_s3_spark.operators.registry import query
@@ -165,5 +165,178 @@ def etl_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_files"),
             F.sum(hit.cast("int")).cast("long").alias("files_hit"),
+        )
+    )
+
+
+# --- compaction planning -------------------------------------------------------
+
+# Small-file compaction is the other recurring layout job at 100 TB
+# (Delta OPTIMIZE / Iceberg rewrite_data_files): given the FILE LISTING
+# (a metadata table — millions of rows even for petabyte lakes, never
+# the data itself), assign adjacent small files within each partition
+# to target-sized bins. Ordering by time before binning (instead of
+# first-fit-decreasing) preserves the existing clustering, so min/max
+# skipping (see the Z-order audit above) survives compaction.
+
+_COMPACT_FILES_PER_BIN = 4  # adaptive target: total/(n/4) -> ~4 files/bin
+
+
+@query(
+    "etl_compaction_bins",
+    oracle=f"""
+    WITH files AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(strlen(props) + strlen(event_type) + 24) AS BIGINT)
+               AS bytes
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    tgt AS (
+      SELECT CAST(CEIL(SUM(bytes) * {_COMPACT_FILES_PER_BIN}.0 / COUNT(*)) AS BIGINT)
+               AS target
+      FROM files
+    ),
+    binned AS (
+      SELECT event_type, day, bytes, target,
+             CAST(COALESCE(SUM(bytes) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // target AS BIGINT) AS bin
+      FROM files, tgt
+    )
+    SELECT event_type, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(day) AS first_day, MAX(day) AS last_day,
+           ROUND(CAST(SUM(bytes) AS DOUBLE) / ANY_VALUE(target), 6) AS fill_ratio
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def etl_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planner: pseudo-files (one per event_type x day,
+    sized by payload bytes) packed into target-sized bins by running
+    cumulative sum within partition, time order preserved.
+
+    bin = floor(cumsum-before / target) is the one-pass sorted-greedy
+    packing: a bin closes exactly when the running total crosses the
+    next multiple of target (an overflowing file spills into the next
+    bin's quota, so the CUMULATIVE reaches every boundary even when a
+    single bin's own bytes sit under target).
+    The whole plan is windows over the LISTING: one shuffle by
+    partition key + a 1-row target broadcast, independent of data
+    volume — compaction planning stays a metadata query at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    files = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.sum(
+                F.octet_length(F.col("props"))
+                + F.octet_length(F.col("event_type"))
+                + F.lit(24)
+            )
+            .cast("long")
+            .alias("bytes")
+        )
+    )
+    tgt = files.agg(
+        F.ceil(F.sum("bytes") * _COMPACT_FILES_PER_BIN / F.count("*"))
+        .cast("long")
+        .alias("target")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        files.crossJoin(F.broadcast(tgt))
+        .withColumn("cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0)))
+        .withColumn("bin", F.floor(F.col("cum_before") / F.col("target")).cast("long"))
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.round(F.sum("bytes").cast("double") / F.first("target"), 6).alias("fill_ratio"),
+    )
+
+
+# --- key-skew diagnostics ------------------------------------------------------
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rk,
+             user_id FROM c
+    ),
+    t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    )
+    SELECT t.n_rows, t.n_keys, t.max_cnt,
+           ROUND(CAST(t.max_cnt AS DOUBLE) / t.n_rows, 6) AS max_share,
+           CAST(CEIL(CAST(t.max_cnt AS DOUBLE) * t.n_keys / t.n_rows) AS BIGINT)
+             AS skew_multiplier,
+           ROUND(0 - SUM((CAST(cnt AS DOUBLE) / t.n_rows)
+                         * ln(CAST(cnt AS DOUBLE) / t.n_rows)), 6) AS entropy,
+           ROUND(SUM((2.0 * r.rk - t.n_keys - 1) * cnt)
+                 / (CAST(t.n_keys AS DOUBLE) * t.n_rows), 6) AS gini
+    FROM r, t
+    GROUP BY t.n_rows, t.n_keys, t.max_cnt
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew report over events.user_id — the detector
+    that DECIDES when the salted variants (agg_skew_salted,
+    join_skew_salted) are worth their extra shuffle: hottest-key share,
+    the skew multiplier (hottest key vs perfectly uniform — i.e. how
+    many salt buckets the hot key needs), Shannon entropy and the Gini
+    coefficient of the key histogram.
+
+    Plan: ONE aggregation over the data (per-key counts, map-side
+    combined); everything after runs on the |keys|-row histogram —
+    rank window + two scalar folds. At 100 TB the histogram is the
+    only shuffled artifact, and in practice you'd sample it; here it
+    is exact so the oracle can be exact too.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").cast("long").alias("cnt"))
+    r = c.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("cnt"), F.col("user_id")))
+    )
+    t = c.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_rows")
+    return (
+        r.crossJoin(F.broadcast(t))
+        .groupBy("n_rows", "n_keys", "max_cnt")
+        .agg(
+            F.round(F.first(F.col("max_cnt").cast("double") / F.col("n_rows")), 6).alias(
+                "max_share"
+            ),
+            F.ceil(
+                F.first(F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"))
+            )
+            .cast("long")
+            .alias("skew_multiplier"),
+            F.round(0 - F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(
+                F.sum((2.0 * F.col("rk") - F.col("n_keys") - 1) * F.col("cnt"))
+                / (F.first(F.col("n_keys").cast("double")) * F.first("n_rows")),
+                6,
+            ).alias("gini"),
         )
     )

@@ -906,3 +906,160 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_inter"),
         )
     )
+
+
+# --- HLL sliding-window merge --------------------------------------------------
+
+# The property that justifies sketches at 100 TB is MERGEABILITY: one
+# register shard per (day) partition, persisted at write time, and any
+# window over days answered later by pairwise-MAX folding shards —
+# never re-reading the raw data. This query materializes the per-day
+# shard table and reads off a 7-day sliding weekly-active-users
+# estimate per day, with the exact count and relative error beside it.
+
+_HLLS_WINDOW_DAYS = 7
+_HLLS_HASH_SQL = "('0x' || substr(md5('hlls|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+
+_HLLS_SQL = f"""
+    WITH h AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, {_HLLS_HASH_SQL} AS hv FROM events
+    ),
+    rk AS (
+      SELECT day, CAST(hv // {1 << _HLL_SUFFIX_BITS} AS BIGINT) AS bucket,
+             LEAST(CASE WHEN hv % {1 << _HLL_SUFFIX_BITS} = 0 THEN {_HLL_SUFFIX_BITS + 1}
+                        ELSE {_HLL_SUFFIX_BITS + 1}
+                             - length(bin(hv % {1 << _HLL_SUFFIX_BITS})) END,
+                   {_HLL_RANK_CAP}) AS rank
+      FROM h
+    ),
+    shard AS (SELECT day, bucket, MAX(rank) AS reg FROM rk GROUP BY day, bucket),
+    days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+    grid AS (
+      SELECT d.day, date_diff('day', TIMESTAMP '1970-01-01', d.day) AS epoch_day,
+             m.bucket, COALESCE(s.reg, 0) AS reg
+      FROM days d
+      CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket) m
+      LEFT JOIN shard s ON s.day = d.day AND s.bucket = m.bucket
+    ),
+    merged AS (
+      SELECT day, bucket,
+             MAX(reg) OVER (PARTITION BY bucket ORDER BY epoch_day
+                            RANGE BETWEEN {_HLLS_WINDOW_DAYS - 1} PRECEDING
+                                  AND CURRENT ROW) AS reg
+      FROM grid
+    ),
+    s AS (
+      SELECT day, SUM(power(2.0, 0 - reg)) AS harm,
+             CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      FROM merged GROUP BY day
+    ),
+    est AS (
+      SELECT day, n_zero,
+             CASE WHEN {HLL_ALPHA} * {HLL_M} * {HLL_M} / harm <= 2.5 * {HLL_M}
+                       AND n_zero > 0
+                  THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / n_zero)
+                  ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M} / harm END AS raw_est
+      FROM s
+    ),
+    ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    ex AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL {_HLLS_WINDOW_DAYS - 1} DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT e.day, ROUND(e.raw_est, 4) AS hll_wau, e.n_zero, x.exact_wau,
+           ROUND(ABS(e.raw_est - x.exact_wau) / x.exact_wau, 6) AS rel_err
+    FROM est e JOIN ex x ON e.day = x.day
+"""
+
+
+@query("sketch_hll_sliding", oracle=_HLLS_SQL)
+def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding weekly-active-users from per-day HLL register shards.
+
+    Per-day registers are the persisted artifact (|days| x m <= 64
+    rows/day after the map-side MAX combine); the 7-day read-off is a
+    RANGE-frame MAX per bucket over the dense day x bucket grid plus a
+    64-row fold per day — the raw events are touched exactly once no
+    matter how many windows are asked. The exact arm (for the gated
+    rel_err) re-counts distinct users per window and is the thing the
+    sketch REPLACES at scale: its shuffle grows with window x corpus,
+    the sketch's with |days| x m.
+
+    Determinism: same rank-cap-48 dyadic-exactness argument as
+    sketch_hll_registers; at this cardinality (tens of users/window)
+    the linear-counting branch is the one exercised.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hlls|"), F.col("user_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    suffix_mod = 1 << _HLL_SUFFIX_BITS
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hv = e.select(day, h.alias("hv")).distinct()
+    rank = F.least(
+        F.when(F.col("hv") % suffix_mod == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(
+            F.lit(_HLL_SUFFIX_BITS + 1) - F.length(F.bin(F.col("hv") % suffix_mod))
+        ),
+        F.lit(_HLL_RANK_CAP),
+    )
+    shard = (
+        hv.select(
+            "day", F.floor(F.col("hv") / suffix_mod).cast("long").alias("bucket"), rank.alias("rank")
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    days = e.select(day).distinct()
+    grid = (
+        days.select(
+            "day",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("timestamp")).cast("long").alias(
+                "epoch_day"
+            ),
+            F.explode(F.array([F.lit(i) for i in range(HLL_M)])).alias("bucket"),
+        )
+        .join(shard.withColumnRenamed("reg", "sreg"), ["day", "bucket"], "left")
+        .select(
+            "day", "epoch_day", "bucket", F.coalesce(F.col("sreg"), F.lit(0)).alias("reg")
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("epoch_day")
+        .rangeBetween(-(_HLLS_WINDOW_DAYS - 1), 0)
+    )
+    merged = grid.select("day", F.max("reg").over(w).alias("reg"))
+    s = merged.groupBy("day").agg(
+        F.sum(F.pow(F.lit(2.0), 0 - F.col("reg"))).alias("harm"),
+        F.sum((F.col("reg") == 0).cast("int")).cast("long").alias("n_zero"),
+    )
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("harm")
+    est_col = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("n_zero") > 0),
+        HLL_M * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw)
+    est = s.select("day", "n_zero", est_col.alias("raw_est"))
+    ud = e.select(day, "user_id").distinct()
+    ex = (
+        F.broadcast(days.withColumnRenamed("day", "d"))
+        .join(
+            ud,
+            (F.col("day") >= F.timestamp_add("DAY", F.lit(-(_HLLS_WINDOW_DAYS - 1)), F.col("d")))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_wau"))
+    )
+    return est.join(ex, est.day == ex.d).select(
+        "day",
+        F.round(F.col("raw_est"), 4).alias("hll_wau"),
+        "n_zero",
+        "exact_wau",
+        F.round(F.abs(F.col("raw_est") - F.col("exact_wau")) / F.col("exact_wau"), 6).alias(
+            "rel_err"
+        ),
+    )

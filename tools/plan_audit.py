@@ -70,6 +70,9 @@ ALLOW_NESTED_LOOP = {
     "sketch_quantile_histogram",  # 1-row min/max/n broadcast + <=64-row cum frame
     "etl_zorder_skipping",  # 1-row range broadcast + 3-row predicate-box frame
     "sketch_ams_f2",  # 1-row exact-arm broadcast crossed with the 1-row estimate
+    "sketch_hll_sliding",  # |days|-row dim broadcast range-joined for the exact arm
+    "etl_compaction_bins",  # 1-row target-size broadcast crossed onto the listing
+    "diag_key_skew",  # 1-row totals broadcast crossed onto the key histogram
 }
 
 
