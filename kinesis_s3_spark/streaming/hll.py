@@ -1,0 +1,108 @@
+"""Streaming HyperLogLog maintenance on the loader path: the register
+table (operators/sketches.py HLL family) is mergeable by pairwise MAX,
+so the stream maintains the distinct-payload cardinality incrementally
+— each micro-batch contributes its own per-bucket max ranks and the
+accumulator MAX-merges them into a persisted 64-register array.
+
+Same contract as streaming/cms.py (plugged into run_loader via the
+``accumulators`` hook), with one HLL-specific nicety: max-merge is
+IDEMPOTENT, so even a replayed batch could not corrupt the registers —
+the batch-id gate here only saves the redundant Spark job. This is the
+write-time half of the design sketch_hll_sliding reads from at query
+time: persist register shards as data lands, answer any later window
+or union by folding shards, never re-scanning payloads.
+
+Distributed part per batch: hash → (bucket, rank) projection +
+groupBy(bucket).max(rank), map-side combined, ≤ m = 64 rows ever
+collected. Driver state: 64 ints, like the k-means centroid pattern.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.operators.sketches import (
+    HLL_ALPHA,
+    HLL_M,
+    _HLL_RANK_CAP,
+    _HLL_SUFFIX_BITS,
+)
+
+STATE_FILE = "hll.json"
+
+
+def _bucket_rank(key):  # Column -> (bucket Column, rank Column)
+    """The shared 60-bit md5 split: top-6 bits route to a register,
+    the 54-bit suffix's leading-zero rank (capped at 48 for dyadic
+    exactness — see the sketches.py module note) is the candidate."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("hll|"), key)), 1, 15), 16, 10).cast("long")
+    suffix_mod = 1 << _HLL_SUFFIX_BITS
+    bucket = F.floor(h / suffix_mod).cast("long")
+    rank = F.least(
+        F.when(h % suffix_mod == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(
+            F.lit(_HLL_SUFFIX_BITS + 1) - F.length(F.bin(h % suffix_mod))
+        ),
+        F.lit(_HLL_RANK_CAP),
+    )
+    return bucket, rank
+
+
+class HLLAccumulator:
+    """Cross-batch distinct-payload HLL with persisted, replay-safe
+    state; ``update(batch_df, batch_id)`` folds the batch's values in,
+    ``estimate()`` reads the cardinality off the registers."""
+
+    def __init__(self, state_dir: str) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        self._path = os.path.join(state_dir, STATE_FILE)
+        self.registers = [0] * HLL_M
+        self.last_batch_id = -1
+        if os.path.exists(self._path):
+            with open(self._path) as fh:
+                data = json.load(fh)
+            self.last_batch_id = data["last_batch_id"]
+            self.registers = [int(r) for r in data["registers"]]
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id:
+            return  # replay: max-merge would be a no-op anyway
+        bucket, rank = _bucket_rank(F.col("value").cast("string"))
+        rows = (
+            batch_df.select(bucket.alias("bucket"), rank.alias("rank"))
+            .groupBy("bucket")
+            .agg(F.max("rank").alias("reg"))
+            .collect()  # <= m rows by construction
+        )
+        for row in rows:
+            b = int(row["bucket"])
+            self.registers[b] = max(self.registers[b], int(row["reg"]))
+        self.last_batch_id = batch_id
+        self._save()
+
+    def _save(self) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"last_batch_id": self.last_batch_id, "registers": self.registers}, fh
+            )
+        os.replace(tmp, self._path)
+
+    def merge(self, other: "HLLAccumulator") -> None:
+        """Pairwise-MAX union with another shard — the operation that
+        combines per-stream/per-day sketches at read time."""
+        self.registers = [max(a, b) for a, b in zip(self.registers, other.registers)]
+
+    def estimate(self) -> float:
+        """Flajolet et al. 2007 read-off, linear-counting branch for
+        the small range — same formulas as sketch_hll_estimate."""
+        harm = sum(2.0 ** -r for r in self.registers)
+        raw = HLL_ALPHA * HLL_M * HLL_M / harm
+        n_zero = sum(1 for r in self.registers if r == 0)
+        if raw <= 2.5 * HLL_M and n_zero > 0:
+            return HLL_M * math.log(HLL_M / n_zero)
+        return raw

@@ -340,3 +340,80 @@ def test_streaming_histogram_psi(spark, tmp_path):
     assert psi > 0.2, psi
     # symmetric-ish and order-sensitive sanity: reverse also alerts
     assert a.psi_against(b.bins) > 0.2
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    """The loader-maintained HLL registers, accumulated across
+    micro-batches AND a query stop/restart, must equal the one-pass
+    register table over the same payloads (merge-by-MAX), the replay
+    gate must hold, shard merge() must equal the union sketch, and the
+    estimate must track the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.streaming.hll import HLLAccumulator, _bucket_rank
+    from kinesis_s3_spark.streaming.loader import run_loader
+
+    inp = str(tmp_path / "in")
+
+    def write_input(rows):
+        spark.createDataFrame([(r,) for r in rows], "value string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {"s3": {"path": str(tmp_path / "out"), "compression": "GZIP"}},
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+
+    part1 = [f"user-{i}" for i in range(60)] + ["user-0", "user-1"]  # dups collapse
+    part2 = [f"user-{i}" for i in range(40, 120)]
+
+    write_input(part1)
+    acc = HLLAccumulator(str(tmp_path / "hll"))
+    q = run_loader(spark, cfg, query_name="hll-a", accumulators=(acc,))
+    q.processAllAvailable()
+    q.stop()
+
+    # restart: fresh instance reloads state, resumed query adds part2
+    write_input(part2)
+    acc2 = HLLAccumulator(str(tmp_path / "hll"))
+    assert acc2.registers == acc.registers
+    q2 = run_loader(spark, cfg, query_name="hll-b", accumulators=(acc2,))
+    q2.processAllAvailable()
+    q2.stop()
+
+    # batch truth: registers over all payloads in one pass
+    allrows = spark.createDataFrame(
+        [(r,) for r in part1 + part2], "value string"
+    )
+    bucket, rank = _bucket_rank(F.col("value").cast("string"))
+    batch = {
+        int(r["bucket"]): int(r["reg"])
+        for r in allrows.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("reg"))
+        .collect()
+    }
+    assert acc2.registers == [batch.get(b, 0) for b in range(len(acc2.registers))]
+
+    # replay gate: re-applying an applied id is a no-op
+    before = list(acc2.registers)
+    acc2.update(allrows, acc2.last_batch_id)
+    assert acc2.registers == before
+
+    # shard merge == union sketch: two fresh shards over the two parts
+    s1 = HLLAccumulator(str(tmp_path / "s1"))
+    s1.update(spark.createDataFrame([(r,) for r in part1], "value string"), 0)
+    s2 = HLLAccumulator(str(tmp_path / "s2"))
+    s2.update(spark.createDataFrame([(r,) for r in part2], "value string"), 0)
+    s1.merge(s2)
+    assert s1.registers == acc2.registers
+
+    # estimate tracks the exact cardinality (120 distinct payloads)
+    assert abs(acc2.estimate() - 120) / 120 < 0.35
