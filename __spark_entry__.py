@@ -82,6 +82,11 @@ _GATE_FIRST = [
     "sketch_hll_sliding",
     "etl_compaction_bins",
     "diag_key_skew",
+    "agg_bitmap_distinct",
+    "events_pit_features",
+    "events_streak_runs",
+    "fn_lambda_suite",
+    "events_markov_stationary",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

@@ -130,6 +130,11 @@ HEADLINE = [
     "sketch_hll_sliding",
     "etl_compaction_bins",
     "diag_key_skew",
+    "agg_bitmap_distinct",
+    "events_pit_features",
+    "events_streak_runs",
+    "fn_lambda_suite",
+    "events_markov_stationary",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

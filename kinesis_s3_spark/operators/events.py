@@ -1258,3 +1258,317 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.least(d_next, d_prev).cast("long"))
         .alias("dist_seconds"),
     )
+
+
+@query(
+    "events_pit_features",
+    oracle="""
+    WITH labels AS (
+      SELECT event_id, user_id, ts, value AS label_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts AS fts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    clicks AS (
+      SELECT user_id, ts AS fts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.label_value,
+           v.value AS last_view_value, c.value AS last_click_value
+    FROM labels l
+    ASOF LEFT JOIN views v ON l.user_id = v.user_id AND v.fts < l.ts
+    ASOF LEFT JOIN clicks c ON l.user_id = c.user_id AND c.fts < l.ts
+    """,
+)
+def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature backfill (the feature-store / training-
+    set-assembly primitive): for every 'purchase' label, the latest
+    'view' and 'click' values STRICTLY before the label's timestamp —
+    leakage-safe as-of semantics for N feature families at once.
+
+    The oracle spells it as two ASOF joins; the engine instead makes
+    ONE pass: union the label and feature rows, shuffle once by
+    user_id, and carry each family as a last(ignorenulls) running
+    column down the per-user timeline. At equal timestamps labels sort
+    BEFORE features (strict <), and features tie-break by event_id so
+    "latest" is total. Scale: adding a feature family adds a column,
+    not a join — N families still cost one shuffle + one sort, vs N
+    sort-merge joins for the ASOF formulation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    rows = e.filter(F.col("event_type").isin("purchase", "view", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_label"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("label_value"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("vf"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("cf"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_label").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rows.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "is_label",
+            "label_value",
+            F.last("vf", ignorenulls=True).over(w).alias("last_view_value"),
+            F.last("cf", ignorenulls=True).over(w).alias("last_click_value"),
+        )
+        .filter(F.col("is_label") == 1)
+        .select(
+            "event_id", "user_id", "ts", "label_value",
+            "last_view_value", "last_click_value",
+        )
+    )
+
+
+@query(
+    "events_streak_runs",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT user_id, event_type,
+             CASE WHEN prev_type IS NULL OR prev_type != event_type
+                  THEN 1 ELSE 0 END AS new_run,
+             ts, event_id
+      FROM o
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ),
+    lens AS (
+      SELECT user_id, event_type, run_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(len) AS BIGINT) AS max_len,
+           ROUND(CAST(SUM(len) AS DOUBLE) / COUNT(*), 6) AS avg_len
+    FROM lens GROUP BY event_type
+    """,
+)
+def events_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive same-type runs per user timeline
+    (the streak/retention primitive — sessionization's sibling keyed
+    on VALUE change instead of time gap). lag→change-flag→running-sum
+    assigns run ids in one window pass; runs then aggregate by type.
+
+    Scale: both window passes ride the SAME (user_id, ts) shuffle and
+    sort — Catalyst plans one exchange; run lengths aggregate map-side.
+    State per row is one lag value, never the history.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    lens = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return lens.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("len").cast("long").alias("max_len"),
+        F.round(F.sum("len").cast("double") / F.count("*"), 6).alias("avg_len"),
+    )
+
+
+_MARKOV_ROUNDS = 8
+
+_MARKOV_ROUND_SQL = """
+    r{k} AS (
+      SELECT t.event_type AS s,
+             COALESCE(m.pv, 0.0) AS pv
+      FROM types t LEFT JOIN (
+        SELECT p.j AS s,
+               ROUND(CAST(SUM(CAST(r.pv * p.p AS DECIMAL(38,12))) AS DOUBLE), 6) AS pv
+        FROM P p JOIN r{km1} r ON p.i = r.s
+        GROUP BY p.j
+      ) m ON m.s = t.event_type
+    )"""
+
+_MARKOV_SQL = (
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM o WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT i, CAST(SUM(cnt) AS BIGINT) AS t FROM pairs GROUP BY i),
+    P AS (
+      SELECT pairs.i, pairs.j, CAST(cnt AS DOUBLE) / t AS p
+      FROM pairs JOIN tot USING (i)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    r0 AS (
+      SELECT event_type AS s,
+             1.0 / (SELECT COUNT(*) FROM types) AS pv
+      FROM types
+    ),"""
+    + ",".join(
+        _MARKOV_ROUND_SQL.format(k=k, km1=k - 1) for k in range(1, _MARKOV_ROUNDS + 1)
+    )
+    + f"""
+    , nrm AS (
+      SELECT CAST(SUM(CAST(pv AS DECIMAL(38,12))) AS DOUBLE) AS z
+      FROM r{_MARKOV_ROUNDS}
+    )
+    SELECT a.s AS event_type,
+           ROUND(a.pv / nrm.z, 6) AS pi,
+           ROUND(ABS(a.pv - b.pv), 6) AS resid
+    FROM r{_MARKOV_ROUNDS} a
+    JOIN r{_MARKOV_ROUNDS - 1} b ON a.s = b.s
+    CROSS JOIN nrm
+    """
+)
+
+
+@query("events_markov_stationary", oracle=_MARKOV_SQL)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain: the
+    transition matrix P (events_transition_matrix's kernel) powered to
+    convergence by 8 rounds of pi' = pi.P from uniform
+    — the long-run share of attention each event type commands, with
+    the last-round residual as the convergence audit (PageRank's
+    special case on the |types|-node chain).
+
+    Scale split is the whole point: counting P is the data-sized job
+    (ONE lag-window pass + one (i,j) aggregate); P itself is BOUNDED
+    by construction (|types|^2 rows), so it is collected once — the
+    k-means-centroid / PQ-codebook pattern — and the 8 rounds become a
+    pure expression tree over those literals that Catalyst constant-
+    folds: zero additional jobs, vs ~0.5 s of fixed stage-scheduling
+    cost per round when each round was its own tiny shuffle.
+    Determinism: the arithmetic stays ENGINE-side (per-round decimal
+    dot products + ROUND 6, the emb_power_iteration recipe), never
+    Python floats.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = o.groupBy(
+        F.col("prev_type").alias("i"), F.col("event_type").alias("j")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    tot = pairs.groupBy("i").agg(F.sum("cnt").cast("long").alias("t"))
+    # P is the one driver-sized collect (bounded |types|^2 rows)
+    P = {
+        (r["i"], r["j"]): r["p"]
+        for r in pairs.join(tot, "i")
+        .select("i", "j", (F.col("cnt").cast("double") / F.col("t")).alias("p"))
+        .collect()
+    }
+    tnames = sorted({i for i, _ in P} | {j for _, j in P})
+    dec = "decimal(38,12)"
+    one = spark.range(1)
+
+    def _dot(pi_vals: dict, j: str):
+        terms = [
+            (F.lit(pi_vals[i]) * F.lit(P[(i, j)])).cast(dec)
+            for i in tnames
+            if (i, j) in P
+        ]
+        if not terms:
+            return F.lit(0.0)
+        acc = terms[0]
+        for term in terms[1:]:
+            # re-cast per step: Spark widens decimal + to (38,11)
+            acc = (acc + term).cast(dec)
+        return F.round(acc.cast("double"), 6)
+
+    def _dot_expr(pi_exprs: dict, j: str):
+        # same fold, but over COLUMN expressions (for the second round
+        # inside one job — tree grows |types|x per nested round, so
+        # only pairs are nested; full 8-round unrolling is 5^8 nodes)
+        terms = [
+            (pi_exprs[i] * F.lit(P[(i, j)])).cast(dec)
+            for i in tnames
+            if (i, j) in P
+        ]
+        if not terms:
+            return F.lit(0.0)
+        acc = terms[0]
+        for term in terms[1:]:
+            acc = (acc + term).cast(dec)
+        return F.round(acc.cast("double"), 6)
+
+    pi_vals = {t: 1.0 / len(tnames) for t in tnames}
+    prev_vals = pi_vals
+    assert _MARKOV_ROUNDS % 2 == 0
+    for _ in range(_MARKOV_ROUNDS // 2):
+        # engine-side rounds: one 1-row job computes TWO pi.P steps
+        # (the mid-round as a nested expression, its result re-derived
+        # for the resid audit); values re-enter as exact double
+        # literals — quality_lr's GD-step pattern. A lazily chained
+        # DataFrame version pays ~0.5 s/round in stage scheduling.
+        mid = {j: _dot(pi_vals, j) for j in tnames}
+        row = one.select(
+            *[mid[j].alias(f"m_{j}") for j in tnames],
+            *[_dot_expr(mid, j).alias(j) for j in tnames],
+        ).collect()[0]
+        prev_vals = {t: row[f"m_{t}"] for t in tnames}
+        pi_vals = {t: row[t] for t in tnames}
+    zcol = None
+    for t in tnames:
+        zt = F.lit(pi_vals[t]).cast(dec)
+        zcol = zt if zcol is None else (zcol + zt).cast(dec)
+    z_dbl = zcol.cast("double")
+    # the type frame is derived from the collected P keys (data-
+    # derived, sorted) — re-scanning events for distinct() would cost
+    # another job for the same set
+    types = spark.createDataFrame([(t,) for t in tnames], "event_type string")
+    pi_col = None
+    resid_col = None
+    for t in tnames:
+        c = F.col("event_type") == t
+        pr = F.round(F.lit(pi_vals[t]) / z_dbl, 6)
+        rs = F.round(F.abs(F.lit(pi_vals[t]) - F.lit(prev_vals[t])), 6)
+        pi_col = F.when(c, pr) if pi_col is None else pi_col.when(c, pr)
+        resid_col = F.when(c, rs) if resid_col is None else resid_col.when(c, rs)
+    return types.select("event_type", pi_col.alias("pi"), resid_col.alias("resid"))

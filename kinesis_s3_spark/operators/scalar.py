@@ -570,3 +570,56 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "fn_lambda_suite",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id,
+           CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_pos,
+           len(list_filter(e, x -> abs(x) > 2.0)) > 0 AS any_big,
+           len(list_filter(e, x -> abs(x) > 10.0)) = 0 AS all_small,
+           ROUND(CAST(list_sum(list_transform(e,
+                 x -> CAST(x * x AS DECIMAL(38,12)))) AS DOUBLE), 6) AS ss,
+           ROUND(CAST(list_sum(list_transform(list_sort(e, 'DESC')[1:3],
+                 x -> CAST(x AS DECIMAL(38,12)))) AS DOUBLE), 6) AS top3_sum,
+           ROUND(CAST(list_sum(list_transform(list_zip(e, list_reverse(e)),
+                 p -> CAST(p[1] * p[2] AS DECIMAL(38,12)))) AS DOUBLE), 6)
+             AS rev_dot
+    FROM v
+    """,
+)
+def fn_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order (lambda) function family over the embedding
+    arrays: filter, exists, forall, transform+aggregate folds, sorted
+    slice, and zip_with — the Spark-side collection algebra that keeps
+    per-element work inside codegen instead of exploding rows (an
+    explode would shuffle |rows| x dim; these never leave the row).
+    Cross-engine sums go through DECIMAL(38,12) per element (the
+    embeddings.py determinism rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    dec = "decimal(38,12)"
+    # Spark widens decimal + to (38,11); re-cast keeps the accumulator
+    # type stable (embeddings.py pattern — ROUND 6 absorbs the scale)
+    dec_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(0).cast(dec),
+        lambda acc, x: (acc + x.cast(dec)).cast(dec),
+    ).cast("double")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.exists(e, lambda x: F.abs(x) > 2.0).alias("any_big"),
+        F.forall(e, lambda x: F.abs(x) <= 10.0).alias("all_small"),
+        F.round(
+            dec_sum(F.transform(e, lambda x: x * x)),
+            6,
+        ).alias("ss"),
+        F.round(dec_sum(F.slice(F.sort_array(e, asc=False), 1, 3)), 6).alias("top3_sum"),
+        F.round(
+            dec_sum(F.zip_with(e, F.reverse(e), lambda x, y: x * y)),
+            6,
+        ).alias("rev_dot"),
+    )

@@ -194,3 +194,118 @@ def test_asof_nearest_picks_closer_side(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_pit_features_leakage_safe_vs_python_walk(spark):
+    """Point-in-time correctness, recomputed independently: for every
+    purchase label, each feature value must be the one carried by the
+    latest (ts, event_id)-ordered row of its family STRICTLY before
+    the label timestamp — never at or after it (leakage)."""
+    from kinesis_s3_spark.operators.events import events_pit_features
+    from kinesis_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = sorted(
+        load_table(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .collect(),
+        key=lambda r: (r["ts"], -(r["event_type"] == "purchase"), r["event_id"]),
+    )
+    expect = {}
+    state: dict[tuple[int, str], float] = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            expect[r["event_id"]] = (
+                state.get((r["user_id"], "view")),
+                state.get((r["user_id"], "click")),
+            )
+        if r["event_type"] in ("view", "click"):
+            state[(r["user_id"], r["event_type"])] = r["value"]
+    got = events_pit_features(spark, sf).collect()
+    assert len(got) == len(expect)
+    for row in got:
+        ev_view, ev_click = expect[row["event_id"]]
+        assert row["last_view_value"] == ev_view, row
+        assert row["last_click_value"] == ev_click, row
+
+
+def test_bitmap_distinct_is_exact(spark):
+    """The bitmap OR + popcount path is EXACT (not approximate), and
+    its word count is bounded by the id-space blocks."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators.relational import agg_bitmap_distinct
+    from kinesis_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = agg_bitmap_distinct(spark, sf).collect()
+    assert rows
+    max_id = load_table(spark, sf, "events").agg(F.max("user_id")).collect()[0][0]
+    for r in rows:
+        assert r["bitmap_distinct"] == r["exact_distinct"], r
+        assert r["n_words"] <= max_id // 32 + 1
+
+
+def test_streak_runs_conserve_events(spark):
+    """Sum of run lengths per type == event count per type, and a
+    direct python single-user recompute agrees at sf0.001."""
+    from kinesis_s3_spark.operators.events import events_streak_runs
+    from kinesis_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in events_streak_runs(spark, sf).collect()}
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    counts: dict[str, int] = {}
+    runs: dict[str, int] = {}
+    last_by_user: dict[int, str] = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        t = r["event_type"]
+        counts[t] = counts.get(t, 0) + 1
+        if last_by_user.get(r["user_id"]) != t:
+            runs[t] = runs.get(t, 0) + 1
+        last_by_user[r["user_id"]] = t
+    for t, row in got.items():
+        assert row["n_runs"] == runs[t], t
+        # conservation: n_runs * avg_len == total events of the type
+        assert abs(row["n_runs"] * row["avg_len"] - counts[t]) < 1e-3, t
+        assert 1 <= row["max_len"]
+
+
+def test_markov_stationary_is_fixed_point(spark):
+    """pi sums to 1, has converged (tiny residual), and matches a
+    numpy power-iteration recompute of the same transition matrix."""
+    from kinesis_s3_spark.operators.events import events_markov_stationary
+    from kinesis_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = events_markov_stationary(spark, sf).collect()
+    assert abs(sum(r["pi"] for r in rows) - 1.0) < 1e-4
+    assert all(r["resid"] <= 0.01 for r in rows)
+    assert all(r["pi"] > 0 for r in rows)
+    # independent recompute
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    import numpy as np
+
+    trans: dict[tuple[str, str], int] = {}
+    prev: dict[int, str] = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        p = prev.get(r["user_id"])
+        if p is not None:
+            trans[(p, r["event_type"])] = trans.get((p, r["event_type"]), 0) + 1
+        prev[r["user_id"]] = r["event_type"]
+    ts = sorted({i for i, _ in trans} | {j for _, j in trans})
+    idx = {t: k for k, t in enumerate(ts)}
+    P = np.zeros((len(ts), len(ts)))
+    for (i, j), c in trans.items():
+        P[idx[i], idx[j]] = c
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(len(ts), 1.0 / len(ts))
+    for _ in range(50):
+        pi = pi @ P
+    pi = pi / pi.sum()
+    for r in rows:
+        assert abs(r["pi"] - pi[idx[r["event_type"]]]) < 1e-3, r

@@ -147,3 +147,27 @@ class TestPiiMask:
         got = df.select(masked.alias("m")).collect()[0]["m"]
         assert got == "mail <EMAIL> call <PHONE> ip <IP> end"
         assert "@" not in got and "10.0" not in got
+
+
+def test_lambda_suite_matches_numpy(spark):
+    """Higher-order results cross-checked element-wise against numpy
+    over the raw arrays (filter/exists/forall counts exactly; decimal
+    folds within rounding)."""
+    import numpy as np
+
+    from kinesis_s3_spark.operators.scalar import fn_lambda_suite
+    from kinesis_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"]: r for r in fn_lambda_suite(spark, sf).collect()}
+    raw = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    assert len(got) == len(raw)
+    for r in raw:
+        e = np.array(r["embedding"], dtype=np.float64)
+        g = got[r["vec_id"]]
+        assert g["n_pos"] == int((e > 0).sum())
+        assert g["any_big"] == bool((np.abs(e) > 2.0).any())
+        assert g["all_small"] == bool((np.abs(e) <= 10.0).all())
+        assert abs(g["ss"] - float(e @ e)) < 1e-5
+        assert abs(g["top3_sum"] - float(np.sort(e)[::-1][:3].sum())) < 1e-5
+        assert abs(g["rev_dot"] - float(e @ e[::-1])) < 1e-5
