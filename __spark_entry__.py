@@ -87,6 +87,7 @@ _GATE_FIRST = [
     "events_streak_runs",
     "fn_lambda_suite",
     "events_markov_stationary",
+    "events_recursive_sessions",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

@@ -135,6 +135,7 @@ HEADLINE = [
     "events_streak_runs",
     "fn_lambda_suite",
     "events_markov_stationary",
+    "events_recursive_sessions",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median
@@ -236,7 +237,14 @@ def ensure_scale10(spark) -> bool:
 # same plan shape at a real threshold and IS measured). Skipping it at
 # sf1 only, explicitly recorded in the artifact, keeps the 10x pass
 # representative instead of anchor-dominated.
-SKIP_SF1 = {"dedup_embedding_lsh": "noise-floor oracle anchor, pair-bound at 10x"}
+SKIP_SF1 = {
+    "dedup_embedding_lsh": "noise-floor oracle anchor, pair-bound at 10x",
+    # recursion = one frontier shuffle join PER DEPTH level; 10x data
+    # makes sessions ~10x longer, so depth x frontier costs ~55 s while
+    # the window twin (events_sessionize) stays sub-second — the
+    # documented anti-recommendation, measured once in SCALE.md
+    "events_recursive_sessions": "depth-proportional recursion demo; window twin is the scale path",
+}
 
 
 def run_sf1(spark, queries) -> tuple[dict[str, float], dict[str, str]]:

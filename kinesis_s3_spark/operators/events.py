@@ -1572,3 +1572,69 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         pi_col = F.when(c, pr) if pi_col is None else pi_col.when(c, pr)
         resid_col = F.when(c, rs) if resid_col is None else resid_col.when(c, rs)
     return types.select("event_type", pi_col.alias("pi"), resid_col.alias("resid"))
+
+
+# One SQL text, two engines: everything in the recursive-session query
+# is dialect-shared (window row_number, self-join edges, WITH RECURSIVE
+# UNION ALL, interval comparison), so the oracle IS the Spark query.
+_RECURSIVE_SESSIONS_SQL = f"""
+    WITH RECURSIVE o AS (
+      SELECT user_id, ts, event_id,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(ts) OVER w AS prev_ts,
+             LEAD(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    e AS (
+      SELECT user_id, rn AS src, rn + 1 AS dst
+      FROM o
+      WHERE next_ts IS NOT NULL
+        AND next_ts - ts <= INTERVAL '{SESSION_GAP_SEC}' SECOND
+    ),
+    starts AS (
+      SELECT user_id, rn
+      FROM o
+      WHERE prev_ts IS NULL
+         OR ts - prev_ts > INTERVAL '{SESSION_GAP_SEC}' SECOND
+    ),
+    walk AS (
+      SELECT user_id, rn AS start_rn, rn AS cur_rn, 1 AS len FROM starts
+      UNION ALL
+      SELECT w.user_id, w.start_rn, e.dst, w.len + 1
+      FROM walk w JOIN e
+        ON e.user_id = w.user_id AND e.src = w.cur_rn
+    ),
+    sess AS (
+      SELECT user_id, start_rn, CAST(MAX(len) AS BIGINT) AS session_len
+      FROM walk GROUP BY user_id, start_rn
+    )
+    SELECT session_len, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM sess GROUP BY session_len
+"""
+
+@query("events_recursive_sessions", oracle=_RECURSIVE_SESSIONS_SQL)
+def events_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution by RECURSIVE traversal (Spark 4's
+    WITH RECURSIVE): anchor = events with no qualifying predecessor
+    (session starts), step = follow the next-event edge while the gap
+    stays inside the 1800 s budget — the BFS formulation of exactly
+    what events_sessionize computes with lag+cumsum windows (the
+    pytest gates the two distributions equal).
+
+    Scale: recursion costs one frontier shuffle join PER DEPTH level
+    (measured: 4.5 s at sf0.1 where max depth is 4; ~55 s at the 10x
+    corpus where sessions grow ~10x longer — while the window twin
+    stays sub-second). The recipe is therefore: windows when the
+    dependency is expressible as a frame (sessions are), recursion
+    only for genuine hierarchy/reachability (BOM explosion, referral
+    chains) where depth is small and no frame exists; value-monotone
+    propagation over cyclic graphs is the label-propagation loop
+    (dedup_cluster_resolve).
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # the walk materializes one row per (event, step) — sum of session
+    # lengths — which exceeds Spark's default 1M recursion-row cap at
+    # the 10x corpus; the cap is a runaway guard, not a plan knob
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    return spark.sql(_RECURSIVE_SESSIONS_SQL)

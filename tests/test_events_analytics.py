@@ -309,3 +309,23 @@ def test_markov_stationary_is_fixed_point(spark):
     pi = pi / pi.sum()
     for r in rows:
         assert abs(r["pi"] - pi[idx[r["event_type"]]]) < 1e-3, r
+
+
+def test_recursive_sessions_equal_window_sessionize(spark):
+    """The WITH RECURSIVE traversal and the lag+cumsum window plan are
+    two formulations of the SAME semantics: their session-length
+    distributions must be identical."""
+    from kinesis_s3_spark.operators.events import (
+        events_recursive_sessions,
+        events_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rec = {
+        r["session_len"]: r["n_sessions"]
+        for r in events_recursive_sessions(spark, sf).collect()
+    }
+    win = {}
+    for r in events_sessionize(spark, sf).collect():
+        win[r["n_events"]] = win.get(r["n_events"], 0) + 1
+    assert rec == win
