@@ -88,6 +88,7 @@ _GATE_FIRST = [
     "fn_lambda_suite",
     "events_markov_stationary",
     "events_recursive_sessions",
+    "join_lateral_topn",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

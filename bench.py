@@ -136,6 +136,7 @@ HEADLINE = [
     "fn_lambda_suite",
     "events_markov_stationary",
     "events_recursive_sessions",
+    "join_lateral_topn",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

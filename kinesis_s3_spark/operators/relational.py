@@ -872,3 +872,48 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm.join(ex, "event_type").select(
         "event_type", "bitmap_distinct", "exact_distinct", "n_words"
     )
+
+
+# Shared SQL text: LATERAL correlated derived tables parse and evaluate
+# identically in Spark 4 and DuckDB, so the oracle IS the query.
+_LATERAL_TOPN_SQL = """
+    WITH topc AS (
+      SELECT n_name, c_custkey, c_acctbal
+      FROM (
+        SELECT n_name, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+      ) WHERE rn = 1
+    )
+    SELECT t.n_name, t.c_custkey, t.c_acctbal,
+           l.o_orderkey, l.o_orderdate, l.o_totalprice
+    FROM topc t,
+    LATERAL (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_custkey = t.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC
+      LIMIT 3
+    ) l
+"""
+
+
+@query("join_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (per-row subquery with its own
+    ORDER BY + LIMIT): each nation's richest customer expanded to
+    their 3 most recent orders — the for-each-row-run-a-query SQL
+    surface the window formulation can't always substitute (arbitrary
+    correlated shapes, not just rankable frames).
+
+    Scale: Catalyst de-correlates the lateral into a DomainJoin and
+    plans the per-key LIMIT as a ranked window with WindowGroupLimit
+    pushdown — i.e. it EXECUTES as the scalable top-k-per-group plan
+    even though it is WRITTEN as a per-row loop; nothing nested-loops
+    over orders. Tie-breaks (acctbal/custkey, date/orderkey) make the
+    result total-order deterministic for the hash gate.
+    """
+    for t in ("customer", "nation", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPN_SQL)

@@ -115,3 +115,48 @@ def test_hll_sliding_error_and_window_containment(spark):
     # strictly exceeds any constituent day at this density
     warm = [r for r in rows if r["n_zero"] == 0 or True][_HLLS_WINDOW_DAYS - 1 :]
     assert all(r["exact_wau"] >= daily[r["day"]] for r in warm)
+
+
+def test_lateral_topn_equals_window_formulation(spark):
+    """The LATERAL per-row subquery must return exactly what the
+    explicit window top-k plan returns, and Catalyst must have
+    de-correlated it (no nested loop over orders in the plan)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from kinesis_s3_spark.operators.relational import join_lateral_topn
+
+    sf = "/root/testdata/sf0.01"
+    lat = join_lateral_topn(spark, sf)
+    plan = lat._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders")
+    topc = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("c_acctbal").desc(), F.col("c_custkey")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("n_name", "c_custkey", "c_acctbal")
+    )
+    win = (
+        topc.join(o, topc.c_custkey == o.o_custkey)
+        .withColumn(
+            "orn",
+            F.row_number().over(
+                Window.partitionBy("c_custkey").orderBy(
+                    F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+                )
+            ),
+        )
+        .filter("orn <= 3")
+        .select("n_name", "c_custkey", "c_acctbal", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    assert sorted(map(tuple, lat.collect())) == sorted(map(tuple, win.collect()))
