@@ -89,6 +89,7 @@ _GATE_FIRST = [
     "events_markov_stationary",
     "events_recursive_sessions",
     "join_lateral_topn",
+    "agg_weighted_median",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

@@ -137,6 +137,7 @@ HEADLINE = [
     "events_markov_stationary",
     "events_recursive_sessions",
     "join_lateral_topn",
+    "agg_weighted_median",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -917,3 +917,67 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "nation", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_TOPN_SQL)
+
+
+_WQ_SQL = """
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, v, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY v
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY flag) AS tw
+      FROM w
+    )
+    SELECT flag,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cw * 4 >= tw THEN v END) AS wq25,
+           MIN(CASE WHEN cw * 2 >= tw THEN v END) AS wq50,
+           MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS wq75
+    FROM c GROUP BY flag
+"""
+
+
+@query("agg_weighted_median", oracle=_WQ_SQL)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quantiles (p25/p50/p75 of price, weighted by quantity):
+    the statistic an importance-weighted corpus needs (e.g. DSIR
+    weights deciding the EFFECTIVE median document) — percentile_cont
+    has no weighted form in either engine, so it is spelled as the
+    cumulative-weight crossing: smallest v whose running weight (RANGE
+    frame, so ties accumulate together — deterministic without a
+    tie-break) reaches q of the total. Integer-only comparisons
+    (cw*4 >= tw*3), no float thresholds to drift.
+
+    Scale: one shuffle + sort per group key — identical cost to any
+    exact windowed quantile; at 100 TB the production path is the
+    mergeable histogram (sketch_quantile_histogram), with this as the
+    exact audit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.floor(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = w.select(
+        "flag",
+        "v",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(F.col("cw") * 4 >= F.col("tw"), F.col("v"))).alias("wq25"),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))).alias("wq50"),
+        F.min(F.when(F.col("cw") * 4 >= F.col("tw") * 3, F.col("v"))).alias("wq75"),
+    )

