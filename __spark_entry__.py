@@ -90,6 +90,7 @@ _GATE_FIRST = [
     "events_recursive_sessions",
     "join_lateral_topn",
     "agg_weighted_median",
+    "mm_image_dhash_dedup",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

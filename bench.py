@@ -138,6 +138,7 @@ HEADLINE = [
     "events_recursive_sessions",
     "join_lateral_topn",
     "agg_weighted_median",
+    "mm_image_dhash_dedup",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -460,3 +460,54 @@ def sample_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 out["height"].append(h)
                 out["frame_checksum"].append(frame_checksum(decoded[f]))
         yield pd.DataFrame(out)
+
+
+# --- perceptual hash (dHash) --------------------------------------------------
+
+# Difference hash over the DECODED pixels: nearest-neighbor resample to
+# a 9x8 integer-luma grid, one bit per horizontal neighbor comparison.
+# Integer-only arithmetic (grid indices (i*w)//9, luma 299R+587G+114B,
+# strict >) so the DuckDB oracle reproduces every bit from the
+# generator formulas — any codec defect flips hash bits.
+
+DHASH_COLS = 9  # sampled columns -> 8 comparisons per row
+DHASH_ROWS = 8
+
+
+def dhash_bits(pixels: np.ndarray) -> tuple[int, int]:
+    """(hi, lo) 32-bit halves of the 64-bit dHash; bit k = j*8+i set
+    when luma[gx(i+1), gy(j)] > luma[gx(i), gy(j)]."""
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.int64)
+    luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    gx = [(i * w) // DHASH_COLS for i in range(DHASH_COLS)]
+    gy = [(j * h) // DHASH_ROWS for j in range(DHASH_ROWS)]
+    hi = lo = 0
+    for j in range(DHASH_ROWS):
+        for i in range(DHASH_COLS - 1):
+            if luma[gy[j], gx[i + 1]] > luma[gy[j], gx[i]]:
+                k = j * 8 + i
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return hi, lo
+
+
+DHASH_SCHEMA = "doc_id bigint, width int, height int, hash_hi bigint, hash_lo bigint"
+
+
+def dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: synthesize a valid BMP per doc_id, REALLY
+    decode it (header/stride/row-order), then dHash the decoded
+    pixels. Per-image work bounded (<= 16x16 px grid reads)."""
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            data = encode_bmp(synth_pixels(int(doc_id)))
+            w, h, _, pixels = decode_bmp(data)
+            hi, lo = dhash_bits(pixels)
+            out.append((int(doc_id), w, h, hi, lo))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "width", "height", "hash_hi", "hash_lo"]
+        )

@@ -8,7 +8,7 @@ type, Arrow batching, metadata struct schema — is the real thing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_s3_spark.multimodal.codecs import (
@@ -22,6 +22,8 @@ from kinesis_s3_spark.multimodal.codecs import (
     decode_stored_audio_batches,
     decode_stored_image_batches,
     resize_image_batches,
+    DHASH_SCHEMA,
+    dhash_batches,
 )
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
@@ -386,3 +388,81 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return docs.mapInPandas(sample_video_batches, VIDEO_SAMPLE_SCHEMA)
+
+
+# dHash luma at generator pixel (x, y): integer-only so every one of
+# the 64 comparison bits is reproducible in SQL from the same formulas
+# the synthesizer uses (codecs.synth_pixels / codecs.dhash_bits).
+def _dhash_luma_sql(x: str, y: str) -> str:
+    return (
+        f"(299*((doc_id + ({x})*7 + ({y})*13) % 256)"
+        f" + 587*((doc_id*5 + ({x})*3 + ({y})) % 256)"
+        f" + 114*((doc_id*2 + ({x}) + ({y})*11) % 256))"
+    )
+
+
+_DHASH_ORACLE = f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+             CAST((doc_id * 3) % 16 + 1 AS BIGINT) AS h
+      FROM documents
+    ),
+    ji AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM dims),
+    jii AS (SELECT doc_id, w, h, j, unnest(range(0, 8)) AS i FROM ji),
+    bits AS (
+      SELECT doc_id, j, i,
+             CASE WHEN {_dhash_luma_sql("((i+1)*w)//9", "(j*h)//8")}
+                     > {_dhash_luma_sql("(i*w)//9", "(j*h)//8")}
+                  THEN 1 ELSE 0 END AS b
+      FROM jii
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN j*8 + i >= 32
+                           THEN b * (1::BIGINT << (j*8 + i - 32))
+                           ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN j*8 + i < 32
+                           THEN b * (1::BIGINT << (j*8 + i))
+                           ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    ),
+    wd AS (
+      SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+             hash_hi, hash_lo
+      FROM dims d JOIN hashes USING (doc_id)
+    )
+    SELECT doc_id, width, height, hash_hi, hash_lo,
+           CAST(COUNT(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT) AS n_dupes
+    FROM wd
+"""
+
+
+@query("mm_image_dhash_dedup", oracle=_DHASH_ORACLE)
+def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: dHash (9x8 nearest-neighbor luma grid,
+    one bit per horizontal comparison) computed on REALLY DECODED
+    pixels — synth → encode_bmp → decode_bmp → hash inside Arrow
+    mapInPandas — then near-dup group sizes by exact hash bucket. The
+    oracle re-derives all 64 bits arithmetically, so a codec defect
+    (stride, BGR, row order) flips hash bits and breaks the gate;
+    integer-only luma/grid (no float resize) keeps both engines
+    bit-identical.
+
+    Scale: the UDF is map-only (decode parallelism = scan partitions);
+    the ONLY shuffle is the 8-byte hash bucket — the same
+    candidates-by-equi-join shape as every dedup in the engine, here
+    for images. Hamming-radius>0 matching would add the simhash
+    band trick (dedup_simhash_pairs) over these same bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id").mapInPandas(dhash_batches, schema=DHASH_SCHEMA)
+    return hashed.select(
+        "doc_id",
+        "width",
+        "height",
+        "hash_hi",
+        "hash_lo",
+        F.count("*")
+        .over(Window.partitionBy("hash_hi", "hash_lo"))
+        .cast("long")
+        .alias("n_dupes"),
+    )

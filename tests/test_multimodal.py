@@ -300,3 +300,29 @@ def test_video_sampling_stride(spark):
         idxs = sorted(r["frame_idx"] for r in rs)
         n = rs[0]["n_frames"]
         assert idxs == list(range(0, n, 2)), (doc_id, idxs, n)
+
+
+def test_dhash_perceptual_properties():
+    """dHash is invariant under uniform brightness shift (neighbor
+    comparisons unchanged) and sensitive to horizontal flips; the
+    encode→decode round trip is hash-transparent."""
+    import numpy as np
+
+    from kinesis_s3_spark.multimodal.codecs import (
+        decode_bmp,
+        dhash_bits,
+        encode_bmp,
+        synth_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 200, size=(12, 14, 3)).astype(np.uint8)
+    base = dhash_bits(px)
+    assert base == dhash_bits(np.clip(px.astype(np.int16) + 30, 0, 255).astype(np.uint8))
+    flipped = px[:, ::-1, :]
+    assert base != dhash_bits(flipped)
+    # codec transparency: hashing decoded bytes == hashing the source
+    for doc_id in (3, 57, 123):
+        src = synth_pixels(doc_id)
+        _, _, _, dec = decode_bmp(encode_bmp(src))
+        assert dhash_bits(src) == dhash_bits(dec)
