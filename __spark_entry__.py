@@ -91,6 +91,7 @@ _GATE_FIRST = [
     "join_lateral_topn",
     "agg_weighted_median",
     "mm_image_dhash_dedup",
+    "mm_audio_fingerprint",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

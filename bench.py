@@ -139,6 +139,7 @@ HEADLINE = [
     "join_lateral_topn",
     "agg_weighted_median",
     "mm_image_dhash_dedup",
+    "mm_audio_fingerprint",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

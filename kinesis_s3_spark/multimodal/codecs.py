@@ -511,3 +511,44 @@ def dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             out, columns=["doc_id", "width", "height", "hash_hi", "hash_lo"]
         )
+
+
+# --- audio energy fingerprint -------------------------------------------------
+
+# The WAV analogue of dHash: mono-mix the DECODED PCM (unsigned sum
+# across channels), split into 16 equal frames ((i*16)//n indexing),
+# per-frame energy = sum of squared mono values, one bit per
+# consecutive-frame energy comparison → a 15-bit fingerprint. Integer
+# arithmetic end to end so the oracle re-derives every bit from the
+# synth_samples formulas.
+
+AFP_FRAMES = 16
+
+
+def audio_fingerprint(samples: np.ndarray) -> int:
+    """15-bit energy-profile fingerprint of an (n, ch) int16 clip."""
+    n = samples.shape[0]
+    mono = (samples.astype(np.int64) + 32768).sum(axis=1)
+    frame = (np.arange(n) * AFP_FRAMES) // n
+    energy = np.bincount(frame, weights=(mono * mono).astype(np.float64), minlength=AFP_FRAMES)
+    energy = energy.astype(np.int64)  # exact: values < 2^53
+    fp = 0
+    for k in range(AFP_FRAMES - 1):
+        if energy[k + 1] > energy[k]:
+            fp |= 1 << k
+    return fp
+
+
+AFP_SCHEMA = "doc_id bigint, n_samples int, channels int, fingerprint int"
+
+
+def audio_fingerprint_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: synthesize a valid WAV per doc_id, REALLY
+    chunk-walk it back, then fingerprint the decoded PCM."""
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            samples, rate = synth_samples(int(doc_id))
+            _, ch, n, dec = decode_wav(encode_wav(samples, rate))
+            out.append((int(doc_id), n, ch, audio_fingerprint(dec)))
+        yield pd.DataFrame(out, columns=["doc_id", "n_samples", "channels", "fingerprint"])

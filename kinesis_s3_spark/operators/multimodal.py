@@ -24,6 +24,8 @@ from kinesis_s3_spark.multimodal.codecs import (
     resize_image_batches,
     DHASH_SCHEMA,
     dhash_batches,
+    AFP_SCHEMA,
+    audio_fingerprint_batches,
 )
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
@@ -465,4 +467,60 @@ def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("hash_hi", "hash_lo"))
         .cast("long")
         .alias("n_dupes"),
+    )
+
+
+_AFP_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id, CAST(doc_id % 256 + 16 AS BIGINT) AS n,
+             CAST(doc_id % 2 + 1 AS BIGINT) AS ch
+      FROM documents
+    ),
+    si AS (SELECT doc_id, n, ch, unnest(range(0, n)) AS i FROM dims),
+    mono AS (
+      SELECT doc_id, n, ch, i, (i * 16) // n AS frame,
+             ((doc_id*31 + i*7) % 65536)
+             + CASE WHEN ch = 2 THEN (doc_id*31 + i*7 + 13) % 65536
+                    ELSE 0 END AS m
+      FROM si
+    ),
+    energy AS (
+      SELECT doc_id, frame, CAST(SUM(m * m) AS BIGINT) AS e
+      FROM mono GROUP BY doc_id, frame
+    ),
+    bits AS (
+      SELECT doc_id, frame,
+             CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY frame) > e
+                  THEN 1 ELSE 0 END AS b
+      FROM energy
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(b * (1::BIGINT << frame)) AS INT) AS fingerprint
+      FROM bits WHERE frame < 15 GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.n AS INT) AS n_samples, CAST(d.ch AS INT) AS channels,
+           f.fingerprint
+    FROM dims d JOIN fp f USING (doc_id)
+"""
+
+
+@query("mm_audio_fingerprint", oracle=_AFP_ORACLE)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio content fingerprint over REALLY DECODED PCM — the WAV
+    analogue of the dHash image hash: mono-mix, 16 equal frames,
+    per-frame integer energy, one bit per consecutive-frame energy
+    comparison (15 bits). The energy PROFILE survives uniform gain
+    applied in the unsigned domain (comparisons unchanged) while any
+    chunk-walk / interleave / endianness decode defect reorders
+    energies and flips bits — all 15 re-derived arithmetically by the
+    oracle from the synth_samples formulas.
+
+    Scale: map-only Arrow decode (parallelism = scan partitions); the
+    fingerprint is 2 bytes per clip — bucket join downstream exactly
+    like the image and text dedups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(
+        audio_fingerprint_batches, schema=AFP_SCHEMA
     )

@@ -326,3 +326,35 @@ def test_dhash_perceptual_properties():
         src = synth_pixels(doc_id)
         _, _, _, dec = decode_bmp(encode_bmp(src))
         assert dhash_bits(src) == dhash_bits(dec)
+
+
+def test_audio_fingerprint_properties():
+    """The energy-profile fingerprint depends only on per-frame
+    energy (exactly invariant to reordering WITHIN a frame), is
+    sensitive to time reversal, and the decode round trip is
+    transparent."""
+    import numpy as np
+
+    from kinesis_s3_spark.multimodal.codecs import (
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-20000, 20000, size=(200, 2)).astype(np.int16)
+    base = audio_fingerprint(s)
+    # frames are (i*16)//200 — shuffle rows inside each frame: the
+    # per-frame energy SUM is order-free, so the fingerprint is exact
+    shuf = s.copy()
+    frame = (np.arange(200) * 16) // 200
+    for k in range(16):
+        idx = np.where(frame == k)[0]
+        shuf[idx] = shuf[rng.permutation(idx)]
+    assert audio_fingerprint(shuf) == base
+    assert audio_fingerprint(s[::-1].copy()) != base
+    for doc_id in (5, 44, 200):
+        samples, rate = synth_samples(doc_id)
+        _, _, _, dec = decode_wav(encode_wav(samples, rate))
+        assert audio_fingerprint(samples) == audio_fingerprint(dec)
