@@ -92,6 +92,7 @@ _GATE_FIRST = [
     "agg_weighted_median",
     "mm_image_dhash_dedup",
     "mm_audio_fingerprint",
+    "fn_try_suite",
     # -- last driver-gated in round 2 --
     "agg_conditional_pivot",
     "agg_cube",

@@ -140,6 +140,7 @@ HEADLINE = [
     "agg_weighted_median",
     "mm_image_dhash_dedup",
     "mm_audio_fingerprint",
+    "fn_try_suite",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -623,3 +623,50 @@ def fn_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rev_dot"),
     )
+
+
+@query(
+    "fn_try_suite",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(props AS INT) AS props_int,
+           TRY_CAST(event_type AS DOUBLE) AS type_dbl,
+           TRY_CAST(substr(props, 1, 10) AS TIMESTAMP) AS props_ts,
+           CASE WHEN CAST(FLOOR(value) AS BIGINT) % 3 = 0 THEN NULL
+                ELSE value / (CAST(FLOOR(value) AS BIGINT) % 3) END AS safe_div,
+           string_split(event_type, 'i')[2] AS part2,
+           TRY_CAST(CASE WHEN event_id % 2 = 0
+                         THEN CAST(event_id AS VARCHAR)
+                         ELSE event_type END AS BIGINT) AS mixed_int
+    FROM events
+    """,
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe function family (the dirty-data surface): try_cast
+    over genuinely unparseable strings (JSON props as INT/TIMESTAMP,
+    words as DOUBLE), try_divide with a data-derived zero denominator,
+    try_element_at beyond a split's length (mixed hit/miss rows) — every failure is a NULL,
+    never a task abort. The oracle mirrors with TRY_CAST / CASE /
+    native out-of-range list indexing, so the gate pins that both
+    engines agree row-by-row on WHICH inputs are salvageable.
+
+    Scale: pure map-side projections inside codegen; the operational
+    point is that one malformed record cannot kill a 100 TB job —
+    the ANSI-mode-safe ingestion idiom.
+    """
+    e = load_table(spark, sf_dir, "events")
+    den = F.floor("value").cast("long") % 3
+    return e.select(
+        "event_id",
+        F.expr("try_cast(props AS INT)").alias("props_int"),
+        F.expr("try_cast(event_type AS DOUBLE)").alias("type_dbl"),
+        F.expr("try_cast(substr(props, 1, 10) AS TIMESTAMP)").alias("props_ts"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.try_divide(F.col("value"), den))
+        .alias("safe_div"),
+        F.try_element_at(F.split("event_type", "i"), F.lit(2)).alias("part2"),
+        F.expr(
+            "try_cast(CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS STRING) "
+            "ELSE event_type END AS BIGINT)"
+        ).alias("mixed_int"),
+    )

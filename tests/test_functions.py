@@ -171,3 +171,37 @@ def test_lambda_suite_matches_numpy(spark):
         assert abs(g["ss"] - float(e @ e)) < 1e-5
         assert abs(g["top3_sum"] - float(np.sort(e)[::-1][:3].sum())) < 1e-5
         assert abs(g["rev_dot"] - float(e @ e[::-1])) < 1e-5
+
+
+def test_try_suite_null_exactly_on_unsalvageable_rows(spark):
+    """try_* returns NULL exactly where the input is unsalvageable —
+    never an exception, never a NULL on a parseable row."""
+    from kinesis_s3_spark.operators.scalar import fn_try_suite
+    from kinesis_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_id"]: r for r in fn_try_suite(spark, sf).collect()}
+    raw = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    assert len(got) == len(raw)
+    for r in raw:
+        g = got[r["event_id"]]
+        # mixed_int parses exactly the even-id (numeric-string) rows
+        if r["event_id"] % 2 == 0:
+            assert g["mixed_int"] == r["event_id"]
+        else:
+            assert g["mixed_int"] is None
+        # safe division nulls exactly the zero-denominator rows
+        import math
+
+        den = int(math.floor(r["value"])) % 3
+        if den == 0:
+            assert g["safe_div"] is None
+        else:
+            assert g["safe_div"] is not None
+        # split index 2 hits iff 'i' splits the type into >= 2 parts
+        parts = r["event_type"].split("i")
+        assert (g["part2"] is not None) == (len(parts) >= 2)
+        # JSON props never parse as INT; words never as DOUBLE
+        assert g["props_int"] is None and g["type_dbl"] is None
