@@ -1504,7 +1504,10 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", (F.col("cnt").cast("double") / F.col("t")).alias("p"))
         .collect()
     }
-    tnames = sorted({i for i, _ in P} | {j for _, j in P})
+    # type universe from the TABLE, not from P's keys: a type that never
+    # appears adjacent to another event must still get 1/|types| initial
+    # mass (matches the oracle's SELECT DISTINCT event_type)
+    tnames = sorted(r["event_type"] for r in e.select("event_type").distinct().collect())
     dec = "decimal(38,12)"
     one = spark.range(1)
 
@@ -1559,9 +1562,6 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         zt = F.lit(pi_vals[t]).cast(dec)
         zcol = zt if zcol is None else (zcol + zt).cast(dec)
     z_dbl = zcol.cast("double")
-    # the type frame is derived from the collected P keys (data-
-    # derived, sorted) — re-scanning events for distinct() would cost
-    # another job for the same set
     types = spark.createDataFrame([(t,) for t in tnames], "event_type string")
     pi_col = None
     resid_col = None
@@ -1635,6 +1635,16 @@ def events_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     # the walk materializes one row per (event, step) — sum of session
     # lengths — which exceeds Spark's default 1M recursion-row cap at
-    # the 10x corpus; the cap is a runaway guard, not a plan knob
+    # the 10x corpus; the cap is a runaway guard, not a plan knob, so
+    # raise it only for this query and restore the session default after
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
-    return spark.sql(_RECURSIVE_SESSIONS_SQL)
+    try:
+        # conf is read at EXECUTION, not plan time — materialize the
+        # (session-sized, bounded) result while the raise is in effect
+        return spark.sql(_RECURSIVE_SESSIONS_SQL).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)

@@ -287,8 +287,9 @@ def etl_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(t.max_cnt AS DOUBLE) / t.n_rows, 6) AS max_share,
            CAST(CEIL(CAST(t.max_cnt AS DOUBLE) * t.n_keys / t.n_rows) AS BIGINT)
              AS skew_multiplier,
-           ROUND(0 - SUM((CAST(cnt AS DOUBLE) / t.n_rows)
-                         * ln(CAST(cnt AS DOUBLE) / t.n_rows)), 6) AS entropy,
+           ROUND(CAST(0 - SUM(CAST((CAST(cnt AS DOUBLE) / t.n_rows)
+                         * ln(CAST(cnt AS DOUBLE) / t.n_rows)
+                         AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy,
            ROUND(SUM((2.0 * r.rk - t.n_keys - 1) * cnt)
                  / (CAST(t.n_keys AS DOUBLE) * t.n_rows), 6) AS gini
     FROM r, t
@@ -332,7 +333,11 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("skew_multiplier"),
-            F.round(0 - F.sum(p * F.log(p)), 6).alias("entropy"),
+            # per-row DECIMAL(38,12) before the SUM: float addition is
+            # order-dependent; decimal addition is not (cross-engine rule)
+            F.round(
+                (0 - F.sum((p * F.log(p)).cast("decimal(38,12)"))).cast("double"), 6
+            ).alias("entropy"),
             F.round(
                 F.sum((2.0 * F.col("rk") - F.col("n_keys") - 1) * F.col("cnt"))
                 / (F.first(F.col("n_keys").cast("double")) * F.first("n_rows")),

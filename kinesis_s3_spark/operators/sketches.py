@@ -705,7 +705,7 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix_mod = 1 << _HLL_SUFFIX_BITS
     d = o.select(h.alias("hv")).distinct()
     br = d.select(
-        F.floor(F.col("hv") / suffix_mod).cast("long").alias("bucket"),
+        F.shiftrightunsigned(F.col("hv"), _HLL_SUFFIX_BITS).alias("bucket"),
         (F.col("hv") % suffix_mod).alias("suffix"),
     )
     rank = F.least(
@@ -1008,7 +1008,7 @@ def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shard = (
         hv.select(
-            "day", F.floor(F.col("hv") / suffix_mod).cast("long").alias("bucket"), rank.alias("rank")
+            "day", F.shiftrightunsigned(F.col("hv"), _HLL_SUFFIX_BITS).alias("bucket"), rank.alias("rank")
         )
         .groupBy("day", "bucket")
         .agg(F.max("rank").alias("reg"))

@@ -107,6 +107,11 @@ def _read_index_points(index_path: str) -> tuple[list[int], int]:
                 offsets.append(int(parts[1]))
     if total_bytes < 0:
         raise ValueError(f"{index_path}: missing 'total' line (truncated index?)")
+    if not offsets:
+        # a range starting at byte 0 would include the gzip member header,
+        # which the raw-deflate (-15) reader cannot parse — an index with
+        # no sync points is corrupt, not "one big split"
+        raise ValueError(f"{index_path}: no sync-point offsets (corrupt index?)")
     return offsets, total_bytes
 
 
@@ -116,7 +121,7 @@ def _split_ranges(
     """Chop ascending sync offsets into contiguous [start, end) ranges
     of >= ``target`` compressed bytes each (the last takes the tail)."""
     ranges: list[tuple[int, int]] = []
-    start = offsets[0] if offsets else 0
+    start = offsets[0]
     for off in offsets[1:]:
         if off - start >= target:
             ranges.append((start, off))

@@ -42,7 +42,7 @@ def _bucket_rank(key):  # Column -> (bucket Column, rank Column)
     exactness — see the sketches.py module note) is the candidate."""
     h = F.conv(F.substring(F.md5(F.concat(F.lit("hll|"), key)), 1, 15), 16, 10).cast("long")
     suffix_mod = 1 << _HLL_SUFFIX_BITS
-    bucket = F.floor(h / suffix_mod).cast("long")
+    bucket = F.shiftrightunsigned(h, _HLL_SUFFIX_BITS)
     rank = F.least(
         F.when(h % suffix_mod == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(
             F.lit(_HLL_SUFFIX_BITS + 1) - F.length(F.bin(h % suffix_mod))
