@@ -63,62 +63,27 @@ for _m in _OPTIONAL_MODULES:
 # or semantically changed THIS round (never driver-gated = infinitely
 # stale); after that, every registry query ordered by the round of its
 # most recent green driver-gate row (ascending, name-tiebreak), computed
-# from CORRECTNESS_r01..r05.json. The r6 artifact therefore refreshes
-# the ~50 stalest entries (band 0 + the round-2 band); subsequent
-# rounds keep rotating by regenerating this list from the artifacts.
+# from CORRECTNESS_r01..r06.json. The r7 artifact therefore refreshes
+# the ~50 stalest entries (band 0 = this round's ranking-primitive /
+# star-resolver changes, then the residue of the round-2 band and
+# the round-3 band); subsequent rounds keep rotating by
+# regenerating this list from the artifacts.
 _GATE_FIRST = [
-    # -- (0) added or semantically changed in round 6, never gated --
-    "etl_raw_roundtrip",
-    "ann_mips_topk",
-    "text_gopher_rules",
-    "etl_incremental_agg_merge",
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "events_asof_nearest",
-    "ann_matryoshka_recall",
+    # -- (0) added or semantically changed in round 7, never gated
+    #    since the change (ranking primitive / star resolver) --
+    "curation_epoch_shuffle_write",
+    "dedup_cluster_resolve",
+    "curation_dedup_pipeline",
     "curation_dedup_survivorship",
-    "sketch_kmv_intersection",
-    "join_interval_overlap",
-    "sketch_hll_sliding",
-    "etl_compaction_bins",
+    "curation_epoch_shuffle",
+    "curation_quality_lr_auc",
+    "curation_dsir_weights",
+    "sketch_quantile_histogram",
+    "window_rank_dense",
+    "text_zipf_fit",
+    "text_vocabulary",
     "diag_key_skew",
-    "agg_bitmap_distinct",
-    "events_pit_features",
-    "events_streak_runs",
-    "fn_lambda_suite",
-    "events_markov_stationary",
-    "events_recursive_sessions",
-    "join_lateral_topn",
-    "agg_weighted_median",
-    "mm_image_dhash_dedup",
-    "mm_audio_fingerprint",
-    "fn_try_suite",
     # -- last driver-gated in round 2 --
-    "agg_conditional_pivot",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_skew_salted",
-    "agg_stats_suite",
-    "etl_bad_row_envelope",
-    "etl_base_filename",
-    "etl_batch_meta",
-    "etl_buffer_flush",
-    "etl_dynamic_path",
-    "etl_row_type_partition",
-    "events_asof_join",
-    "events_hourly_active",
-    "events_sessionize",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "fn_array_suite",
-    "fn_conditional_suite",
-    "fn_date_suite",
-    "fn_json_suite",
-    "fn_math_suite",
     "fn_string_suite",
     "join_anti",
     "join_argmin_supplier",
@@ -140,7 +105,6 @@ _GATE_FIRST = [
     "subquery_scalar_agg",
     "window_lag_lead",
     "window_ntile_moving",
-    "window_rank_dense",
     "window_running_total",
     "window_topk_per_group",
     # -- last driver-gated in round 3 --
@@ -161,7 +125,6 @@ _GATE_FIRST = [
     "curation_source_report",
     "curation_stratified_sample",
     "curation_token_budget_sample",
-    "dedup_cluster_resolve",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_incremental",
@@ -199,7 +162,6 @@ _GATE_FIRST = [
     "ann_ivf_kmeans_topk",
     "ann_multi_query_topk",
     "ann_recall_ivf_kmeans",
-    "curation_dedup_pipeline",
     "dedup_contamination",
     "dedup_embedding_lsh_strict",
     "dedup_exact",
@@ -241,7 +203,6 @@ _GATE_FIRST = [
     "text_quality",
     "text_token_bpe_regex",
     "text_token_stats",
-    "text_vocabulary",
     "window_distribution",
     "window_range_frame",
     # -- last driver-gated in round 5 --
@@ -250,10 +211,7 @@ _GATE_FIRST = [
     "approx_distinct_users",
     "approx_percentile_price",
     "curation_ccnet_buckets",
-    "curation_dsir_weights",
-    "curation_epoch_shuffle",
     "curation_quality_lr",
-    "curation_quality_lr_auc",
     "curation_quality_lr_scores",
     "curation_split_leakage",
     "curation_weighted_sample",
@@ -289,12 +247,59 @@ _GATE_FIRST = [
     "sketch_heavy_hitters",
     "sketch_kmv_distinct",
     "sketch_kmv_union",
-    "sketch_quantile_histogram",
     "text_bm25_search",
     "text_bpe_fertility",
     "text_bpe_train_k64",
     "text_inverted_index",
-    "text_zipf_fit",
+    # -- last driver-gated in round 6 --
+    "agg_bitmap_distinct",
+    "agg_conditional_pivot",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_skew_salted",
+    "agg_stats_suite",
+    "agg_weighted_median",
+    "ann_matryoshka_recall",
+    "ann_mips_topk",
+    "etl_bad_row_envelope",
+    "etl_base_filename",
+    "etl_batch_meta",
+    "etl_buffer_flush",
+    "etl_compaction_bins",
+    "etl_dynamic_path",
+    "etl_incremental_agg_merge",
+    "etl_raw_roundtrip",
+    "etl_row_type_partition",
+    "events_asof_join",
+    "events_asof_nearest",
+    "events_hourly_active",
+    "events_markov_stationary",
+    "events_pit_features",
+    "events_recursive_sessions",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_streak_runs",
+    "events_tumbling_window",
+    "fn_array_suite",
+    "fn_conditional_suite",
+    "fn_date_suite",
+    "fn_json_suite",
+    "fn_lambda_suite",
+    "fn_math_suite",
+    "fn_try_suite",
+    "join_interval_overlap",
+    "join_lateral_topn",
+    "mm_audio_fingerprint",
+    "mm_image_dhash_dedup",
+    "sketch_hll_estimate",
+    "sketch_hll_registers",
+    "sketch_hll_sliding",
+    "sketch_kmv_intersection",
+    "text_gopher_rules",
 ]
 
 

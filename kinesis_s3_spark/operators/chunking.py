@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_s3_spark.functions.text import ngrams_from_tokens, tokens
+from kinesis_s3_spark.operators.ranking import global_row_number
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -83,20 +84,19 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary (word → id): explode + count +
-    global rank. Scale: the count reduces to |vocab| rows before the
-    single-partition rank — ranking never touches raw tokens; for
-    web-scale vocabularies, cut the tail with a HAVING before ranking.
-    """
+    global rank. Scale: the count reduces to |vocab| rows, and the id
+    assignment runs through the distributed two-phase primitive
+    (ranking.global_row_number) — a web-scale vocabulary never hits a
+    single-partition sort; cut the tail with a HAVING to shrink it
+    further."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.withColumn("toks", tokens(F.lower(F.col("text")))).select(
         F.explode("toks").alias("word")
     )
     f = w.groupBy("word").agg(F.count("*").alias("freq"))
-    return f.select(
-        "word",
-        "freq",
-        F.row_number().over(Window.orderBy(F.col("freq").desc(), "word")).cast("int").alias("vocab_id"),
-    )
+    return global_row_number(
+        f, F.lit(0) - F.col("freq"), [F.col("freq").desc(), F.col("word")], "vocab_id"
+    ).select("word", "freq", F.col("vocab_id").cast("int").alias("vocab_id"))
 
 
 # A tiny deterministic "benchmark set": 5-gram probes drawn from the

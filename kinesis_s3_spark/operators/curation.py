@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_s3_spark.functions.text import ngrams_from_tokens, token_count, tokens
+from kinesis_s3_spark.operators.ranking import _exclusive_offsets, global_row_number
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -771,7 +772,7 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     label propagation over the small edge list; one quality scan).
     Nothing quadratic, nothing driver-sized beyond the k-round loop."""
     from kinesis_s3_spark.functions.text import quality_signals
-    from kinesis_s3_spark.operators.dedup import minhash_pairs, resolve_labels
+    from kinesis_s3_spark.operators.dedup import minhash_pairs, resolve_labels_star
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hashed = docs.withColumn("h", F.md5("text"))
@@ -784,7 +785,7 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_pairs(surv1).select("d1", "d2").cache()
     pairs.count()
-    labels = resolve_labels(surv1.select("doc_id"), pairs)
+    labels = resolve_labels_star(surv1.select("doc_id"), pairs)
 
     s = quality_signals(F.col("text"))
     raw = (
@@ -1009,17 +1010,109 @@ def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     function), and (c) free of the pathological orderings a
     sorted-by-source corpus would feed the model.
 
-    Scale note: the global rank here is the gate-checkable SMALL-scale
-    form; at 100 TB the same md5 key is used as a SORT KEY for the
-    writer (like the Z-order key in etl_zorder_skipping) — ordering
-    without ever materializing a global row number, which consumers
-    read back in file order."""
+    Scale note: the rank is computed by the distributed two-phase
+    primitive (ranking.global_row_number — range-bucket by a numeric
+    md5 prefix, per-bucket parallel window, broadcast offsets), so no
+    single-partition sort of the corpus exists in the plan (the r6
+    verdict's last one-executor bottleneck class). The writer-side
+    twin (curation_epoch_shuffle_write) uses the same md5 key as a
+    SORT KEY for range-partitioned files — ordering consumers read
+    back in file order without materializing row numbers at all."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     out = docs
     for e in (1, 2):
-        w = Window.orderBy(F.md5(F.concat(F.lit(f"epoch{e}|"), F.col("doc_id"))), F.col("doc_id"))
-        out = out.withColumn(f"pos_epoch{e}", F.row_number().over(w).cast("long"))
+        k = F.md5(F.concat(F.lit(f"epoch{e}|"), F.col("doc_id")))
+        out = global_row_number(
+            out,
+            F.conv(F.substring(k, 1, 15), 16, 10).cast("long"),
+            [k, F.col("doc_id")],
+            f"pos_epoch{e}",
+        )
     return out
+
+
+_EPOCH_WRITE_SQL = """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5('epoch1|' || doc_id), doc_id)
+                AS BIGINT) AS pos_epoch1
+    FROM documents
+"""
+
+
+@query("curation_epoch_shuffle_write", oracle=_EPOCH_WRITE_SQL)
+def curation_epoch_shuffle_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER path curation_epoch_shuffle's docstring promises: an
+    epoch's training order materialized as FILE ORDER, never as a
+    global row number. ``repartitionByRange`` on the md5 epoch key
+    gives non-overlapping, name-ordered key ranges per output file;
+    ``sortWithinPartitions`` orders rows inside each file — so a data
+    loader that streams the files in name order reads the exact
+    deterministic permutation, with zero ranking work at write time
+    beyond one range-sample pass. This is how a 100 TB epoch actually
+    ships.
+
+    The gate closes the loop reader-side: every file is re-opened
+    with pyarrow inside an Arrow ``mapInPandas`` task (one task per
+    file — the same per-file parallelism a loader has) emitting each
+    row's PHYSICAL in-file index; concatenated position = file offset
+    (exclusive prefix of per-file counts, in file-name order) +
+    in-file index. The oracle recomputes the rank purely in SQL, so
+    equality proves concatenated-file-order == ranked-order down to
+    physical row placement."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as _pq  # noqa: F401  (import-checked on driver)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id", F.md5(F.concat(F.lit("epoch1|"), F.col("doc_id"))).alias("k")
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "kinesis_s3_spark_epoch_write",
+        spark.sparkContext.applicationId,
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    (
+        keyed.repartitionByRange(8, F.col("k"), F.col("doc_id"))
+        .sortWithinPartitions("k", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    files_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(files)], "file_idx int, path string"
+    ).repartition(max(len(files), 1))
+
+    def _read_physical(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for file_idx, path in zip(pdf["file_idx"], pdf["path"]):
+                t = pq.read_table(path, columns=["doc_id"]).to_pandas()
+                yield pd.DataFrame(
+                    {
+                        "doc_id": t["doc_id"],
+                        "file_idx": int(file_idx),
+                        "row_idx": range(len(t)),
+                    }
+                )
+
+    rows = files_df.mapInPandas(
+        _read_physical, "doc_id long, file_idx int, row_idx long"
+    )
+    counts = rows.groupBy("file_idx").agg(F.count("*").alias("__c"))
+    offs = _exclusive_offsets(counts, "file_idx", "__c", "__off")
+    return rows.join(F.broadcast(offs), "file_idx").select(
+        "doc_id",
+        (F.col("__off") + F.col("row_idx") + 1).cast("long").alias("pos_epoch1"),
+    )
 
 
 # --- full Gopher document-level rule suite -----------------------------------
@@ -1170,17 +1263,17 @@ def curation_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     score — and the oracle composes their SQL verbatim, so the gate
     checks the composition end to end.
 
-    Scale: label propagation as dedup_cluster_resolve (edge-list
-    bound); the survivor pick is one row_number window partitioned by
-    cluster (shuffle on cluster_id, skew bounded by the largest dup
-    cluster — near-cliques, shallow)."""
+    Scale: cluster resolution as dedup_cluster_resolve (edge-list
+    bound, O(log n) alternating-star rounds); the survivor pick is one
+    row_number window partitioned by cluster (shuffle on cluster_id,
+    skew bounded by the largest dup cluster — near-cliques, shallow)."""
     from kinesis_s3_spark.functions.text import quality_signals
-    from kinesis_s3_spark.operators.dedup import dedup_minhash_lsh, resolve_labels
+    from kinesis_s3_spark.operators.dedup import dedup_minhash_lsh, resolve_labels_star
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").cache()
     pairs.count()
-    labels = resolve_labels(docs.select("doc_id"), pairs)
+    labels = resolve_labels_star(docs.select("doc_id"), pairs)
     pairs.unpersist()
 
     s = quality_signals(F.col("text"))

@@ -391,7 +391,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # label propagation converges in O(component diameter) rounds; dup
 # clusters are shallow (near-clique), so this is a backstop, not a
 # working bound
-_CLUSTER_MAX_ITERS = 15
+_CLUSTER_MAX_ITERS = 40
 
 
 # dedup pairs -> connected components, as a reusable oracle CTE chain
@@ -452,16 +452,17 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (the minimum doc_id). Every doc gets (cluster_id, keep);
     singletons keep themselves.
 
-    Spark-first: iterative min-label propagation — labels start as each
-    node's own id; each round every node takes the min of its own and
-    its neighbors' labels; stop when a round changes nothing. Rounds ≈
-    cluster diameter (near-dup clusters are shallow near-cliques, so
-    2-3 rounds in practice; hard cap as a backstop). Each round is one
-    equi-join of the label frame against the (small) edge list + one
-    min-aggregate — no Python, no driver-side graph. The DuckDB oracle
-    computes the same component minima with a recursive CTE, so the
-    gate checks the WHOLE chain: shingles → signatures → bands →
-    verified pairs → components → keep flags."""
+    Spark-first: alternating large-star / small-star contraction
+    (Kiveris et al. 2014) — O(log n) rounds regardless of component
+    diameter, so a pathological near-dup CHAIN (template/boilerplate
+    corpora produce them) costs ~log₂(chain) joins, not chain joins.
+    Each round is two equi-join + groupBy passes over the edge list —
+    no Python, no driver-side graph. Min-label propagation
+    (resolve_labels) remains the diameter-rounds twin, pytest-gated
+    equal on random graphs. The DuckDB oracle computes the same
+    component minima with a recursive CTE, so the gate checks the
+    WHOLE chain: shingles → signatures → bands → verified pairs →
+    components → keep flags."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # cache + materialize the PAIR list, not the doubled edge union:
     # both union branches read the cached pairs, so the expensive
@@ -469,7 +470,7 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the whole signature pipeline)
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").cache()
     pairs.count()
-    labels = resolve_labels(docs, pairs)
+    labels = resolve_labels_star(docs, pairs)
     pairs.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -487,7 +488,6 @@ def resolve_labels(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     ).toDF("a", "b")
 
     labels = ids.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
-    cached = labels.cache()
     for it in range(_CLUSTER_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges["a"] == labels["node"])
@@ -495,7 +495,12 @@ def resolve_labels(ids: DataFrame, pairs: DataFrame) -> DataFrame:
             .agg(F.min("lab").alias("nlab"))
         )
         # carry the previous label through so the convergence check is
-        # a filter on the cached frame, not another join
+        # a filter on the materialized frame, not another join.
+        # localCheckpoint (not cache) per round: `labels` appears TWICE
+        # in each round's plan (probe side of the join AND carry-through
+        # side), so without lineage truncation the logical tree DOUBLES
+        # per round — exponential in iterations, OOMs the driver on any
+        # component whose diameter exceeds ~15 (seen on random graphs).
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
             .select(
@@ -503,7 +508,7 @@ def resolve_labels(ids: DataFrame, pairs: DataFrame) -> DataFrame:
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
                 F.col("lab").alias("prev"),
             )
-            .cache()
+            .localCheckpoint()
         )
         # round 1 always changes when any edge exists — skip its check
         changed = (
@@ -511,12 +516,116 @@ def resolve_labels(ids: DataFrame, pairs: DataFrame) -> DataFrame:
             if it == 0
             else new_labels.filter(F.col("lab") != F.col("prev")).limit(1).count()
         )
-        cached.unpersist()
-        cached = new_labels
         labels = new_labels.select("node", "lab")
         if changed == 0:
             break
+    else:
+        # silently returning under-propagated labels is a WRONG ANSWER
+        # (a component's min never reaches its far end) — the star
+        # resolver handles deep components in O(log n) rounds; this
+        # twin refuses instead of lying
+        raise RuntimeError(
+            f"min-label propagation did not converge in {_CLUSTER_MAX_ITERS} "
+            "rounds (component diameter exceeds the cap); use "
+            "resolve_labels_star for deep components"
+        )
     return labels
+
+
+# Alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+# Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+# Beyond", SoCC 2014) converges in O(log n) rounds regardless of
+# component DIAMETER, where min-label propagation above needs
+# diameter rounds (a 1000-node boilerplate chain = 1000 joins). The
+# cap is a runaway backstop far above the proven bound; the planted
+# path-graph test asserts <= 2*log2(n) rounds observed.
+_STAR_MAX_ROUNDS = 40
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star step: every node's strictly-LARGER neighbors are
+    re-pointed at the minimum of its closed neighborhood. Output edges
+    oriented (larger, smaller)."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star step: every node's SMALLER neighbors (and the
+    node itself) attach to the minimum of the smaller neighborhood."""
+    d = e.select(
+        F.greatest(F.col("a"), F.col("b")).alias("u"),
+        F.least(F.col("a"), F.col("b")).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u by construction
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def resolve_labels_star(
+    ids: DataFrame, pairs: DataFrame, rounds_out: list[int] | None = None
+) -> DataFrame:
+    """(node, lab) component minima via alternating large-star /
+    small-star — same contract as :func:`resolve_labels`, O(log n)
+    rounds instead of O(diameter). Each round is two equi-join +
+    groupBy passes over the (bounded, shrinking-toward-stars) edge
+    list; convergence = the edge set reaching its star fixed point
+    (stars are fixed points of both steps), checked exactly with a
+    count + exceptAll probe on the cached frames. ``rounds_out``, if
+    given, receives the number of rounds executed (for the
+    convergence-bound test)."""
+    # localCheckpoint per round (same pattern as graph_pagerank):
+    # without it the logical plan doubles every round — two joins +
+    # unions + distinct stacked ~log n deep blows the driver heap in
+    # Catalyst long before the executors see any data.
+    e = (
+        pairs.filter(F.col("d1") != F.col("d2"))
+        .select(
+            F.greatest(F.col("d1"), F.col("d2")).alias("a"),
+            F.least(F.col("d1"), F.col("d2")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = e.count()
+    rounds = 0
+    if n_prev > 0:
+        for rounds in range(1, _STAR_MAX_ROUNDS + 1):
+            new_e = _small_star(_large_star(e)).localCheckpoint()
+            n_new = new_e.count()
+            converged = n_new == n_prev and new_e.exceptAll(e).isEmpty()
+            e, n_prev = new_e, n_new
+            if converged:
+                break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    lab = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"), F.least(F.col("a"), F.col("mb")).alias("mlab"))
+    )
+    return (
+        ids.select(F.col("doc_id").alias("node"))
+        .join(lab, "node", "left")
+        .select("node", F.coalesce(F.col("mlab"), F.col("node")).alias("lab"))
+    )
 
 
 # --- embedding cosine ----------------------------------------------------------

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_s3_spark.functions.text import tokens
+from kinesis_s3_spark.operators.ranking import global_row_number
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -154,8 +155,7 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum("c").cast("double").alias("log_ratio"),
     )
-    win = Window.orderBy(F.col("log_ratio").desc(), F.col("doc_id"))
-    return (
+    base = (
         docs.select("doc_id")
         .join(scores, "doc_id", "left")
         .select(
@@ -163,5 +163,12 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             F.coalesce(F.col("log_ratio"), F.lit(0.0)).alias("log_ratio"),
         )
-        .withColumn("rank", F.row_number().over(win))
+    )
+    # descending leading key -> negated numeric bucket projection; the
+    # two-phase primitive keeps the resampling rank off one executor
+    return global_row_number(
+        base,
+        F.lit(0.0) - F.col("log_ratio"),
+        [F.col("log_ratio").desc(), F.col("doc_id")],
+        "rank",
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_s3_spark.operators.ranking import global_row_number
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -306,15 +307,15 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE aggregation over the data (per-key counts, map-side
     combined); everything after runs on the |keys|-row histogram —
-    rank window + two scalar folds. At 100 TB the histogram is the
-    only shuffled artifact, and in practice you'd sample it; here it
-    is exact so the oracle can be exact too.
+    and since |keys| is itself data-sized at 100 TB (billions of
+    user_ids), the Gini rank runs through the distributed two-phase
+    primitive (ranking.global_row_number), not a single-partition
+    window. In practice you'd sample the histogram; here it is exact
+    so the oracle can be exact too.
     """
     e = load_table(spark, sf_dir, "events")
     c = e.groupBy("user_id").agg(F.count("*").cast("long").alias("cnt"))
-    r = c.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.col("cnt"), F.col("user_id")))
-    )
+    r = global_row_number(c, F.col("cnt"), [F.col("cnt"), F.col("user_id")], "rk")
     t = c.agg(
         F.sum("cnt").cast("long").alias("n_rows"),
         F.count("*").cast("long").alias("n_keys"),

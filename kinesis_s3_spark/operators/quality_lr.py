@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_s3_spark.operators.ranking import global_prefix_sum
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -292,26 +293,30 @@ def curation_quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUC > 0.5 says the classifier orders the classes better than
     chance even when the 1-D mean separation looks tiny.
 
-    Scale: scoring is map-side; the rank is ONE global sort of
-    (score) — at 100 TB the standard move is rank-by-partition +
-    offset correction or quantile-bucketed AUC, both straightforward
-    refinements of this plan; the gate pins the exact statistic."""
+    Scale: scoring is map-side; the rank statistic needs only
+    PER-SCORE-GROUP aggregates — RANK() of a group's rows is
+    1 + (#rows with a strictly smaller score) and the midrank is
+    cnt_less + (cnt+1)/2, so the whole window collapses to a groupBy
+    on score plus a distributed exclusive prefix sum over the group
+    counts (ranking.global_prefix_sum: range-bucketed, broadcast
+    offsets — no single-partition sort anywhere in the plan). Every
+    midrank term is a half-integer, exact in doubles, so the sum is
+    order-independent and the gate stays bit-identical."""
     d = _features(spark, sf_dir)
     w = train_lr(d)[-1]
     z = F.lit(w[1]) + F.lit(w[2]) * F.col("f1") + F.lit(w[3]) * F.col("f2")
     scored = d.select("y", F.round(_sigmoid(z), 6).alias("score"))
-    rw = Window.orderBy("score")
-    ranked = scored.select(
-        "y",
-        (
-            F.rank().over(rw)
-            + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
-        ).alias("r"),
+    groups = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("n1g"),
     )
+    ranked = global_prefix_sum(
+        groups, F.col("score"), [F.col("score")], "cnt", "cnt_less"
+    ).withColumn("r", F.col("cnt_less") + (F.col("cnt") + 1) / 2.0)
     agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("r"))).cast("double").alias("rpos"),
-        F.sum("y").cast("long").alias("n1"),
-        F.sum(1 - F.col("y")).cast("long").alias("n0"),
+        F.sum(F.col("n1g") * F.col("r")).cast("double").alias("rpos"),
+        F.sum("n1g").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1g")).cast("long").alias("n0"),
     )
     return agg.select(
         "n1",

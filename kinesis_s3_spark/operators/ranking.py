@@ -16,14 +16,18 @@ plan, which is what this module provides:
    higher-order ``filter`` over the broadcast boundary array. Bucket
    ids are derived from DATA VALUES (not ``spark_partition_id``), so
    they are stable across AQE coalescing and plan reuse decisions.
-2. **count/offset** — per-bucket counts (map-side combined; the only
-   thing shuffled is ≤ ``nbuckets`` rows), exclusive prefix totals via
-   a triangular join on the ≤ ``nbuckets``-row frame (broadcast
-   nested-loop on a bounded frame — never data-sized).
+2. **count/offset** — per-bucket counts come from a SECOND window
+   (``count(*) OVER (PARTITION BY bucket)``) over the *identical*
+   bucket-hash partitioning as the rank window, so Catalyst's
+   ReuseExchange collapses the count branch and the rank branch onto
+   ONE shuffle of the data — upstream executes once, not three times.
+   The ≤ ``nbuckets``-row (bucket, count) frame (rows where local
+   row_number = 1) turns into exclusive prefix totals via a triangular
+   join (broadcast nested-loop on a bounded frame — never data-sized).
 3. **local rank + offset** — ``row_number`` over
    ``Window.partitionBy(bucket).orderBy(...)`` (a PARALLEL window:
    hash exchange on the bucket id), plus the bucket's broadcast
-   offset.
+   offset joined back on the bucket id.
 
 Correctness does not depend on the quality of the split points — skewed
 or duplicate boundaries only unbalance the buckets; ranks stay exact
@@ -107,14 +111,20 @@ def global_row_number(
     assigned numbers to be deterministic."""
     n = _nbuckets(df, nbuckets)
     d, bcol = _bucketize(df, bucket_key, out_col, n)
-    counts = d.groupBy(bcol).agg(F.count("*").alias("__c"))
-    off_col = f"__off_{out_col}"
-    offs = _exclusive_offsets(counts, bcol, "__c", off_col)
     lw = Window.partitionBy(bcol).orderBy(*order_cols)
+    # rank AND per-bucket count over the SAME partitioning: both
+    # windows (and the count branch below) hash-exchange on bcol with
+    # an identical child, so ReuseExchange shuffles the data once
+    wd = d.withColumn("__rn", F.row_number().over(lw)).withColumn(
+        "__bc", F.count("*").over(Window.partitionBy(bcol))
+    )
+    counts = wd.filter(F.col("__rn") == 1).select(bcol, "__bc")
+    off_col = f"__off_{out_col}"
+    offs = _exclusive_offsets(counts, bcol, "__bc", off_col)
     return (
-        d.join(F.broadcast(offs), bcol)
-        .withColumn(out_col, (F.row_number().over(lw) + F.col(off_col)).cast("long"))
-        .drop(bcol, off_col)
+        wd.join(F.broadcast(offs), bcol)
+        .withColumn(out_col, (F.col("__rn") + F.col(off_col)).cast("long"))
+        .drop(bcol, off_col, "__rn", "__bc")
     )
 
 
@@ -132,21 +142,30 @@ def global_prefix_sum(
     plan as :func:`global_row_number`."""
     n = _nbuckets(df, nbuckets)
     d, bcol = _bucketize(df, bucket_key, out_col, n)
-    sums = d.groupBy(bcol).agg(F.sum(value_col).cast("long").alias("__s"))
-    off_col = f"__off_{out_col}"
-    offs = _exclusive_offsets(sums, bcol, "__s", off_col)
     lw = (
         Window.partitionBy(bcol)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        d.join(F.broadcast(offs), bcol)
-        .withColumn(
-            out_col,
-            (F.coalesce(F.sum(value_col).over(lw), F.lit(0)) + F.col(off_col)).cast(
-                "long"
-            ),
+    # prefix sum, per-bucket total, and a marker row_number over the
+    # SAME bucket-hash partitioning — one reused shuffle (see
+    # global_row_number)
+    wd = (
+        d.withColumn(
+            "__ps", F.coalesce(F.sum(value_col).over(lw), F.lit(0)).cast("long")
         )
-        .drop(bcol, off_col)
+        .withColumn(
+            "__bs", F.sum(value_col).over(Window.partitionBy(bcol)).cast("long")
+        )
+        .withColumn(
+            "__rn", F.row_number().over(Window.partitionBy(bcol).orderBy(*order_cols))
+        )
+    )
+    sums = wd.filter(F.col("__rn") == 1).select(bcol, "__bs")
+    off_col = f"__off_{out_col}"
+    offs = _exclusive_offsets(sums, bcol, "__bs", off_col)
+    return (
+        wd.join(F.broadcast(offs), bcol)
+        .withColumn(out_col, (F.col("__ps") + F.col(off_col)).cast("long"))
+        .drop(bcol, off_col, "__ps", "__bs", "__rn")
     )

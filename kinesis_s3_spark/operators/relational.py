@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_s3_spark.operators._decimal import DAVG, DEC, DSUM, davg, dsum  # noqa: F401
+from kinesis_s3_spark.operators.ranking import global_row_number
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -559,19 +560,30 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank + dense_rank over an aggregated input.
 
-    Scale: the inner agg reduces cardinality to #suppliers before the
-    single-partition global rank — ranking never sees raw fact rows.
-    """
+    Scale: the inner agg reduces cardinality to #suppliers, and both
+    ranks run through the distributed two-phase primitive — RANK under
+    a total order (the tie-break makes it ROW_NUMBER) directly;
+    DENSE_RANK as the rank of each DISTINCT count value joined back on
+    the value — so no single-partition sort exists even for a
+    web-scale supplier dimension."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_suppkey").agg(
         dsum("l_extendedprice").alias("supp_rev"), F.count("*").alias("cnt")
     )
-    return agg.select(
-        "l_suppkey",
-        F.rank().over(Window.orderBy(F.col("supp_rev").desc(), F.col("l_suppkey"))).alias("rev_rank"),
-        F.dense_rank().over(Window.orderBy(F.col("cnt").desc())).alias("cnt_rank"),
-        "supp_rev",
-        "cnt",
+    ranked = global_row_number(
+        agg,
+        F.lit(0.0) - F.col("supp_rev"),
+        [F.col("supp_rev").desc(), F.col("l_suppkey")],
+        "rev_rank",
+    )
+    dense = global_row_number(
+        agg.select("cnt").distinct(),
+        F.lit(0) - F.col("cnt"),
+        [F.col("cnt").desc()],
+        "cnt_rank",
+    )
+    return ranked.join(dense, "cnt").select(
+        "l_suppkey", "rev_rank", "cnt_rank", "supp_rev", "cnt"
     )
 
 

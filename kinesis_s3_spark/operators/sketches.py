@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_s3_spark.operators.ranking import global_row_number
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -536,9 +537,10 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q", "r", "mn", "mx")
         .agg(F.min("bin").alias("bin"))
     )
-    ranked = ev.select(
-        "x", F.row_number().over(Window.orderBy("x")).alias("rk")
-    )
+    # exact-rank audit arm via the distributed two-phase primitive —
+    # the value at rank r is unique even under ties, so ordering by x
+    # alone is enough (ties occupy contiguous ranks with equal x)
+    ranked = global_row_number(ev, F.col("x"), [F.col("x")], "rk")
     est = F.col("mn") + (F.col("bin") + 1) * ((F.col("mx") - F.col("mn")) / QH_BINS)
     w = (F.col("mx") - F.col("mn")) / QH_BINS
     return pick.join(ranked, F.col("rk") == F.col("r")).select(

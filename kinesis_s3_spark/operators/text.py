@@ -23,6 +23,7 @@ from kinesis_s3_spark.functions.text import (
     token_count,
     tokens,
 )
+from kinesis_s3_spark.operators.ranking import global_row_number
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
 
@@ -525,17 +526,18 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on), with intercept and R². Deterministic ranks (freq desc, word
     tie-break); decimal-summed OLS moments.
 
-    Scale: one word count (map-side combined, |vocab| rows out), one
-    |vocab|-row rank window, a 1-row moment aggregate. For a
-    web-scale vocabulary the rank window is the only global step —
-    and it sorts |vocab| rows, not tokens."""
+    Scale: one word count (map-side combined, |vocab| rows out), then
+    the rank runs through the distributed two-phase primitive
+    (ranking.global_row_number) — a web-scale vocabulary never hits a
+    single-partition sort; the moments are a 1-row aggregate."""
     w = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     f = w.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
-    win = Window.orderBy(F.col("freq").desc(), "word")
-    r = f.select(
-        F.log(F.row_number().over(win).cast("double")).alias("x"),
+    r = global_row_number(
+        f, F.lit(0) - F.col("freq"), [F.col("freq").desc(), F.col("word")], "rk"
+    ).select(
+        F.log(F.col("rk").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
     dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731

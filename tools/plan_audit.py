@@ -8,7 +8,16 @@ at sf0.001 and its executed plan scanned for scale red flags:
 - exchange-count REGRESSIONS against the committed per-query budget
   (tools/plan_budgets.json): a silently lost broadcast or a new
   shuffle turns the audit red instead of passing unnoticed
-  (VERDICT r4 'what's wrong' #3).
+  (VERDICT r4 'what's wrong' #3),
+- SINGLE-PARTITION WINDOWS (VERDICT r6 'what's wrong' #1): a
+  Window whose child is Sort over Exchange SinglePartition moves the
+  window's whole input through ONE executor core. Top-k-filtered
+  windows are rescued by Spark itself (WindowGroupLimit /
+  TakeOrderedAndProject replace the exchange, so the pattern never
+  appears); unlimited global ranks must use
+  operators/ranking.global_row_number / global_prefix_sum instead.
+  Bounded-by-construction frames (<= nbuckets/k/|bins| rows) are
+  allowlisted per query with the justification at the definition.
 
 tests/test_plans.py asserts the named contracts per-run (including a
 lost-broadcast injection proving the budget check fires); this tool is
@@ -25,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -73,6 +83,14 @@ ALLOW_NESTED_LOOP = {
     "sketch_hll_sliding",  # |days|-row dim broadcast range-joined for the exact arm
     "etl_compaction_bins",  # 1-row target-size broadcast crossed onto the listing
     "diag_key_skew",  # 1-row totals broadcast crossed onto the key histogram
+    # ranking.global_row_number/_prefix_sum: <=nbuckets-row triangular
+    # offsets join + 1-row broadcast boundary array (ranking.py)
+    "curation_epoch_shuffle",
+    "curation_epoch_shuffle_write",
+    "curation_quality_lr_auc",
+    "window_rank_dense",
+    "text_zipf_fit",
+    "text_vocabulary",
 }
 
 
@@ -107,6 +125,23 @@ def load_budgets() -> dict[str, int]:
         return json.load(fh)
 
 
+# Window <- Sort <- Exchange SinglePartition: the data-sized global
+# sort shape. WindowGroupLimit'd / TakeOrderedAndProject'd windows do
+# not produce this adjacency, so they are never counted.
+_NODE = r"[\s:+|-]*(?:\*\(\d+\) )?"
+SP_WINDOW_RE = re.compile(
+    rf"\n{_NODE}Window [^\n]*\n{_NODE}Sort [^\n]*\n{_NODE}Exchange SinglePartition"
+)
+
+# bounded-by-construction unpartitioned windows (frame size is fixed by
+# sketch/bin parameters, never by the corpus) — justification at each
+# definition site
+ALLOW_SP_WINDOW = {
+    "sketch_quantile_histogram": 1,  # cum over <=64 histogram bins
+    "graph_pagerank": 1,  # final rank over the |event_types|-row node frame
+}
+
+
 def plan_counts(name: str, plan: str) -> dict:
     """Operator-occurrence counters over a physical plan string."""
     return {
@@ -116,6 +151,7 @@ def plan_counts(name: str, plan: str) -> dict:
         "row_python": plan.count("BatchEvalPython"),
         "arrow_python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
         "exchanges": plan.count("Exchange"),
+        "sp_window": len(SP_WINDOW_RE.findall(plan)),
     }
 
 
@@ -130,6 +166,8 @@ def flag_row(row: dict, budgets: dict[str, int]) -> list[str]:
         flags.append("ROW_PYTHON_UDF")
     if (row["cartesian"] or row["nested_loop"]) and name not in ALLOW_NESTED_LOOP:
         flags.append("UNEXPECTED_CARTESIAN")
+    if row.get("sp_window", 0) > ALLOW_SP_WINDOW.get(name, 0):
+        flags.append(f"SINGLE_PARTITION_WINDOW:{row['sp_window']}")
     budget = budgets.get(name)
     if budget is None:
         flags.append("NO_EXCHANGE_BUDGET")
