@@ -156,11 +156,15 @@ BASELINE_PATH = os.path.join(
 )
 
 
-def load_baseline() -> dict[str, dict]:
+def load_baseline(key: str = "queries") -> dict[str, dict]:
+    """``key='queries'`` → the sf0.1 warm-median baselines;
+    ``key='sf1'`` → the 10× single-run baselines (VERDICT r6 task #3:
+    the sf1 column is where scale regressions show — guard it with the
+    same drift-normalized ratchet as sf0.1)."""
     try:
         with open(BASELINE_PATH) as fh:
-            return json.load(fh)["queries"]
-    except (OSError, KeyError, json.JSONDecodeError):
+            return json.load(fh).get(key) or {}
+    except (OSError, json.JSONDecodeError):
         return {}
 
 
@@ -209,6 +213,33 @@ def flag_regressions(
         if not b:
             continue
         limit = b["median"] + max(2 * b["spread"], 0.25 * b["median"], 0.15)
+        if t / norm > limit:
+            flags[q] = {
+                "sec": t,
+                "drift_adj_sec": round(t / norm, 3),
+                "baseline_sec": b["median"],
+                "limit_sec": round(limit, 3),
+            }
+    return flags
+
+
+def flag_sf1_regressions(
+    times: dict[str, float], baseline: dict[str, dict], drift: float = 1.0
+) -> dict[str, dict]:
+    """sf1 ratchet (pure, injection-tested like flag_regressions).
+    sf1 timings are SINGLE runs on a warm JVM, so the tolerance is
+    wider than the sf0.1 warm-median ratchet: drift-normalized time
+    above baseline + max(35% of baseline, 1.0 s) flags. The drift
+    factor is the sf1 suite's own median ratio-to-baseline — a 10×
+    pass on a loaded box drifts as a whole, one regressed plan does
+    not."""
+    norm = max(drift, 1.0)
+    flags: dict[str, dict] = {}
+    for q, t in times.items():
+        b = baseline.get(q)
+        if not b:
+            continue
+        limit = b["median"] + max(0.35 * b["median"], 1.0)
         if t / norm > limit:
             flags[q] = {
                 "sec": t,
@@ -378,8 +409,13 @@ def main() -> None:
 
     sf1_times: dict[str, float] = {}
     sf1_errors: dict[str, str] = {}
+    sf1_drift = 1.0
+    sf1_regressions: dict[str, dict] = {}
     if ensure_scale10(spark):
         sf1_times, sf1_errors = run_sf1(spark, queries)
+        sf1_baseline = load_baseline("sf1")
+        sf1_drift = suite_drift(sf1_times, sf1_baseline)
+        sf1_regressions = flag_sf1_regressions(sf1_times, sf1_baseline, sf1_drift)
 
     total = round(sum(timings.values()), 3)
     # Full detail (cold timings, warm spread) goes to a sidecar file:
@@ -403,6 +439,8 @@ def main() -> None:
                 "sf1_single_run_sec": sf1_times,
                 "sf1_errors": sf1_errors,
                 "sf1_total_sec": round(sum(sf1_times.values()), 2),
+                "sf1_regressions_vs_baseline": sf1_regressions,
+                "sf1_suite_drift": sf1_drift,
             },
             fh,
             indent=1,
@@ -430,6 +468,9 @@ def main() -> None:
             "n_queries": len(sf1_times),
             "n_errors": len(sf1_errors) - n_skipped,
             "n_skipped": n_skipped,
+            "n_regressions": len(sf1_regressions),
+            "regressed": sorted(sf1_regressions),
+            "suite_drift": sf1_drift,
             "sec_by_query_in_queries_order": [
                 sf1_times.get(n) for n in HEADLINE if n in sf1_times or n in sf1_errors
             ],

@@ -56,3 +56,43 @@ def test_fast_box_never_loosens_limits():
     drift = bench.suite_drift(fast, baseline)
     assert drift < 1.0
     assert set(bench.flag_regressions(fast, baseline, drift)) == {"q3"}
+
+
+def test_sf1_injected_slowdown_is_flagged():
+    """The 10x ratchet (VERDICT r6 task #3): a single-run sf1 timing
+    above baseline + max(35%, 1.0 s) flags; within-tolerance does not."""
+    baseline = {"q": {"median": 10.0}}
+    # limit = 10 + max(3.5, 1.0) = 13.5
+    assert bench.flag_sf1_regressions({"q": 13.4}, baseline) == {}
+    flagged = bench.flag_sf1_regressions({"q": 13.9}, baseline)
+    assert flagged["q"]["limit_sec"] == 13.5 and flagged["q"]["sec"] == 13.9
+    # sub-second queries get the 1.0 s absolute floor
+    small = {"s": {"median": 0.4}}
+    assert bench.flag_sf1_regressions({"s": 1.3}, small) == {}
+    assert "s" in bench.flag_sf1_regressions({"s": 1.5}, small)
+
+
+def test_sf1_uniform_drift_normalized():
+    """A uniformly slow 10x pass (loaded box) is drift-normalized;
+    an idiosyncratic scale regression still fires."""
+    baseline = {f"q{i}": {"median": 10.0} for i in range(20)}
+    uniform = {f"q{i}": 13.0 for i in range(20)}
+    drift = bench.suite_drift(uniform, baseline)
+    assert bench.flag_sf1_regressions(uniform, baseline, drift) == {}
+    one_bad = dict(uniform, q7=40.0)
+    flagged = bench.flag_sf1_regressions(
+        one_bad, baseline, bench.suite_drift(one_bad, baseline)
+    )
+    assert set(flagged) == {"q7"}
+
+
+def test_shipped_sf1_baseline_covers_headline():
+    """The committed sf1 map only names current HEADLINE queries, and
+    covers everything the 10x pass measures (minus documented skips)."""
+    base = bench.load_baseline("sf1")
+    assert base, "tools/bench_baseline.json must carry an sf1 map"
+    assert set(base) <= set(bench.HEADLINE)
+    measured = set(bench.HEADLINE) - set(bench.SKIP_SF1)
+    # every measured query has a pin (new queries get pinned the round
+    # after they first run at sf1; allow a small lag)
+    assert len(measured - set(base)) <= 8, sorted(measured - set(base))
