@@ -106,3 +106,108 @@ class HLLAccumulator:
         if raw <= 2.5 * HLL_M and n_zero > 0:
             return HLL_M * math.log(HLL_M / n_zero)
         return raw
+
+
+DAILY_STATE_FILE = "hll_daily.json"
+
+
+class DailyHLLAccumulator:
+    """Per-day HLL register shards maintained on the loader path — the
+    WRITE half of the design ``sketch_hll_sliding`` reads at query
+    time (VERDICT r6 task #7): as payloads land, each micro-batch
+    folds (day, bucket, max-rank) rows into persisted per-day shards;
+    any later sliding window (WAU, MAU) is answered by MAX-merging
+    ≤ window × m integers — the raw stream is never re-scanned.
+
+    ``day_col`` / ``key_col`` are Column expressions over the loader's
+    ``value`` payload column (e.g. the reference's enriched-TSV
+    collector_tstamp at index 3, functions/timestamps.py). The hash
+    seed defaults to the batch query's ``hlls|`` so the shards are
+    BIT-IDENTICAL to ``sketch_hll_registers``-style shards over the
+    same (day, user) pairs — the integration gate in
+    tests/test_stateful.py checks equality, not similarity.
+
+    Distributed work per batch: one projection + groupBy(day, bucket)
+    max (map-side combined); ≤ |days-in-batch| × m rows collected.
+    Driver state: m ints per seen day, like the CMS/histogram
+    accumulators. Replay-safe: the batch-id gate skips re-applied
+    batches, and max-merge would be idempotent even without it."""
+
+    def __init__(self, state_dir: str, day_col, key_col, seed: str = "hlls|") -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        self._path = os.path.join(state_dir, DAILY_STATE_FILE)
+        self._day_col = day_col
+        self._key_col = key_col
+        self._seed = seed
+        self.shards: dict[str, list[int]] = {}
+        self.last_batch_id = -1
+        if os.path.exists(self._path):
+            with open(self._path) as fh:
+                data = json.load(fh)
+            self.last_batch_id = data["last_batch_id"]
+            self.shards = {d: [int(r) for r in regs] for d, regs in data["shards"].items()}
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id:
+            return
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(self._seed), self._key_col)), 1, 15), 16, 10
+        ).cast("long")
+        suffix_mod = 1 << _HLL_SUFFIX_BITS
+        rank = F.least(
+            F.when(h % suffix_mod == 0, F.lit(_HLL_SUFFIX_BITS + 1)).otherwise(
+                F.lit(_HLL_SUFFIX_BITS + 1) - F.length(F.bin(h % suffix_mod))
+            ),
+            F.lit(_HLL_RANK_CAP),
+        )
+        rows = (
+            batch_df.select(
+                F.date_format(self._day_col, "yyyy-MM-dd").alias("day"),
+                F.shiftrightunsigned(h, _HLL_SUFFIX_BITS).alias("bucket"),
+                rank.alias("rank"),
+            )
+            .where(F.col("day").isNotNull())
+            .groupBy("day", "bucket")
+            .agg(F.max("rank").alias("reg"))
+            .collect()  # <= |days-in-batch| * m rows by construction
+        )
+        for row in rows:
+            regs = self.shards.setdefault(row["day"], [0] * HLL_M)
+            b = int(row["bucket"])
+            regs[b] = max(regs[b], int(row["reg"]))
+        self.last_batch_id = batch_id
+        self._save()
+
+    def _save(self) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"last_batch_id": self.last_batch_id, "shards": self.shards}, fh)
+        os.replace(tmp, self._path)
+
+    def sliding_wau(self, window_days: int = 7) -> dict[str, float]:
+        """day → distinct-user estimate over [day-(w-1), day], by
+        MAX-merging the window's shards and applying the identical
+        Flajolet read-off as sketch_hll_sliding's register arm. Every
+        2^-r term is an exact power of two (r ≤ 48), so the 64-term
+        harmonic sum is EXACT in doubles in any order — the estimates
+        match the batch query's bit for bit, not approximately."""
+        import datetime
+
+        out: dict[str, float] = {}
+        days = sorted(self.shards)
+        for d in days:
+            end = datetime.date.fromisoformat(d)
+            regs = [0] * HLL_M
+            for k in range(window_days):
+                src = self.shards.get(str(end - datetime.timedelta(days=k)))
+                if src:
+                    regs = [max(a, b) for a, b in zip(regs, src)]
+            harm = sum(2.0 ** -r for r in regs)
+            raw = HLL_ALPHA * HLL_M * HLL_M / harm
+            n_zero = sum(1 for r in regs if r == 0)
+            if raw <= 2.5 * HLL_M and n_zero > 0:
+                est = HLL_M * math.log(HLL_M / n_zero)
+            else:
+                est = raw
+            out[d] = est
+        return out

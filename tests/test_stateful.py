@@ -417,3 +417,94 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
 
     # estimate tracks the exact cardinality (120 distinct payloads)
     assert abs(acc2.estimate() - 120) / 120 < 0.35
+
+
+def test_streaming_daily_hll_answers_sliding_wau(spark, tmp_path):
+    """End-to-end streaming WAU (VERDICT r6 task #7): the loader
+    replays a multi-day enriched-TSV tree, DailyHLLAccumulator
+    maintains per-day register shards across micro-batches AND a
+    stop/restart, and the shard-side sliding read-off must equal the
+    batch gate's (sketch_hll_sliding) register-arm estimate over the
+    SAME (day, user) pairs — bit-identical registers, estimates equal
+    to the batch query's rounded column. The reference's monitoring
+    surface (StatsD counts/latency) extended with a streaming
+    distinct-users metric that never re-scans the stream."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.functions.timestamps import collector_tstamp_col
+    from kinesis_s3_spark.operators.sketches import sketch_hll_sliding
+    from kinesis_s3_spark.streaming.hll import DailyHLLAccumulator
+    from kinesis_s3_spark.streaming.loader import run_loader
+    from kinesis_s3_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        F.concat_ws(
+            "\t",
+            F.lit("app"),
+            F.lit("web"),
+            F.lit("etl"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),  # idx 3: collector_tstamp
+            F.lit("dvce"),
+            F.lit("page_view"),
+            F.lit("eid"),
+            F.col("user_id").cast("string"),  # idx 7: the distinct key
+        ).alias("value"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    cutoff = ev.agg(F.date_add(F.min("day"), 14).alias("c")).collect()[0]["c"]
+    part1 = ev.filter(F.col("day") <= F.lit(cutoff)).select("value")
+    part2 = ev.filter(F.col("day") > F.lit(cutoff)).select("value")
+
+    inp = str(tmp_path / "in")
+    part1.coalesce(1).write.mode("append").parquet(inp)
+
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {"s3": {"path": str(tmp_path / "out"), "compression": "GZIP"}},
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+    day_col = F.date_trunc("day", collector_tstamp_col(F.col("value")))
+    key_col = F.get(F.split(F.col("value"), "\t"), 7)
+
+    acc = DailyHLLAccumulator(str(tmp_path / "hll"), day_col, key_col)
+    q = run_loader(spark, cfg, query_name="wau-a", accumulators=(acc,))
+    q.processAllAvailable()
+    q.stop()
+    assert len(acc.shards) == 15  # first 15 days landed
+
+    # restart: a fresh instance reloads the persisted shards, the
+    # resumed query adds the remaining days
+    part2.coalesce(1).write.mode("append").parquet(inp)
+    acc2 = DailyHLLAccumulator(str(tmp_path / "hll"), day_col, key_col)
+    assert acc2.shards == acc.shards and acc2.last_batch_id == acc.last_batch_id
+    q2 = run_loader(spark, cfg, query_name="wau-b", accumulators=(acc2,))
+    q2.processAllAvailable()
+    q2.stop()
+
+    batch = {
+        r["day"].strftime("%Y-%m-%d"): r["hll_wau"]
+        for r in sketch_hll_sliding(spark, sf).collect()
+    }
+    stream = acc2.sliding_wau(7)
+    assert set(stream) == set(batch)
+    for d, est in stream.items():
+        assert abs(round(est, 4) - batch[d]) <= 1e-4, (d, est, batch[d])
+
+    # replay gate: re-applying the last batch id is a no-op
+    before = {d: list(r) for d, r in acc2.shards.items()}
+    acc2.update(spark.createDataFrame([("x\tx\tx\t2099-01-01 00:00:00\tx\tx\tx\tu",)], "value string"), acc2.last_batch_id)
+    assert acc2.shards == before
+
+    # malformed lines (short TSV / bad tstamp) fall into the NULL-day
+    # branch and are dropped, not crashed on
+    acc2.update(
+        spark.createDataFrame([("garbage",), ("a\tb\tc\tnot-a-time\te\tf\tg\tu",)], "value string"),
+        acc2.last_batch_id + 1,
+    )
+    assert acc2.shards == before
