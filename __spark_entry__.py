@@ -72,6 +72,7 @@ _GATE_FIRST = [
     # -- (0) added or semantically changed in round 7, never gated
     #    since the change (ranking primitive / star resolver) --
     "curation_epoch_shuffle_write",
+    "curation_decontaminate",
     "dedup_cluster_resolve",
     "curation_dedup_pipeline",
     "curation_dedup_survivorship",

@@ -141,6 +141,10 @@ HEADLINE = [
     "mm_image_dhash_dedup",
     "mm_audio_fingerprint",
     "fn_try_suite",
+    "curation_epoch_shuffle_write",
+    "curation_decontaminate",
+    "window_rank_dense",
+    "text_vocabulary",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -1107,8 +1107,14 @@ def curation_epoch_shuffle_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = files_df.mapInPandas(
         _read_physical, "doc_id long, file_idx int, row_idx long"
     )
-    counts = rows.groupBy("file_idx").agg(F.count("*").alias("__c"))
-    offs = _exclusive_offsets(counts, "file_idx", "__c", "__off")
+    # per-file counts come from the parquet FOOTERS (metadata-only, on
+    # the driver over a bounded file listing) — not a second full
+    # Python read of every file through the counts branch
+    meta_counts = spark.createDataFrame(
+        [(i, _pq.ParquetFile(p).metadata.num_rows) for i, p in enumerate(files)],
+        "file_idx int, __c long",
+    )
+    offs = _exclusive_offsets(meta_counts, "file_idx", "__c", "__off")
     return rows.join(F.broadcast(offs), "file_idx").select(
         "doc_id",
         (F.col("__off") + F.col("row_idx") + 1).cast("long").alias("pos_epoch1"),
@@ -1359,3 +1365,100 @@ _SURVIVOR_SQL = f"""
 from kinesis_s3_spark.operators.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["curation_dedup_survivorship"] = _SURVIVOR_SQL
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+_DECON_N = 5  # gram width; the GPT-3 appendix-C pass uses 13 on web text —
+#             5 keeps the signal meaningful on this corpus's short docs
+_DECON_MIN_HITS = 3  # flag threshold: distinct grams shared with eval
+_DECON_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               AS bucket,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, bucket,
+             list_distinct([array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                            for i in range(1, greatest(len(t) - {_DECON_N - 2}, 1))]) AS gs
+      FROM toks
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE bucket >= 90
+    ),
+    train AS (
+      SELECT doc_id, unnest(gs) AS g, len(gs) AS n_grams
+      FROM grams WHERE bucket < 80
+    ),
+    hits AS (
+      SELECT t.doc_id, ANY_VALUE(t.n_grams) AS n_grams,
+             COUNT(e.g) AS n_hit_grams
+      FROM train t LEFT JOIN eval_grams e ON t.g = e.g
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit_grams AS BIGINT) AS n_hit_grams,
+           ROUND(CAST(n_hit_grams AS DOUBLE) / n_grams, 6) AS hit_ratio,
+           CAST(n_hit_grams >= {_DECON_MIN_HITS} AS BOOLEAN) AS contaminated
+    FROM hits
+"""
+
+
+@query("curation_decontaminate", oracle=_DECON_SQL)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Gopher §A2 style):
+    flag TRAIN-split documents sharing >= 3 distinct word 5-grams with
+    the TEST split's gram universe — composing the registered hash
+    split (curation_hash_split) with n-gram overlap, so 'the eval set'
+    is itself deterministic and oracle-checkable.
+
+    Scale: the eval side of a decontamination pass is benchmarks —
+    thousands of docs, a gram universe that fits in one broadcast —
+    while the train side is the 100 TB corpus. The plan is exactly
+    that shape: distinct eval grams (bounded) BROADCAST to an equi-join
+    against the exploded train grams (linear scan, map-side combinable
+    count per doc), one groupBy(doc_id). No shuffle ever carries the
+    corpus text, only (doc_id, gram-hit) pairs. At real scale the gram
+    strings would be 64-bit hashes; kept as strings here so the DuckDB
+    oracle can match them exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    grams = (
+        docs.withColumn("t", tokens(F.lower(F.col("text"))))
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.array_distinct(ngrams_from_tokens(F.col("t"), _DECON_N)).alias("gs"),
+        )
+    )
+    eval_grams = (
+        grams.filter(F.col("bucket") >= 90)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = grams.filter(F.col("bucket") < 80).select(
+        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("g")
+    )
+    hits = (
+        train.join(F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count("hit").alias("n_hit_grams"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        F.round(F.col("n_hit_grams").cast("double") / F.col("n_grams"), 6).alias("hit_ratio"),
+        (F.col("n_hit_grams") >= _DECON_MIN_HITS).alias("contaminated"),
+    )
