@@ -1474,3 +1474,177 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("q_id").agg(
         F.round(F.count("a_vec").cast("double") / TOP_K, 4).alias("recall_at_10")
     )
+
+
+# --- bucketed MIPS: norm augmentation -> IVF ----------------------------------
+
+# Bachrach et al. 2014 ("Speeding up the Xbox recommender..."): append
+# sqrt(M^2 - |x|^2) to every ITEM and 0 to every QUERY — inner product
+# order under the original vectors equals cosine order under the
+# augmented ones, so ANY cosine index (here: the seeded-IVF shape)
+# serves MIPS. ann_mips_topk's exact scan is the recall oracle.
+
+_MIPS_IVF_SQL = f"""
+    WITH m AS (
+      SELECT MAX(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS m2
+      FROM embeddings
+    ),
+    aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             embedding::DOUBLE[] ||
+               [sqrt(greatest(m.m2 - list_inner_product(embedding::DOUBLE[],
+                                                        embedding::DOUBLE[]), 0))]
+               AS ae
+      FROM embeddings, m
+    ),
+    cent AS (SELECT vec_id AS cid, ae AS ce FROM aug WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(a.ae, c.ce), 4) DESC, c.cid) AS rn
+        FROM aug a, cent c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT q_id, cid FROM (
+        SELECT a.vec_id AS q_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(a.e || [0.0], c.ce), 4) DESC,
+                          c.cid) AS rn
+        FROM aug a, cent c WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT qp.q_id, s.vec_id
+      FROM assign s JOIN qprobe qp ON s.cid = qp.cid
+      WHERE s.vec_id != qp.q_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.vec_id,
+             ROUND(list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS dot
+      FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+                  JOIN embeddings q ON c.q_id = q.vec_id
+    )
+    SELECT q_id, vec_id, dot, rank FROM (
+      SELECT q_id, vec_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+def _mips_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def ip_self(col):
+        return F.aggregate(
+            col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+
+    m2 = emb.agg(F.max(ip_self(F.col("embedding"))).alias("m2"))
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    aug = emb.crossJoin(F.broadcast(m2)).select(
+        "vec_id",
+        "embedding",
+        dbl.alias("e"),
+        F.concat(
+            dbl,
+            F.array(
+                F.sqrt(F.greatest(F.col("m2") - ip_self(F.col("embedding")), F.lit(0.0)))
+            ),
+        ).alias("ae"),
+    )
+    cent = F.broadcast(
+        aug.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("ae").alias("ce")
+        )
+    )
+    a_scored = aug.crossJoin(cent).select(
+        "vec_id",
+        "cid",
+        F.round(cosine_sim(F.col("ae"), F.col("ce")), 4).alias("acos"),
+        F.round(
+            cosine_sim(F.concat(F.col("e"), F.array(F.lit(0.0))), F.col("ce")), 4
+        ).alias("qcos"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(), F.col("cid"))
+    assign = (
+        a_scored.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    qw = Window.partitionBy("vec_id").orderBy(F.col("qcos").desc(), F.col("cid"))
+    qprobe = F.broadcast(
+        a_scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("q_id"), "cid")
+    )
+    cand = (
+        assign.join(qprobe, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    qe = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = cand.join(emb, "vec_id").join(qe, "q_id").select(
+        "q_id",
+        "vec_id",
+        F.round(inner_product(F.col("embedding"), F.col("qe")), 4).alias("dot"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+@query("ann_mips_ivf_topk", oracle=_MIPS_IVF_SQL)
+def ann_mips_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-linear MIPS serving: the norm-augmentation reduction the
+    exact arm's docstring names, made real — items indexed by the
+    seeded-IVF shape over AUGMENTED vectors (append
+    sqrt(M² − ‖x‖²); queries append 0), candidates from the
+    (centroid) equi-join, exact DOT rerank over candidates only.
+
+    Scale: identical shape to ann_ivf_topk — one broadcast centroid
+    pass (linear), probe-bounded candidate join, rerank touches
+    candidates not corpus. The augmentation is one extra array
+    element computed in-scan from a 1-row broadcast max; numerically
+    both engines fold the same order so the gate is exact, and the
+    max-norm item's sqrt(0) guard (greatest(...,0)) absorbs the one
+    possible rounding underflow."""
+    return _mips_ivf_topk(spark, sf_dir)
+
+
+@query(
+    "ann_recall_mips_ivf",
+    oracle=f"""
+    WITH truth AS ({_MIPS_SQL}),
+    approx AS ({_MIPS_IVF_SQL})
+    SELECT t.q_id,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_10
+    FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+    GROUP BY t.q_id
+    """,
+)
+def ann_recall_mips_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the augmented-IVF MIPS path vs the exact dot-product
+    scan — the gate that keeps the reduction's parameters honest (the
+    pytest floor is pinned from the sf0.1 measurement)."""
+    truth = ann_mips_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = _mips_ivf_topk(spark, sf_dir).select("q_id", F.col("vec_id").alias("a_vec"))
+    hits = truth.join(
+        approx,
+        (truth["q_id"] == approx["q_id"]) & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    ).select(truth["q_id"], approx["a_vec"])
+    return hits.groupBy("q_id").agg(
+        F.round(F.count("a_vec").cast("double") / TOP_K, 4).alias("recall_at_10")
+    )

@@ -772,7 +772,7 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     label propagation over the small edge list; one quality scan).
     Nothing quadratic, nothing driver-sized beyond the k-round loop."""
     from kinesis_s3_spark.functions.text import quality_signals
-    from kinesis_s3_spark.operators.dedup import minhash_pairs, resolve_labels_star
+    from kinesis_s3_spark.operators.dedup import minhash_pairs, resolve_components
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hashed = docs.withColumn("h", F.md5("text"))
@@ -785,7 +785,7 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = minhash_pairs(surv1).select("d1", "d2").cache()
     pairs.count()
-    labels = resolve_labels_star(surv1.select("doc_id"), pairs)
+    labels = resolve_components(surv1.select("doc_id"), pairs)
 
     s = quality_signals(F.col("text"))
     raw = (
@@ -945,7 +945,10 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_s3_spark.operators.dedup import minhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_pairs(docs)
+    # materialize the pair list once: it feeds BOTH split-label join
+    # branches, and un-cached each branch re-executes the whole
+    # minhash pipeline (measured 10.4 s vs 2.7 s at the 10x scale)
+    pairs = minhash_pairs(docs).localCheckpoint()
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
             "long"
@@ -1274,12 +1277,12 @@ def curation_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window partitioned by cluster (shuffle on cluster_id,
     skew bounded by the largest dup cluster — near-cliques, shallow)."""
     from kinesis_s3_spark.functions.text import quality_signals
-    from kinesis_s3_spark.operators.dedup import dedup_minhash_lsh, resolve_labels_star
+    from kinesis_s3_spark.operators.dedup import dedup_minhash_lsh, resolve_components
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").cache()
     pairs.count()
-    labels = resolve_labels_star(docs.select("doc_id"), pairs)
+    labels = resolve_components(docs.select("doc_id"), pairs)
     pairs.unpersist()
 
     s = quality_signals(F.col("text"))

@@ -452,13 +452,14 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (the minimum doc_id). Every doc gets (cluster_id, keep);
     singletons keep themselves.
 
-    Spark-first: alternating large-star / small-star contraction
-    (Kiveris et al. 2014) — O(log n) rounds regardless of component
-    diameter, so a pathological near-dup CHAIN (template/boilerplate
-    corpora produce them) costs ~log₂(chain) joins, not chain joins.
-    Each round is two equi-join + groupBy passes over the edge list —
-    no Python, no driver-side graph. Min-label propagation
-    (resolve_labels) remains the diameter-rounds twin, pytest-gated
+    Spark-first: the HYBRID resolver (resolve_components) — a short
+    min-label head (2 shuffles/round; near-dup graphs are near-cliques
+    and converge in 2-3 sweeps), falling through to alternating
+    large-star / small-star contraction (Kiveris et al. 2014) on the
+    label-contracted graph when a deep component survives the head, so
+    a pathological near-dup CHAIN (template/boilerplate corpora
+    produce them) costs ~log₂(chain) joins, not chain joins. No
+    Python, no driver-side graph; all three resolvers pytest-gated
     equal on random graphs. The DuckDB oracle computes the same
     component minima with a recursive CTE, so the gate checks the
     WHOLE chain: shingles → signatures → bands → verified pairs →
@@ -470,7 +471,7 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the whole signature pipeline)
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").cache()
     pairs.count()
-    labels = resolve_labels_star(docs, pairs)
+    labels = resolve_components(docs, pairs)
     pairs.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -481,14 +482,38 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def resolve_labels(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     """(node, lab) component minima over the pair edge list via
-    min-label propagation — the reusable core of dedup_cluster_resolve
-    (callers pass a materialized/cached ``pairs`` frame)."""
+    min-label propagation — the diameter-rounds twin of
+    resolve_labels_star (callers pass a materialized/cached ``pairs``
+    frame). Raises past its round cap instead of returning
+    under-propagated labels."""
+    labels, converged = _minlabel_rounds(ids, pairs, _CLUSTER_MAX_ITERS)
+    if not converged:
+        # silently returning under-propagated labels is a WRONG ANSWER
+        # (a component's min never reaches its far end) — the star
+        # resolver handles deep components in O(log n) rounds; this
+        # twin refuses instead of lying
+        raise RuntimeError(
+            f"min-label propagation did not converge in {_CLUSTER_MAX_ITERS} "
+            "rounds (component diameter exceeds the cap); use "
+            "resolve_labels_star for deep components"
+        )
+    return labels
+
+
+def _minlabel_rounds(
+    ids: DataFrame, pairs: DataFrame, max_rounds: int
+) -> tuple[DataFrame, bool]:
+    """Up to ``max_rounds`` min-label sweeps; returns (labels,
+    converged). Each label is always the MINIMUM node id within the
+    label's ball — a valid contraction key even when unconverged,
+    which is what the hybrid resolver builds on."""
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).toDF("a", "b")
 
     labels = ids.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
-    for it in range(_CLUSTER_MAX_ITERS):
+    converged = False
+    for it in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges["a"] == labels["node"])
             .groupBy(edges["b"].alias("node2"))
@@ -518,18 +543,48 @@ def resolve_labels(ids: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         labels = new_labels.select("node", "lab")
         if changed == 0:
+            converged = True
             break
-    else:
-        # silently returning under-propagated labels is a WRONG ANSWER
-        # (a component's min never reaches its far end) — the star
-        # resolver handles deep components in O(log n) rounds; this
-        # twin refuses instead of lying
-        raise RuntimeError(
-            f"min-label propagation did not converge in {_CLUSTER_MAX_ITERS} "
-            "rounds (component diameter exceeds the cap); use "
-            "resolve_labels_star for deep components"
-        )
-    return labels
+    return labels, converged
+
+
+# Hybrid head length: near-dup graphs are near-cliques in practice, so
+# 3 sweeps converge almost always (measured 2-3 at sf0.1/sf1) and the
+# star machinery never spins up; a deep chain falls through to the
+# star phase on a radius-3-contracted graph, preserving the O(log n)
+# worst case.
+_HYBRID_HEAD_ROUNDS = 3
+
+
+def resolve_components(ids: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(node, lab) component minima — the production resolver behind
+    dedup_cluster_resolve and the curation chains. Min-label sweeps
+    for the common shallow case (2 shuffles/round, converges in
+    diameter rounds); if still unconverged after the short head, the
+    remaining work contracts onto the label graph (lab(d1), lab(d2))
+    and the alternating-star resolver finishes in O(log n) rounds.
+    Composition is exact: every intermediate label is the minimum
+    node id of its ball (same component), so star minima over the
+    contracted graph ARE component minima, mapped back through one
+    join."""
+    labels, converged = _minlabel_rounds(ids, pairs, _HYBRID_HEAD_ROUNDS)
+    if converged:
+        return labels
+    contracted = (
+        pairs.join(labels.withColumnRenamed("node", "d1"), "d1")
+        .withColumnRenamed("lab", "l1")
+        .join(labels.withColumnRenamed("node", "d2"), "d2")
+        .withColumnRenamed("lab", "l2")
+        .select(F.col("l1").alias("d1"), F.col("l2").alias("d2"))
+        .filter(F.col("d1") != F.col("d2"))
+        .distinct()
+    )
+    star = resolve_labels_star(
+        labels.select(F.col("lab").alias("doc_id")).distinct(), contracted
+    ).select(F.col("node").alias("head"), F.col("lab").alias("final"))
+    return labels.join(star, labels["lab"] == star["head"]).select(
+        "node", F.col("final").alias("lab")
+    )
 
 
 # Alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from kinesis_s3_spark.operators.dedup import (
     _large_star,
     _small_star,
+    resolve_components,
     resolve_labels,
     resolve_labels_star,
 )
@@ -107,3 +108,29 @@ def test_star_steps_preserve_components(spark):
         out = [(r["a"], r["b"]) for r in step(e).collect()]
         comp = _union_find(["a", "b", "c", "d", "e"], out)
         assert comp == _union_find(["a", "b", "c", "d", "e"], edges)
+
+
+def test_hybrid_matches_unionfind_random_and_deep(spark):
+    """resolve_components (the production resolver): min-label head +
+    star fallback must equal union-find on a random graph (deep
+    components force the fallback path) AND on a planted deep chain
+    (pure fallback), AND on a shallow clique set (pure head path)."""
+    rng = random.Random(11)
+    nodes = [f"h{i:03d}" for i in range(100)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(70)]
+    want = _union_find(nodes, edges)
+    got = {r["node"]: r["lab"] for r in
+           resolve_components(_ids(spark, nodes), _pairs(spark, edges)).collect()}
+    assert got == want
+
+    chain = [f"c{i:03d}" for i in range(64)]
+    cedges = list(zip(chain, chain[1:]))
+    got = {r["node"]: r["lab"] for r in
+           resolve_components(_ids(spark, chain), _pairs(spark, cedges)).collect()}
+    assert got == {m: chain[0] for m in chain}
+
+    cliq = [("k0", "k1"), ("k1", "k2"), ("k0", "k2"), ("k3", "k4")]
+    knodes = ["k0", "k1", "k2", "k3", "k4", "k5"]
+    got = {r["node"]: r["lab"] for r in
+           resolve_components(_ids(spark, knodes), _pairs(spark, cliq)).collect()}
+    assert got == _union_find(knodes, cliq)
