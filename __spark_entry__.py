@@ -70,7 +70,14 @@ for _m in _OPTIONAL_MODULES:
 # regenerating this list from the artifacts.
 _GATE_FIRST = [
     # -- (0) added or semantically changed in round 7, never gated
-    #    since the change (ranking primitive / star resolver) --
+    #    since the change (ranking primitive / star resolver /
+    #    MIPS-IVF / hybrid component resolver) --
+    "ann_mips_ivf_topk",
+    "ann_recall_mips_ivf",
+    "events_resample_ffill",
+    "events_rollup_cascade",
+    "mm_video_shot_boundary",
+    "curation_split_leakage",
     "curation_epoch_shuffle_write",
     "curation_decontaminate",
     "dedup_cluster_resolve",

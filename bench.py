@@ -119,10 +119,14 @@ HEADLINE = [
     "events_cusum_alarm",
     "etl_raw_roundtrip",
     "ann_mips_topk",
+    "ann_mips_ivf_topk",
     "text_gopher_rules",
     "etl_incremental_agg_merge",
     "sketch_hll_estimate",
     "events_asof_nearest",
+    "events_resample_ffill",
+    "events_rollup_cascade",
+    "mm_video_shot_boundary",
     "ann_matryoshka_recall",
     "curation_dedup_survivorship",
     "sketch_kmv_intersection",

@@ -1648,3 +1648,143 @@ def events_recursive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.cteRecursionRowLimit")
         else:
             spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+
+
+@query(
+    "events_resample_ffill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_start,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS obs_value
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    span AS (
+      SELECT user_id, MIN(hour_start) AS h0, MAX(hour_start) AS h1
+      FROM hourly GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+      FROM span
+    )
+    SELECT s.user_id, s.hour_start,
+           CASE WHEN h.obs_value IS NULL THEN 0 ELSE 1 END AS is_observed,
+           LAST_VALUE(h.obs_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour_start
+             ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM spine s LEFT JOIN hourly h USING (user_id, hour_start)
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: regularize each user's
+    hourly value series onto a gap-free hour spine (their first to last
+    active hour), carrying the last observed hour-sum across gaps —
+    the standard "make irregular events a regular feature series" prep
+    for forecasting / training windows (the hypertable `time_bucket
+    gapfill + locf` shape; reference has no event-time ops, SURVEY §2).
+
+    Spark-first: the spine is generated IN-ENGINE with
+    sequence(min,max,interval)+explode — no driver loop, no range
+    table; rows are bounded by Σ_user span-hours. All three stages
+    (hourly agg, span agg, ffill window) hash/sort on user_id, so AQE
+    plans one user-keyed exchange lineage; the forward fill is
+    last(ignorenulls) over a user-partitioned window — never a global
+    sort. At 100 TB the spine explode is map-side from one tiny span
+    row per user.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("obs_value")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_start"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour_start"], "left")
+        .withColumn(
+            "is_observed",
+            F.when(F.col("obs_value").isNull(), F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn("filled_value", F.last("obs_value", ignorenulls=True).over(w))
+        .select("user_id", "hour_start", "is_observed", "filled_value")
+    )
+
+
+@query(
+    "events_rollup_cascade",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           CAST(COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS n_minutes
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: raw events →
+    1-minute rollup → hourly rollup (merging minute partials) → daily
+    rollup (merging hourly partials). The oracle aggregates the day
+    level DIRECTLY from raw events, so the gate proves the partial-
+    aggregate merge laws hold exactly through two re-aggregations:
+    counts add, DECIMAL sums add (order-free — the reason sums stay
+    DECIMAL(18,6) until the final cast), min/max compose, and
+    distinct-minute counts emerge as COUNT(minute rows) at the hour
+    level then SUM upward.
+
+    Scale: this is the TimescaleDB/Druid rollup contract — the daily
+    query never rescans raw data. Only the minute rollup touches the
+    full corpus (one shuffle, partial map-side aggregation); hour and
+    day re-aggregate frames that are ~1440× and ~24× smaller. An
+    incremental refresh maintains the minute level only for new
+    partitions (the etl_incremental_agg_merge / streaming/mv.py arm
+    proves delta⊕state==recompute for the same merge laws).
+    """
+    e = load_table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute_start")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(
+        "event_type", F.date_trunc("hour", "minute_start").alias("hour_start")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.count("*").alias("n_minutes"),
+    )
+    return (
+        hour.groupBy("event_type", F.date_trunc("day", "hour_start").alias("day_start"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            F.sum("n_minutes").alias("n_minutes"),
+        )
+        .select(
+            "event_type",
+            "day_start",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+            "n_minutes",
+        )
+    )

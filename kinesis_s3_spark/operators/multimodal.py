@@ -524,3 +524,64 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         audio_fingerprint_batches, schema=AFP_SCHEMA
     )
+
+
+# Closed-form SAD between consecutive synthetic frames: pixel(f, i, j)
+# = (doc_id*11 + f*17 + i*w + j) % 251, and k = i*w + j enumerates
+# 0..w*h-1 CONSECUTIVELY — so frame f's pixel values are the
+# consecutive run [s, s+wh) mod 251 with s = (doc_id*11 + f*17) % 251,
+# and the per-pixel diff to frame f+1 is 17 except where the run sits
+# in [234, 251) (the +17 wraparound), where it is |17 - 251| = 234.
+# The wrapped tail of the run (values restarting at 0) can never reach
+# 234 again because wh <= 121 < 251, so the wrap count is one interval
+# intersection — no pixel unnest needed.
+_SHOT_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 6 + 4 AS BIGINT) AS n,
+             CAST(doc_id % 8 + 4 AS BIGINT) * CAST((doc_id*3) % 8 + 4 AS BIGINT) AS wh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, n, wh, unnest(range(0, n - 1)) AS f FROM dims
+    ),
+    sads AS (
+      SELECT doc_id, n, f, wh,
+             GREATEST(0, LEAST((doc_id*11 + f*17) % 251 + wh, 251)
+                         - GREATEST((doc_id*11 + f*17) % 251, 234)) AS nw
+      FROM pairs
+    ),
+    flags AS (
+      SELECT doc_id, n, f,
+             CASE WHEN 17*(wh - nw) + 234*nw > 20*wh THEN 1 ELSE 0 END AS b
+      FROM sads
+    )
+    SELECT doc_id, CAST(MAX(n) AS INT) AS n_frames,
+           CAST(SUM(b) AS BIGINT) AS n_boundaries,
+           CAST(MIN(CASE WHEN b = 1 THEN f + 1 END) AS INT) AS first_boundary
+    FROM flags GROUP BY doc_id
+"""
+
+
+@query("mm_video_shot_boundary", oracle=_SHOT_ORACLE)
+def mm_video_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (cut) detection over REALLY DECODED video frames:
+    synth → encode MV01 → parse the container back → SAD between every
+    consecutive frame pair inside one Arrow ``mapInPandas`` pass; a cut
+    is declared where mean |Δ| per pixel exceeds SHOT_SAD_THRESHOLD.
+    The pre-shot-sampling step of a video ingest pipeline (sample one
+    keyframe per SHOT, not per stride). The oracle re-derives every
+    SAD arithmetically from the generator formulas (closed-form
+    wraparound count — see _SHOT_ORACLE), so a frame-walk defect
+    (stride off-by-one, plane transpose, dropped frame) changes
+    verdict counts and breaks the value hash.
+
+    Scale: map-only — frames never leave the UDF; one verdict row per
+    clip emerges (vs n_frames rows from mm_video_frame_sample), and
+    there are ZERO shuffles before the gate's collect. At 100 TB
+    decode parallelism = scan partitions via binaryFile ingestion
+    (mm_image_decode_file proves that edge separately)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from kinesis_s3_spark.multimodal.codecs import SHOT_SCHEMA, shot_boundary_batches
+
+    return docs.mapInPandas(shot_boundary_batches, SHOT_SCHEMA)

@@ -80,6 +80,17 @@ def test_ivf_recall_at_10_gate(spark):
     assert min(recalls.values()) >= 0.9, recalls
 
 
+def test_mips_ivf_recall_at_10_gate(spark):
+    """The norm-augmented IVF MIPS path vs the exact dot-product scan
+    (Bachrach et al. 2014 reduction). Floor pinned from the sf0.1
+    measurement (1.0 across all 5 queries); 0.9 leaves headroom for
+    tie-order jitter only."""
+    rows = Q["ann_recall_mips_ivf"](spark, SF_RECALL).collect()
+    assert len(rows) == 5
+    recalls = {r["q_id"]: r["recall_at_10"] for r in rows}
+    assert min(recalls.values()) >= 0.9, recalls
+
+
 def test_embedding_lsh_pair_recall_gate(spark):
     """The LSH dedup path must find ≥ 0.9 of the exact cosine ≥ 0.4
     pairs on the worst-case noise-floor corpus (true pairs at cosine

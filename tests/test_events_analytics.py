@@ -329,3 +329,59 @@ def test_recursive_sessions_equal_window_sessionize(spark):
     for r in events_sessionize(spark, sf).collect():
         win[r["n_events"]] = win.get(r["n_events"], 0) + 1
     assert rec == win
+
+
+def test_resample_ffill_spine_is_gapfree_and_carries_last(spark):
+    """Every user's spine must be hour-contiguous from first to last
+    active hour, observed hours must carry their own value, and every
+    gap hour must equal the most recent observed hour's value."""
+    Q = entrymod.queries()
+    rows = Q["events_resample_ffill"](spark, SF_SMOKE).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["hour_start"])
+        # contiguous spine: n rows == span hours + 1
+        span_h = (rs[-1]["hour_start"] - rs[0]["hour_start"]).total_seconds() / 3600
+        assert len(rs) == int(span_h) + 1, u
+        # endpoints observed by construction (spine = hourly min..max)
+        assert rs[0]["is_observed"] == 1 and rs[-1]["is_observed"] == 1
+        last = None
+        for r in rs:
+            if r["is_observed"] == 1:
+                last = r["filled_value"]
+            assert r["filled_value"] == last, (u, r)
+
+
+def test_rollup_cascade_equals_direct_day_aggregation(spark):
+    """The minute→hour→day partial-aggregate cascade must equal a
+    single direct day-level aggregation (merge laws: counts add,
+    decimal sums add, min/max compose)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.sources.tables import load_table
+
+    Q = entrymod.queries()
+    cascade = {
+        (r["event_type"], r["day_start"]): r
+        for r in Q["events_rollup_cascade"](spark, SF_SMOKE).collect()
+    }
+    direct = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.countDistinct(F.date_trunc("minute", "ts")).alias("n_minutes"),
+        )
+        .collect()
+    )
+    assert len(direct) == len(cascade)
+    for r in direct:
+        c = cascade[(r["event_type"], r["day_start"])]
+        for col in ("n_events", "sum_value", "min_value", "max_value", "n_minutes"):
+            assert c[col] == r[col], (r["event_type"], r["day_start"], col)

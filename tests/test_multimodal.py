@@ -358,3 +358,64 @@ def test_audio_fingerprint_properties():
         samples, rate = synth_samples(doc_id)
         _, _, _, dec = decode_wav(encode_wav(samples, rate))
         assert audio_fingerprint(samples) == audio_fingerprint(dec)
+
+
+def test_shot_boundary_matches_direct_numpy():
+    """The closed-form wraparound count in the oracle and the decode
+    path must both equal a direct per-pixel numpy SAD for a spread of
+    doc_ids (covering every (n, w, h) residue combination)."""
+    from kinesis_s3_spark.multimodal.codecs import (
+        SHOT_SAD_THRESHOLD,
+        decode_video,
+        encode_video,
+        shot_boundary_batches,
+        synth_video,
+    )
+    import pandas as pd
+
+    doc_ids = list(range(48))  # lcm(6, 8) covers all dims residues
+    [out] = list(shot_boundary_batches(iter([pd.DataFrame({"doc_id": doc_ids})])))
+    for row in out.itertuples(index=False):
+        frames, _n, _w, _h = synth_video(int(row.doc_id))
+        n, w, h, dec = decode_video(encode_video(frames))
+        sad = (
+            np.abs(dec[1:].astype(np.int64) - dec[:-1].astype(np.int64))
+            .reshape(n - 1, -1)
+            .sum(axis=1)
+        )
+        cut = sad > SHOT_SAD_THRESHOLD * w * h
+        assert row.n_frames == n
+        assert row.n_boundaries == int(cut.sum())
+        idx = np.nonzero(cut)[0]
+        if idx.size:
+            assert row.first_boundary == int(idx[0]) + 1
+        else:
+            assert pd.isna(row.first_boundary)
+
+
+def test_shot_boundary_detects_planted_cut():
+    """A genuinely discontinuous clip (second half re-synthesized from
+    a different doc) must flag exactly the splice point — the detector
+    is judging content, not frame position."""
+    from kinesis_s3_spark.multimodal.codecs import (
+        SHOT_SAD_THRESHOLD,
+        decode_video,
+        encode_video,
+        synth_video,
+    )
+
+    a, _, _, _ = synth_video(24)   # doc 24: smooth +17 clip, no wrap cuts
+    b, _, _, _ = synth_video(104)  # same (w, h) residues: 104%8==24%8, (104*3)%8==(24*3)%8
+    assert a.shape[1:] == b.shape[1:]
+    # the doc-constant shift (104-24)*11 = 880 ≡ 127 (mod 251) makes
+    # the splice-pair mean |Δ| ≈ 125 >> threshold, while every
+    # within-half pair keeps the smooth +17 relation
+    spliced = np.concatenate([a[:3], b[:3]], axis=0)
+    n, w, h, dec = decode_video(encode_video(spliced))
+    sad = (
+        np.abs(dec[1:].astype(np.int64) - dec[:-1].astype(np.int64))
+        .reshape(n - 1, -1)
+        .sum(axis=1)
+    )
+    cut = sad > SHOT_SAD_THRESHOLD * w * h
+    assert cut[2] and not cut[0] and not cut[1] and not cut[3] and not cut[4]

@@ -78,6 +78,8 @@ ALLOW_NESTED_LOOP = {
     "events_drift_psi",  # 1-row ref-range / totals broadcasts (events.py PSI)
     "sketch_heavy_hitters",  # 1-row corpus-total broadcast for the threshold
     "sketch_quantile_histogram",  # 1-row min/max/n broadcast + <=64-row cum frame
+    "ann_mips_ivf_topk",  # 1-row max-norm + 16-centroid broadcasts (ann.py MIPS-IVF)
+    "ann_recall_mips_ivf",  # inherits both arms' bounded broadcasts
     "etl_zorder_skipping",  # 1-row range broadcast + 3-row predicate-box frame
     "sketch_ams_f2",  # 1-row exact-arm broadcast crossed with the 1-row estimate
     "sketch_hll_sliding",  # |days|-row dim broadcast range-joined for the exact arm
