@@ -74,9 +74,15 @@ _GATE_FIRST = [
     #    MIPS-IVF / hybrid component resolver) --
     "ann_mips_ivf_topk",
     "ann_recall_mips_ivf",
+    "ann_hard_negatives",
+    "emb_prototype_prune",
+    "events_funnel_conversion_time",
     "events_resample_ffill",
     "events_rollup_cascade",
+    "events_seasonal_decompose",
     "mm_video_shot_boundary",
+    "text_learnability",
+    "text_ngram_novelty",
     "curation_split_leakage",
     "curation_epoch_shuffle_write",
     "curation_decontaminate",

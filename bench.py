@@ -126,7 +126,13 @@ HEADLINE = [
     "events_asof_nearest",
     "events_resample_ffill",
     "events_rollup_cascade",
+    "events_seasonal_decompose",
+    "events_funnel_conversion_time",
     "mm_video_shot_boundary",
+    "text_learnability",
+    "text_ngram_novelty",
+    "ann_hard_negatives",
+    "emb_prototype_prune",
     "ann_matryoshka_recall",
     "curation_dedup_survivorship",
     "sketch_kmv_intersection",
@@ -292,18 +298,25 @@ SKIP_SF1 = {
 
 
 def run_sf1(spark, queries) -> tuple[dict[str, float], dict[str, str]]:
-    """One measured run per query at 10× (the JVM is warm from the
-    sf0.1 medians; a warm protocol at this scale would double an
-    already minutes-long pass). Guarded operators that refuse at this
-    scale are recorded as errors, not silently dropped."""
+    """Warm-then-measure at 10×: one unmeasured run per query (plan
+    compile + codegen + page-cache for THESE paths — the sf0.1 medians
+    warm different plans over different files), then one measured run.
+    The r7 isolated re-probes showed 2-5× cold-vs-warm spreads on the
+    heavier queries (e.g. text_gopher_repetition 8.98 → 1.86 s), and
+    the committed sf1 baselines come from the warm protocol
+    (tools/scale_experiment.py) — mixing cold measurements into a warm
+    ratchet produced a spurious 10-query flag list. Guarded operators
+    that refuse at this scale are recorded as errors, not silently
+    dropped."""
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name in SKIP_SF1:
             errors[name] = f"skipped_sf1: {SKIP_SF1[name]}"
             continue
-        t0 = time.time()
         try:
+            materialize(queries[name](spark, SF1_DIR))  # warm
+            t0 = time.time()
             materialize(queries[name](spark, SF1_DIR))
             times[name] = round(time.time() - t0, 2)
         except Exception as e:

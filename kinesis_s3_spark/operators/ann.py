@@ -1648,3 +1648,66 @@ def ann_recall_mips_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("q_id").agg(
         F.round(F.count("a_vec").cast("double") / TOP_K, 4).alias("recall_at_10")
     )
+
+
+# --- hard-negative mining ------------------------------------------------------
+
+HARD_NEG_K = 5
+
+_HARDNEG_SQL = f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES})
+    SELECT q_id, vec_id, label, cosine, rank FROM (
+      SELECT q.q_id, e.vec_id, e.label,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4)
+               AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     q.qe::DOUBLE[]), 4) DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e JOIN q ON e.label != q.q_label
+    ) WHERE rank <= {HARD_NEG_K}
+"""
+
+
+@query("ann_hard_negatives", oracle=_HARDNEG_SQL)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-{k} most cosine-similar vectors with a DIFFERENT
+    label — the near-misses that make retrieval/embedding training
+    data informative (easy random negatives teach nothing; the
+    highest-similarity wrong-label items define the decision
+    boundary). The in-batch-negatives upgrade every dual-encoder
+    pipeline ships.
+
+    Scale: the same broadcast-query fused-scan shape as
+    ann_bruteforce_topk — queries broadcast (bounded), one scan scores
+    every candidate, per-query top-k under WindowGroupLimit heaps.
+    The label filter is evaluated in-scan (no join explosion: the
+    nested-loop is query-side-bounded). For web-scale corpora swap
+    the scan for the IVF candidate join (ann_ivf_topk) and keep the
+    label-mismatch filter on the candidate list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+    scored = (
+        emb.join(q, emb["label"] != q["q_label"])
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("qe")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("q_id", "vec_id", "label", "cosine", "rank")
+    )

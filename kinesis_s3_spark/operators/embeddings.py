@@ -499,3 +499,95 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_s",
         F.round(F.col("q") - F.col("mean_s") * F.col("mean_s"), 6).alias("var_s"),
     )
+
+
+PRUNE_FRAC = 0.2  # drop the farthest 20% per label
+
+
+@query(
+    "emb_prototype_prune",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding::DOUBLE[]) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS c
+      FROM flat GROUP BY label, pos
+    ),
+    d AS (
+      SELECT f.vec_id, f.label,
+             ROUND(CAST(SUM(CAST((f.x - c.c) * (f.x - c.c) AS DECIMAL(38,12)))
+                        AS DOUBLE), 4) AS dist2
+      FROM flat f JOIN cent c USING (label, pos)
+      GROUP BY f.vec_id, f.label
+    ),
+    r AS (
+      SELECT vec_id, label, dist2,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id)
+               AS rank,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM d
+    )
+    SELECT vec_id, label, dist2, CAST(rank AS BIGINT) AS rank,
+           CASE WHEN rank <= FLOOR(n * {PRUNE_FRAC}) THEN 1 ELSE 0 END AS prune
+    FROM r
+    """,
+)
+def emb_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance data pruning (the SSL-prototypes recipe,
+    Sorscher et al. 2022): squared distance of every vector to its own
+    label's centroid, pruning the farthest 20% per label — the
+    "drop the outliers/mislabeled tail" pass a curated embedding
+    corpus runs before training. Emits every vector with its verdict
+    so downstream samplers can invert the policy (keep HARD examples)
+    without recomputing.
+
+    Scale: centroids are |labels| × dim rows (broadcast); the distance
+    is one posexplode + broadcast-join + per-vector decimal sum —
+    shuffle keyed by vec_id with map-side combine; the per-label rank
+    window shuffles verdict-sized rows (vec_id, dist2), never vectors.
+    Per-dim squared terms go through DECIMAL(38,12) (order-free sum),
+    dist2 rounded to 4 dp before ranking, vec_id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(_vec_d(F.col("embedding"))).alias("pos", "x"),
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast(_DEC)).cast("double") / F.count("*"), 6
+        ).alias("c")
+    )
+    d = (
+        flat.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum(((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(_DEC))
+                .cast("double"),
+                4,
+            ).alias("dist2")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), F.col("vec_id"))
+    nw = Window.partitionBy("label")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(nw))
+        .select(
+            "vec_id",
+            "label",
+            "dist2",
+            "rank",
+            F.when(F.col("rank") <= F.floor(F.col("n") * PRUNE_FRAC), 1)
+            .otherwise(0)
+            .alias("prune"),
+        )
+    )

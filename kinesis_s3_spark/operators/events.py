@@ -1788,3 +1788,137 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_minutes",
         )
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS seasonal
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    resid AS (
+      SELECT e.event_type, e.event_id, p.hod, e.value, p.seasonal,
+             ROUND(e.value - p.seasonal, 6) AS residual
+      FROM events e JOIN prof p
+        ON e.event_type = p.event_type AND CAST(hour(e.ts) AS INT) = p.hod
+    )
+    SELECT event_type, event_id, hod, value, seasonal, residual, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(residual) DESC, event_id) AS rank
+      FROM resid
+    ) WHERE rank <= 3
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition, the classifier-free anomaly detector:
+    per (event_type, hour-of-day) seasonal baseline (decimal mean,
+    rounded before subtraction), residual = value − seasonal, top-3
+    largest |residual| anomalies per type. Complements the global
+    z-score (events_zscore_anomaly) and MAD detectors: an event that
+    is normal at 14:00 but extreme at 03:00 only shows up against the
+    diurnal profile.
+
+    Scale: the profile frame is bounded (|types| × 24 rows) so the
+    join back is a broadcast; one data-sized aggregation builds it
+    (map-side combined), and the per-type top-3 window runs under
+    WindowGroupLimit (per-task heaps, never a full sort). At 100 TB
+    this is one scan + one broadcast join + one heap pass — the same
+    shape a streaming scorer would run with the profile as a
+    foreachBatch-refreshed dim.
+    """
+    e = load_table(spark, sf_dir, "events")
+    prof = (
+        e.groupBy("event_type", F.hour("ts").cast("int").alias("hod"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("seasonal")
+        )
+    )
+    resid = (
+        e.withColumn("hod", F.hour("ts").cast("int"))
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .withColumn("residual", F.round(F.col("value") - F.col("seasonal"), 6))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("residual")).desc(), F.col("event_id")
+    )
+    return (
+        resid.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", "hod", "value", "seasonal", "residual", "rank")
+    )
+
+
+@query(
+    "events_funnel_conversion_time",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fv USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT CAST(epoch_us(fp.first_purchase) - epoch_us(fv.first_view) AS BIGINT)
+               AS delay_us
+      FROM fv JOIN fp USING (user_id)
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(delay_us) AS BIGINT) AS min_delay_us,
+           CAST(MAX(delay_us) AS BIGINT) AS max_delay_us,
+           CAST(SUM(delay_us) AS BIGINT) AS sum_delay_us,
+           ROUND(CAST(MEDIAN(delay_us) AS DOUBLE), 1) AS median_delay_us
+    FROM d
+    """,
+)
+def events_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user, the delay between
+    their FIRST view and their first purchase strictly after it, then
+    the count / min / max / sum / exact median of those delays — the
+    metric that turns events_funnel_steps' "how many converted" into
+    "how fast", which is what conversion SLAs and cohort comparisons
+    actually chart.
+
+    Scale: two user-keyed aggregations and one user-keyed join (all
+    co-partitioned — AQE reuses one exchange lineage), then a 1-row
+    final aggregate. Delays are integer microseconds (exact); the
+    exact median over per-user delays is bounded by |converting
+    users|, and at extreme scale swaps for the histogram-quantile
+    sketch (sketch_quantile_histogram) without changing the contract.
+    """
+    e = load_table(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    d = fv.join(fp, "user_id").select(
+        F.expr("timestampdiff(MICROSECOND, first_view, first_purchase)")
+        .cast("long")
+        .alias("delay_us")
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.min("delay_us").cast("long").alias("min_delay_us"),
+        F.max("delay_us").cast("long").alias("max_delay_us"),
+        F.sum("delay_us").cast("long").alias("sum_delay_us"),
+        F.round(F.median("delay_us"), 1).alias("median_delay_us"),
+    )

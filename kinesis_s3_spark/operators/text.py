@@ -561,3 +561,148 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "text_learnability",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents
+    ),
+    f AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+    t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM w),
+    su AS (
+      SELECT doc_id, ROUND(-ln(freq / total), 6) AS surp
+      FROM w JOIN f USING (word) CROSS JOIN t
+    ),
+    uni AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_uni
+      FROM su GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest([array_to_string(tk[i:i+1], ' ')
+                     for i in range(1, greatest(len(tk), 1))]) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+            FROM documents WHERE length(trim(text)) > 0)
+    ),
+    bw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM b),
+    cg AS (SELECT g, COUNT(*) AS c12 FROM bw GROUP BY g),
+    cw AS (SELECT w1, COUNT(*) AS c1 FROM bw GROUP BY w1),
+    sb AS (
+      SELECT bw.doc_id, ROUND(-ln(cg.c12 / cw.c1), 6) AS surp
+      FROM bw JOIN cg USING (g) JOIN cw USING (w1)
+    ),
+    bi AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_bi
+      FROM sb GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT u.doc_id, u.avg_uni, bi.avg_bi,
+             ROUND(u.avg_uni - bi.avg_bi, 6) AS excess_surprisal
+      FROM uni u JOIN bi USING (doc_id)
+    )
+    SELECT doc_id, avg_uni, avg_bi, excess_surprisal, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY excess_surprisal DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 100
+    """,
+)
+def text_learnability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learnability-proxy data selection (the RHO-loss idea with n-gram
+    models standing in for the two networks): excess surprisal =
+    mean unigram surprisal − mean conditional bigram surprisal. High
+    excess = a context model explains the doc far better than a
+    bag-of-words one — structured, learnable text; near-zero excess =
+    either memorized boilerplate (both low) or incoherent token soup
+    (both high), the two classes a pretraining mix wants less of.
+    Emits the top-100 selection, the token-budget-selection shape.
+
+    Scale: strictly the union of the two surprisal queries' plans —
+    |vocab|- and |bigram-vocab|-bound count frames, map-side-combined
+    explodes, two per-doc means joined on doc_id (co-partitioned), and
+    a top-100 global window that WindowGroupLimit keeps as per-task
+    heaps (never a full sort). Per-occurrence surprisal rounded to
+    6 dp before the decimal mean (transcendental-determinism rule).
+    """
+    uni = text_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", F.col("avg_surprisal").alias("avg_uni")
+    )
+    bi = text_bigram_surprisal(spark, sf_dir).select(
+        "doc_id", F.col("avg_bigram_surprisal").alias("avg_bi")
+    )
+    scored = uni.join(bi, "doc_id").withColumn(
+        "excess_surprisal", F.round(F.col("avg_uni") - F.col("avg_bi"), 6)
+    )
+    w = Window.orderBy(F.col("excess_surprisal").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("doc_id", "avg_uni", "avg_bi", "excess_surprisal", "rank")
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+4], ' ')
+                     for i in range(1, greatest(len(t) - 3, 1))]) AS gram
+      FROM tk WHERE len(t) >= 5
+    ),
+    df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty score: the fraction of a document's DISTINCT
+    5-gram shingles that appear in no other document. Low novelty =
+    template/boilerplate/near-copy content (the within-corpus
+    memorization signal — complements curation_decontaminate, which
+    checks grams against a held-out SPLIT, and dedup_*, which find the
+    matching partner); high novelty = fresh text worth its tokens.
+
+    Scale: per-doc DISTINCT first (shrinks power-law repeats inside a
+    doc), then one |gram-vocab|-bound document-frequency count, one
+    equi-join back, one per-doc sum — the exact tf-idf/df plan shape.
+    df=1 grams can't be cut by a HAVING (they ARE the signal), but the
+    join side stays (gram → df) sized by distinct grams; at 100 TB
+    shard the join on gram hash like every dedup band join here.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("t")).filter(
+        F.size("t") >= 5
+    )
+    g = toks.select(
+        "doc_id", F.explode(ngrams_from_tokens(F.col("t"), 5)).alias("gram")
+    ).distinct()
+    df = g.groupBy("gram").agg(F.count("*").alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )

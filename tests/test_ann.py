@@ -276,3 +276,26 @@ def test_matryoshka_recall_in_range_and_degrading(spark):
     finally:
         ann.MRL_DIM = orig
     assert all(r["recall_at_10"] == 1.0 for r in full)
+
+
+def test_hard_negatives_are_wrong_label_and_ranked(spark):
+    """Every mined negative must carry a label different from its
+    query's, ranks must be 1..K per query in non-increasing cosine."""
+    from kinesis_s3_spark.operators.ann import HARD_NEG_K, N_QUERIES
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qlab = {
+        r["vec_id"]: r["label"]
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    }
+    rows = Q["ann_hard_negatives"](spark, SF_CORRECT).collect()
+    by_q = {}
+    for r in rows:
+        assert r["label"] != qlab[r["q_id"]], r
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(qlab)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, HARD_NEG_K + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)

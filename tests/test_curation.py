@@ -286,3 +286,47 @@ def test_survivorship_keeps_best_quality_member(spark):
         best = min(ms, key=lambda d: (-quality[d], d))
         assert r["kept_doc_id"] == best
         assert r["quality"] == quality[best]
+
+
+def test_ngram_novelty_bounds_and_exact_twin(spark, tmp_path):
+    """novelty ∈ [0,1], n_novel <= n_grams on the real corpus; and on a
+    planted corpus, exact-duplicate docs must score 0 while a fully
+    unique doc scores 1."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    Q = entrymod.queries()
+    rows = Q["text_ngram_novelty"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_novel"] <= r["n_grams"]
+
+    dup = "alpha beta gamma delta epsilon zeta eta"
+    uniq = "one two three four five six seven eight"
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [dup, dup, uniq],
+         "lang": ["en"] * 3, "source": ["t"] * 3,
+         "n_chars": [len(dup), len(dup), len(uniq)]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    planted = {
+        r["doc_id"]: r for r in Q["text_ngram_novelty"](spark, str(tmp_path)).collect()
+    }
+    assert planted[1]["novelty"] == 0.0 and planted[2]["novelty"] == 0.0
+    assert planted[3]["novelty"] == 1.0
+
+
+def test_learnability_is_top100_by_excess(spark):
+    """The selection must be exactly the 100 largest excess-surprisal
+    docs (doc_id tie-break), rank-ordered."""
+    import __spark_entry__ as entrymod
+
+    Q = entrymod.queries()
+    rows = Q["text_learnability"](spark, SF_CORRECT).collect()
+    assert len(rows) == 100
+    rows.sort(key=lambda r: r["rank"])
+    keys = [(-r["excess_surprisal"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert abs(r["excess_surprisal"] - round(r["avg_uni"] - r["avg_bi"], 6)) < 1e-9

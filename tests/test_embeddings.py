@@ -96,3 +96,30 @@ def test_power_iteration_matches_numpy(spark):
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-4
     for p, comp in got.items():
         assert abs(comp - v[p]) < 1e-4, (p, comp, v[p])
+
+
+def test_prototype_prune_drops_exactly_the_farthest_fifth(spark):
+    """Per label: prune count == floor(0.2 * n), the pruned set is
+    exactly the top-|prune| by (dist2 desc, vec_id), and every vector
+    appears exactly once."""
+    import math
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+    from kinesis_s3_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    Q = entrymod.queries()
+    rows = Q["emb_prototype_prune"](spark, SF_CORRECT).collect()
+    n_vecs = load_table(spark, SF_CORRECT, "embeddings").count()
+    assert len(rows) == n_vecs
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r["label"]].append(r)
+    for lab, rs in by_label.items():
+        k = math.floor(len(rs) * 0.2)
+        pruned = [r for r in rs if r["prune"] == 1]
+        assert len(pruned) == k, (lab, len(pruned), k)
+        rs.sort(key=lambda r: (-r["dist2"], r["vec_id"]))
+        assert all(r["prune"] == 1 for r in rs[:k])
+        assert all(r["prune"] == 0 for r in rs[k:])

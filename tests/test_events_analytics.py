@@ -385,3 +385,40 @@ def test_rollup_cascade_equals_direct_day_aggregation(spark):
         c = cascade[(r["event_type"], r["day_start"])]
         for col in ("n_events", "sum_value", "min_value", "max_value", "n_minutes"):
             assert c[col] == r[col], (r["event_type"], r["day_start"], col)
+
+
+def test_seasonal_decompose_residual_is_value_minus_profile(spark):
+    """Each anomaly row must satisfy residual == round(value - seasonal)
+    and ranks must be 1..3 per event_type with |residual| descending."""
+    Q = entrymod.queries()
+    rows = Q["events_seasonal_decompose"](spark, SF_SMOKE).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        assert abs(r["residual"] - round(r["value"] - r["seasonal"], 6)) < 1e-9
+        by_type[r["event_type"]].append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        mags = [abs(r["residual"]) for r in rs]
+        assert mags == sorted(mags, reverse=True), t
+
+
+def test_funnel_conversion_time_bounds(spark):
+    """min <= median <= max, sum/count consistency, and the converted
+    count can't exceed the users who ever viewed."""
+    from kinesis_s3_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    [r] = Q["events_funnel_conversion_time"](spark, SF_SMOKE).collect()
+    assert r["n_converted"] > 0
+    assert 0 < r["min_delay_us"] <= r["median_delay_us"] <= r["max_delay_us"]
+    assert r["min_delay_us"] * r["n_converted"] <= r["sum_delay_us"]
+    assert r["sum_delay_us"] <= r["max_delay_us"] * r["n_converted"]
+    n_viewers = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_converted"] <= n_viewers

@@ -80,6 +80,8 @@ ALLOW_NESTED_LOOP = {
     "sketch_quantile_histogram",  # 1-row min/max/n broadcast + <=64-row cum frame
     "ann_mips_ivf_topk",  # 1-row max-norm + 16-centroid broadcasts (ann.py MIPS-IVF)
     "ann_recall_mips_ivf",  # inherits both arms' bounded broadcasts
+    "text_learnability",  # inherits the unigram arm's 1-row total broadcast
+    "ann_hard_negatives",  # broadcast 5-row query side, label-mismatch in-scan
     "etl_zorder_skipping",  # 1-row range broadcast + 3-row predicate-box frame
     "sketch_ams_f2",  # 1-row exact-arm broadcast crossed with the 1-row estimate
     "sketch_hll_sliding",  # |days|-row dim broadcast range-joined for the exact arm
