@@ -1,0 +1,85 @@
+"""Crossover measurement for the distributed global-rank primitive.
+
+The r7 ratchet re-pin (tools/bench_baseline.json `repin_r7_rank`)
+records that operators/ranking.py costs a fixed few seconds MORE than
+the single-partition `Window.orderBy` it replaced at sf0.1/sf1 toy
+scale. This experiment makes the other side of that trade measurable
+instead of asserted: rank the SAME synthetic frame both ways at
+growing row counts and report the crossover.
+
+Self-contained (spark.range — no testdata dependency), deterministic
+(keys are a bit-mixed function of the row id), and honest about what
+the single-partition arm is doing (one core sorts everything; its
+time grows ~n log n on one executor thread while the two-phase arm
+spreads the sort across all cores).
+
+Run:  python tools/rank_scale_experiment.py [n1 n2 ...]
+Default sizes: 1e6, 1e7, 5e7.  Results land in SCALE.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_s3_spark.operators.ranking import global_row_number
+from kinesis_s3_spark.session import get_spark
+
+
+def synth(spark, n: int):
+    """n rows with a well-spread deterministic sort key (xorshift-ish
+    bit mix of the id — no ties, so both arms compute the identical
+    permutation)."""
+    return spark.range(n).select(
+        F.col("id"),
+        # splitmix64-style mix, kept positive for the bucketizer
+        F.pmod(
+            F.hash(F.col("id").cast("string")).cast("long") * F.lit(2654435761),
+            F.lit(2**31),
+        ).alias("k"),
+    )
+
+
+def time_arm(df_fn) -> float:
+    t0 = time.time()
+    df_fn().write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def main(sizes: list[int]) -> None:
+    spark = get_spark("rank-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = []
+    for n in sizes:
+        base = synth(spark, n).localCheckpoint()  # isolate rank cost from synth
+
+        def single():
+            w = Window.orderBy("k", "id")
+            return base.withColumn("r", F.row_number().over(w))
+
+        def two_phase():
+            return global_row_number(
+                base, F.col("k"), [F.col("k"), F.col("id")], "r"
+            )
+
+        # warm both arms once, then measure
+        time_arm(single), time_arm(two_phase)
+        s = time_arm(single)
+        t = time_arm(two_phase)
+        row = {"n": n, "single_partition_sec": s, "two_phase_sec": t}
+        out.append(row)
+        print(json.dumps(row))
+        base.unpersist()
+    print(json.dumps({"summary": out}))
+
+
+if __name__ == "__main__":
+    sizes = [int(float(a)) for a in sys.argv[1:]] or [1_000_000, 10_000_000, 50_000_000]
+    main(sizes)
