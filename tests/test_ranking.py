@@ -1,0 +1,86 @@
+"""Value-equality tests for the distributed ranking primitives: the
+two-phase plan must assign EXACTLY the numbers the (retired)
+single-partition window would, on adversarial key distributions —
+boundary ties, heavy skew, few distinct values, all-equal keys. The
+oracle gates cover the four production call sites; these cover the
+primitive itself on shapes the testdata doesn't contain."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from kinesis_s3_spark.operators.ranking import global_prefix_sum, global_row_number
+
+CASES = {
+    # (name, key values): id is the tiebreaker, so (k, id) is total
+    "all_equal": [7] * 500,
+    "two_values": [1, 2] * 250,
+    "heavy_skew": [0] * 450 + list(range(50)),
+    "negatives": [(-1) ** i * (i % 37) for i in range(500)],
+    "spread": [(i * 2654435761) % 1000003 for i in range(500)],
+}
+
+
+def _frame(spark, keys):
+    return spark.createDataFrame(
+        [(i, int(k)) for i, k in enumerate(keys)], "id long, k long"
+    )
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    for name, keys in CASES.items():
+        df = _frame(spark, keys)
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("k", "id"))
+            ).collect()
+        }
+        got = {
+            r["id"]: r["rn"]
+            for r in global_row_number(
+                df, F.col("k"), [F.col("k"), F.col("id")], "rn", nbuckets=7
+            ).collect()
+        }
+        assert got == want, name
+
+
+def test_global_prefix_sum_matches_single_partition_window(spark):
+    for name, keys in CASES.items():
+        df = _frame(spark, keys).withColumn("v", (F.col("id") % 5 + 1).cast("long"))
+        w = (
+            Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        want = {
+            r["id"]: r["ps"]
+            for r in df.withColumn(
+                "ps", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["ps"]
+            for r in global_prefix_sum(
+                df, F.col("k"), [F.col("k"), F.col("id")], "v", "ps", nbuckets=7
+            ).collect()
+        }
+        assert got == want, name
+
+
+def test_desc_order_via_negated_bucket_key(spark):
+    """The documented DESC recipe (pass 0 - x as the bucket key) must
+    produce the descending permutation exactly."""
+    df = _frame(spark, CASES["spread"])
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("k").desc(), "id"))
+        ).collect()
+    }
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(
+            df, F.lit(0) - F.col("k"), [F.col("k").desc(), F.col("id")], "rn", nbuckets=7
+        ).collect()
+    }
+    assert got == want
