@@ -76,6 +76,7 @@ _GATE_FIRST = [
     "ann_recall_mips_ivf",
     "ann_hard_negatives",
     "emb_prototype_prune",
+    "events_drift_ks",
     "events_funnel_conversion_time",
     "events_resample_ffill",
     "events_rollup_cascade",

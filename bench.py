@@ -128,6 +128,7 @@ HEADLINE = [
     "events_rollup_cascade",
     "events_seasonal_decompose",
     "events_funnel_conversion_time",
+    "events_drift_ks",
     "mm_video_shot_boundary",
     "text_learnability",
     "text_ngram_novelty",

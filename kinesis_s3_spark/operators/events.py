@@ -1922,3 +1922,129 @@ def events_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("delay_us").cast("long").alias("sum_delay_us"),
         F.round(F.median("delay_us"), 1).alias("median_delay_us"),
     )
+
+
+# Kolmogorov-Smirnov critical coefficient at alpha = 0.05 (two-sample):
+# D_crit = 1.358 * sqrt((n1 + n2) / (n1 * n2)).
+_KS_C_ALPHA = 1.358
+
+
+@query(
+    "events_drift_ks",
+    oracle=f"""
+    WITH lab AS (
+      SELECT value,
+             CASE WHEN date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                    IN (2, 3) THEN 1 ELSE 0 END AS we
+      FROM events
+    ),
+    counts AS (
+      SELECT value,
+             CAST(SUM(we) AS BIGINT) AS n1,
+             CAST(SUM(1 - we) AS BIGINT) AS n2
+      FROM lab GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             SUM(n1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c1,
+             SUM(n2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c2
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(n1) AS DOUBLE) AS t1, CAST(SUM(n2) AS DOUBLE) AS t2
+      FROM counts
+    ),
+    d AS (
+      SELECT MAX(ROUND(ABS(c.c1 / t.t1 - c.c2 / t.t2), 6)) AS ks_stat,
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM cum c CROSS JOIN tot t
+    )
+    SELECT d.n_values,
+           CAST(t.t1 AS BIGINT) AS n_weekend,
+           CAST(t.t2 AS BIGINT) AS n_weekday,
+           d.ks_stat,
+           ROUND({_KS_C_ALPHA} * SQRT((t.t1 + t.t2) / (t.t1 * t.t2)), 6)
+             AS ks_critical,
+           d.ks_stat > ROUND({_KS_C_ALPHA} * SQRT((t.t1 + t.t2) / (t.t1 * t.t2)), 6)
+             AS drifted
+    FROM d CROSS JOIN tot t
+    """,
+)
+def events_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on the value
+    distribution, weekend vs weekday (same TZ-free day split as the
+    chi-square twin): D = max over v of |F_we(v) − F_wd(v)| against
+    the alpha=0.05 critical line. KS sees SHAPE drift (variance,
+    skew, bimodality) that the binned PSI smooths over and the
+    categorical chi-square can't express — the third leg of the drift
+    suite.
+
+    Spark-first scale story: the empirical CDFs need a GLOBAL
+    cumulative over the distinct-value frame — the exact shape the
+    two-phase prefix-sum primitive (operators/ranking.py
+    global_prefix_sum) exists for, used here for both group CDFs
+    chained over one bucketize each; no single-partition window
+    anywhere (plan-audited class, budget 0). The data-sized work is
+    one groupBy(value) with map-side combine; everything after is
+    |distinct values|-bound. The oracle can afford a plain window —
+    it is DuckDB.
+    """
+    from kinesis_s3_spark.operators.ranking import global_prefix_sum
+
+    e = load_table(spark, sf_dir, "events")
+    we = (
+        F.expr("date_diff(DAY, DATE'1970-01-01', cast(ts as date))") % 7
+    ).isin(2, 3)
+    counts = (
+        e.select("value", F.when(we, 1).otherwise(0).alias("we"))
+        .groupBy("value")
+        .agg(
+            F.sum("we").cast("long").alias("n1"),
+            F.sum(1 - F.col("we")).cast("long").alias("n2"),
+        )
+        # |distinct values|-bound; feeds five branches (bucketize
+        # bounds, the ranked pass, both offset joins, the totals) —
+        # materialize once instead of re-aggregating the corpus per
+        # branch
+        .localCheckpoint()
+    )
+    # INCLUSIVE cumulative = exclusive prefix sum + own count; both
+    # CDFs in ONE two-phase pass (shared bucketize/shuffle/offsets)
+    cum = global_prefix_sum(
+        counts, F.col("value"), [F.col("value")], ["n1", "n2"], ["p1", "p2"]
+    )
+    cum = cum.select(
+        "value",
+        (F.col("p1") + F.col("n1")).alias("c1"),
+        (F.col("p2") + F.col("n2")).alias("c2"),
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("n1").cast("double").alias("t1"),
+            F.sum("n2").cast("double").alias("t2"),
+        )
+    )
+    d = (
+        cum.crossJoin(tot)
+        .agg(
+            F.max(
+                F.round(F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2")), 6)
+            ).alias("ks_stat"),
+            F.count("*").cast("long").alias("n_values"),
+        )
+    )
+    crit = F.round(
+        _KS_C_ALPHA * F.sqrt((F.col("t1") + F.col("t2")) / (F.col("t1") * F.col("t2"))),
+        6,
+    )
+    return (
+        d.crossJoin(tot)
+        .select(
+            "n_values",
+            F.col("t1").cast("long").alias("n_weekend"),
+            F.col("t2").cast("long").alias("n_weekday"),
+            "ks_stat",
+            crit.alias("ks_critical"),
+            (F.col("ks_stat") > crit).alias("drifted"),
+        )
+    )

@@ -132,40 +132,55 @@ def global_prefix_sum(
     df: DataFrame,
     bucket_key: Column,
     order_cols: list[Column],
-    value_col: str,
-    out_col: str,
+    value_col: str | list[str],
+    out_col: str | list[str],
     nbuckets: int | None = None,
 ) -> DataFrame:
     """EXCLUSIVE global prefix sum of ``value_col`` in the total order
     given by ``order_cols`` (the sum of values strictly before this
     row) — the midrank/CDF building block — as the same two-phase
-    plan as :func:`global_row_number`."""
+    plan as :func:`global_row_number`.
+
+    Pass lists for ``value_col``/``out_col`` to compute several prefix
+    sums in ONE two-phase pass (e.g. both empirical CDFs of a KS test):
+    all sums share the bucketize, the bucket-hash shuffle, and the
+    offsets broadcast — k columns cost one extra window aggregate each,
+    not k full passes."""
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col must have equal length")
     n = _nbuckets(df, nbuckets)
-    d, bcol = _bucketize(df, bucket_key, out_col, n)
+    d, bcol = _bucketize(df, bucket_key, ocols[0], n)
     lw = (
         Window.partitionBy(bcol)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # prefix sum, per-bucket total, and a marker row_number over the
+    # prefix sums, per-bucket totals, and a marker row_number over the
     # SAME bucket-hash partitioning — one reused shuffle (see
     # global_row_number)
-    wd = (
-        d.withColumn(
-            "__ps", F.coalesce(F.sum(value_col).over(lw), F.lit(0)).cast("long")
-        )
-        .withColumn(
-            "__bs", F.sum(value_col).over(Window.partitionBy(bcol)).cast("long")
-        )
-        .withColumn(
-            "__rn", F.row_number().over(Window.partitionBy(bcol).orderBy(*order_cols))
-        )
+    bw = Window.partitionBy(bcol)
+    wd = d
+    for v in vcols:
+        wd = wd.withColumn(
+            f"__ps_{v}", F.coalesce(F.sum(v).over(lw), F.lit(0)).cast("long")
+        ).withColumn(f"__bs_{v}", F.sum(v).over(bw).cast("long"))
+    wd = wd.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy(bcol).orderBy(*order_cols))
     )
-    sums = wd.filter(F.col("__rn") == 1).select(bcol, "__bs")
-    off_col = f"__off_{out_col}"
-    offs = _exclusive_offsets(sums, bcol, "__bs", off_col)
-    return (
-        wd.join(F.broadcast(offs), bcol)
-        .withColumn(out_col, (F.col("__ps") + F.col(off_col)).cast("long"))
-        .drop(bcol, off_col, "__ps", "__bs", "__rn")
+    sums = wd.filter(F.col("__rn") == 1).select(
+        bcol, *[f"__bs_{v}" for v in vcols]
     )
+    offs = None
+    for v, out in zip(vcols, ocols):
+        o = _exclusive_offsets(sums, bcol, f"__bs_{v}", f"__off_{out}")
+        offs = o if offs is None else offs.join(o, bcol)
+    out_df = wd.join(F.broadcast(offs), bcol)
+    drop = [bcol, "__rn"]
+    for v, out in zip(vcols, ocols):
+        out_df = out_df.withColumn(
+            out, (F.col(f"__ps_{v}") + F.col(f"__off_{out}")).cast("long")
+        )
+        drop += [f"__ps_{v}", f"__bs_{v}", f"__off_{out}"]
+    return out_df.drop(*drop)

@@ -422,3 +422,36 @@ def test_funnel_conversion_time_bounds(spark):
         .count()
     )
     assert r["n_converted"] <= n_viewers
+
+
+def test_drift_ks_bounds_and_recompute(spark):
+    """KS stat ∈ [0,1]; recompute D driver-side from raw per-value
+    counts (pure python CDF walk) and compare to the engine's."""
+    from kinesis_s3_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    [r] = Q["events_drift_ks"](spark, SF_SMOKE).collect()
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    assert r["ks_critical"] > 0
+    we = (
+        F.expr("date_diff(DAY, DATE'1970-01-01', cast(ts as date))") % 7
+    ).isin(2, 3)
+    counts = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("value", F.when(we, 1).otherwise(0).alias("we"))
+        .groupBy("value")
+        .agg(F.sum("we").alias("n1"), F.sum(1 - F.col("we")).alias("n2"))
+        .orderBy("value")
+        .collect()
+    )
+    t1 = sum(c["n1"] for c in counts)
+    t2 = sum(c["n2"] for c in counts)
+    assert (t1, t2) == (r["n_weekend"], r["n_weekday"])
+    c1 = c2 = 0
+    d = 0.0
+    for c in counts:
+        c1 += c["n1"]
+        c2 += c["n2"]
+        d = max(d, round(abs(c1 / t1 - c2 / t2), 6))
+    assert abs(d - r["ks_stat"]) < 1e-9
+    assert r["drifted"] == (r["ks_stat"] > r["ks_critical"])

@@ -84,3 +84,29 @@ def test_desc_order_via_negated_bucket_key(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_multi_column_prefix_sum_matches_separate_calls(spark):
+    """The k-column form (one shared two-phase pass) must assign the
+    same sums as two independent single-column calls."""
+    df = _frame(spark, CASES["heavy_skew"]).select(
+        "id", "k",
+        (F.col("id") % 3 + 1).cast("long").alias("v1"),
+        (F.col("id") % 7).cast("long").alias("v2"),
+    )
+    both = {
+        r["id"]: (r["p1"], r["p2"])
+        for r in global_prefix_sum(
+            df, F.col("k"), [F.col("k"), F.col("id")], ["v1", "v2"], ["p1", "p2"],
+            nbuckets=7,
+        ).collect()
+    }
+    for col, out, idx in (("v1", "p1", 0), ("v2", "p2", 1)):
+        single = {
+            r["id"]: r[out]
+            for r in global_prefix_sum(
+                df, F.col("k"), [F.col("k"), F.col("id")], col, out, nbuckets=7
+            ).collect()
+        }
+        for i, pair in both.items():
+            assert pair[idx] == single[i], (col, i)
