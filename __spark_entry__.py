@@ -75,6 +75,7 @@ _GATE_FIRST = [
     "ann_mips_ivf_topk",
     "ann_recall_mips_ivf",
     "ann_hard_negatives",
+    "curation_quality_lr_calibration",
     "emb_prototype_prune",
     "events_drift_ks",
     "events_funnel_conversion_time",

@@ -327,3 +327,96 @@ def curation_quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+_LR_CALIB_SQL = (
+    _lr_chain()
+    + f""",
+    scored AS MATERIALIZED (
+      SELECT doc_id, y,
+             ROUND(1 / (1 + exp(0 - ((SELECT w0 FROM {_FINAL})
+                                     + (SELECT w1 FROM {_FINAL}) * f1
+                                     + (SELECT w2 FROM {_FINAL}) * f2))), 6) AS score
+      FROM d
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bucket, score, y
+      FROM scored
+    ),
+    per AS (
+      SELECT bucket, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_score,
+             ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+      FROM b GROUP BY bucket
+    ),
+    g AS (SELECT *, ROUND(ABS(mean_score - pos_rate), 6) AS gap FROM per),
+    t AS (
+      SELECT ROUND(CAST(SUM(CAST(n * gap AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE), 6) AS ece
+      FROM g
+    )
+    SELECT g.bucket, CAST(g.n AS BIGINT) AS n, g.mean_score, g.pos_rate, g.gap,
+           t.ece
+    FROM g CROSS JOIN t
+"""
+)
+
+
+@query("curation_quality_lr_calibration", oracle=_LR_CALIB_SQL)
+def curation_quality_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the trained
+    quality classifier: scores bucketed into deciles (cap at 9 so
+    score=1.0 joins the top bin), per-bin mean predicted probability
+    vs observed positive rate, per-bin |gap|, and the n-weighted ECE —
+    the standard check before a score threshold becomes a keep/drop
+    policy (an uncalibrated 0.9 is not a 90 % keep-quality promise).
+    Completes the LR suite: train (curation_quality_lr) → score
+    (_scores) → discriminate (_auc) → calibrate (this).
+
+    Scale: scoring is the same map-side projection as the scores
+    query; the calibration itself is one groupBy over TEN buckets
+    (map-side combined to ≤10 partials per task) and a 1-row ECE
+    broadcast — report cost is fixed at any corpus size. Mean scores
+    go through DECIMAL(18,6) (order-free); n·gap is exact at 6 dp
+    since n is integral."""
+    d = _features(spark, sf_dir)
+    w = train_lr(d)[-1]
+    z = F.lit(w[1]) + F.lit(w[2]) * F.col("f1") + F.lit(w[3]) * F.col("f2")
+    scored = d.select(
+        F.round(_sigmoid(z), 6).alias("score"), F.col("y").cast("long").alias("y")
+    )
+    per = (
+        scored.select(
+            F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias(
+                "bucket"
+            ),
+            "score",
+            "y",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_score"),
+            F.round(F.sum("y").cast("double") / F.count("*"), 6).alias("pos_rate"),
+        )
+        .withColumn(
+            "gap", F.round(F.abs(F.col("mean_score") - F.col("pos_rate")), 6)
+        )
+    )
+    t = F.broadcast(
+        per.agg(
+            F.round(
+                F.sum((F.col("n") * F.col("gap")).cast("decimal(18,6)")).cast("double")
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("ece")
+        )
+    )
+    return per.crossJoin(t).select(
+        "bucket", "n", "mean_score", "pos_rate", "gap", "ece"
+    )

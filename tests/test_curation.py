@@ -330,3 +330,23 @@ def test_learnability_is_top100_by_excess(spark):
     assert keys == sorted(keys)
     for r in rows:
         assert abs(r["excess_surprisal"] - round(r["avg_uni"] - r["avg_bi"], 6)) < 1e-9
+
+
+def test_lr_calibration_internal_consistency(spark):
+    """Per-bin gap == |mean_score - pos_rate|, ECE equals the n-weighted
+    mean of gaps, every bin in 0..9, and bins partition the corpus."""
+    import __spark_entry__ as entrymod
+    from kinesis_s3_spark.sources.tables import load_table
+
+    Q = entrymod.queries()
+    rows = Q["curation_quality_lr_calibration"](spark, SF_CORRECT).collect()
+    assert rows
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    total = sum(r["n"] for r in rows)
+    ece = round(sum(r["n"] * r["gap"] for r in rows) / total, 6)
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        assert abs(r["gap"] - round(abs(r["mean_score"] - r["pos_rate"]), 6)) < 1e-9
+        assert abs(r["ece"] - ece) < 1e-6
+        assert 0.0 <= r["pos_rate"] <= 1.0

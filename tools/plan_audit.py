@@ -83,6 +83,7 @@ ALLOW_NESTED_LOOP = {
     "text_learnability",  # inherits the unigram arm's 1-row total broadcast
     "ann_hard_negatives",  # broadcast 5-row query side, label-mismatch in-scan
     "events_drift_ks",  # 1-row totals crossed; triangular offset joins on <=nbuckets rows
+    "curation_quality_lr_calibration",  # 1-row ECE broadcast crossed onto <=10 bins
     "etl_zorder_skipping",  # 1-row range broadcast + 3-row predicate-box frame
     "sketch_ams_f2",  # 1-row exact-arm broadcast crossed with the 1-row estimate
     "sketch_hll_sliding",  # |days|-row dim broadcast range-joined for the exact arm
