@@ -79,6 +79,7 @@ _GATE_FIRST = [
     "emb_prototype_prune",
     "events_drift_ks",
     "events_funnel_conversion_time",
+    "events_peak_detection",
     "events_resample_ffill",
     "events_rollup_cascade",
     "events_seasonal_decompose",

@@ -129,6 +129,7 @@ HEADLINE = [
     "events_seasonal_decompose",
     "events_funnel_conversion_time",
     "events_drift_ks",
+    "events_peak_detection",
     "curation_quality_lr_calibration",
     "mm_video_shot_boundary",
     "text_learnability",

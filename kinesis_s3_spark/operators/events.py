@@ -2048,3 +2048,92 @@ def events_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ks_stat") > crit).alias("drifted"),
         )
     )
+
+
+# Peak criteria: strictly above both neighbors AND above the centered
+# ±3 h local mean by the factor below — the "alert on a spike, not on
+# a plateau" shape of metric monitoring.
+_PEAK_FACTOR = 1.5
+
+
+@query(
+    "events_peak_detection",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    ctx AS (
+      SELECT event_type, hour_start, v,
+             LAG(v) OVER w AS prev, LEAD(v) OVER w AS next,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER (
+                     PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+                   / COUNT(*) OVER (
+                     PARTITION BY event_type ORDER BY hour_start
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)
+               AS local_mean
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
+    )
+    SELECT event_type, hour_start, v, local_mean,
+           ROUND(v / local_mean, 4) AS ratio
+    FROM ctx
+    WHERE prev IS NOT NULL AND next IS NOT NULL
+      AND v > prev AND v > next AND v > {_PEAK_FACTOR} * local_mean
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike (peak) detection on the hourly value series per event
+    type: a peak is strictly above BOTH neighbors and above
+    {factor}× the centered ±3 h local mean — the standard "alert on a
+    spike, not a plateau or a level shift" monitor, complementing the
+    sustained-shift CUSUM and the distributional KS/PSI detectors.
+    Series endpoints can't qualify (no neighbor).
+
+    Scale: one data-sized hourly rollup (map-side combined), then
+    lag/lead/rolling-mean all over ONE (event_type, hour) window
+    partitioning — a single exchange of \\|types × hours\\| rollup
+    rows, never raw events. Hour sums and the local mean go through
+    DECIMAL (order-free) and are rounded before every comparison, so
+    the peak verdicts are bit-stable across engines and partitionings.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    roll = w.rowsBetween(-3, 3)
+    ctx = (
+        hourly.withColumn("prev", F.lag("v").over(w))
+        .withColumn("next", F.lead("v").over(w))
+        .withColumn(
+            "local_mean",
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,6)")).over(roll).cast("double")
+                / F.count("*").over(roll),
+                6,
+            ),
+        )
+    )
+    return (
+        ctx.filter(
+            F.col("prev").isNotNull()
+            & F.col("next").isNotNull()
+            & (F.col("v") > F.col("prev"))
+            & (F.col("v") > F.col("next"))
+            & (F.col("v") > _PEAK_FACTOR * F.col("local_mean"))
+        )
+        .select(
+            "event_type",
+            "hour_start",
+            "v",
+            "local_mean",
+            F.round(F.col("v") / F.col("local_mean"), 4).alias("ratio"),
+        )
+    )

@@ -455,3 +455,34 @@ def test_drift_ks_bounds_and_recompute(spark):
         d = max(d, round(abs(c1 / t1 - c2 / t2), 6))
     assert abs(d - r["ks_stat"]) < 1e-9
     assert r["drifted"] == (r["ks_stat"] > r["ks_critical"])
+
+
+def test_peak_detection_rows_are_real_local_maxima(spark):
+    """Recompute each peak's neighborhood from the raw hourly rollup:
+    every flagged row must be strictly above both hour-neighbors and
+    above 1.5x its centered +/-3h mean."""
+    from kinesis_s3_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    peaks = Q["events_peak_detection"](spark, SF_SMOKE).collect()
+    assert peaks
+    hourly = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("v"))
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in hourly:
+        series[r["event_type"]][r["h"]] = r["v"]
+    for p in peaks:
+        s = series[p["event_type"]]
+        hs = sorted(s)
+        i = hs.index(p["hour_start"])
+        assert 0 < i < len(hs) - 1
+        assert s[hs[i]] > s[hs[i - 1]] and s[hs[i]] > s[hs[i + 1]]
+        lo, hi = max(0, i - 3), min(len(hs), i + 4)
+        window = [s[hs[j]] for j in range(lo, hi)]
+        local_mean = round(sum(window) / len(window), 6)
+        assert s[hs[i]] > 1.5 * local_mean
+        assert abs(p["local_mean"] - local_mean) < 1e-6
