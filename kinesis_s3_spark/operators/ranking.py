@@ -34,6 +34,24 @@ or duplicate boundaries only unbalance the buckets; ranks stay exact
 because every row with an equal first key lands in the same bucket and
 the in-bucket window applies the full tie-breaking order.
 
+**Tie degeneracy** (VERDICT r7 "what's missing" #1): that same
+correctness rule means a LOW-CARDINALITY leading key collapses the
+buckets — with 3 distinct key values there are at most 3 non-empty
+buckets no matter how many split points are requested, and a Zipfian
+count-valued key (half a web-scale vocabulary has freq=1) turns the
+freq=1 bucket into a near-single-partition window that the plan audit
+cannot see (the exchange is hash, not SinglePartition). Rank-by-count
+surfaces must use :func:`global_row_number_tiesafe`, the two-level
+form: the DISTINCT-key frame (sublinear for count-valued keys: the
+distinct counts c1<c2<… satisfy Σci ≤ N, so there are ≤ √(2N) of
+them) carries each key group's global offset, and within a key group
+the rows are sub-bucketed by a SECOND range-bucketize over a numeric
+monotone projection of the tiebreaker — inside a tie group the
+tiebreaker order IS the total order, so tiebreak-range cells are
+contiguous and the numbering stays exact (bit-identical to the
+single-level form), while the per-cell window is now bounded by the
+tiebreaker's distribution, not the key's.
+
 Reference parity note: the reference pipeline (kinesis-s3) has no
 ranking surface at all; this primitive exists for the curation/eval
 operators built on top (epoch shuffle, AUC midranks, DSIR rank,
@@ -125,6 +143,148 @@ def global_row_number(
         wd.join(F.broadcast(offs), bcol)
         .withColumn(out_col, (F.col("__rn") + F.col(off_col)).cast("long"))
         .drop(bcol, off_col, "__rn", "__bc")
+    )
+
+
+def string_order_key(col: Column) -> Column:
+    """Monotone numeric projection of a string column's UTF8-binary
+    order (Spark's and DuckDB's default collation): the first 7 UTF-8
+    bytes as a big-endian integer, zero-padded on the right — 14 hex
+    chars < 2^56, always a valid long. proj(a) < proj(b) implies
+    a < b; strings sharing a 7-byte prefix project equal, which is the
+    allowed tie case (they land in one bucket and the in-bucket window
+    finishes the comparison)."""
+    return F.conv(
+        F.rpad(F.hex(F.substring(F.encode(col, "UTF-8"), 1, 7)), 14, "0"), 16, 10
+    ).cast("long")
+
+
+def _two_level_buckets(
+    df: DataFrame,
+    key_bucket: Column,
+    tiebreak_bucket: Column,
+    tag: str,
+    nbuckets: int,
+) -> tuple[DataFrame, str, str]:
+    """Assign BOTH range-bucket ids in one pass: one agg computes both
+    boundary arrays (a single 1-row broadcast), then each row gets its
+    key bucket b1 and tiebreak bucket b2. Exposed for tests: the
+    balance property under an all-ties key is that no (key, b2) cell
+    exceeds ~2n/nbuckets rows when the tiebreaker is high-cardinality."""
+    b1, b2 = f"__b1_{tag}", f"__b2_{tag}"
+    n1, n2 = f"__bounds1_{tag}", f"__bounds2_{tag}"
+    pcts = [i / nbuckets for i in range(1, nbuckets)]
+    bounds = df.agg(
+        F.array_distinct(
+            F.array_compact(F.percentile_approx(key_bucket, pcts, 10_000))
+        ).alias(n1),
+        F.array_distinct(
+            F.array_compact(F.percentile_approx(tiebreak_bucket, pcts, 10_000))
+        ).alias(n2),
+    )
+    bucketed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(b1, F.size(F.filter(F.col(n1), lambda v: v <= key_bucket)))
+        .withColumn(b2, F.size(F.filter(F.col(n2), lambda v: v <= tiebreak_bucket)))
+        .drop(n1, n2)
+    )
+    return bucketed, b1, b2
+
+
+def global_row_number_tiesafe(
+    df: DataFrame,
+    key_cols: list[str],
+    key_bucket: Column,
+    key_order: list[Column],
+    tiebreak_bucket: Column,
+    order_cols: list[Column],
+    out_col: str,
+    nbuckets: int | None = None,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (ORDER BY key_order, order_cols)`` for a
+    LOW-CARDINALITY leading key (the tie-degenerate case of
+    :func:`global_row_number`): rank-by-count surfaces where half the
+    corpus can share one key value.
+
+    - ``key_cols``: the exact leading-key column names (the tie-group
+      identity; e.g. ``["freq"]``).
+    - ``key_bucket``: numeric monotone projection of the key order
+      (``F.lit(0) - F.col("freq")`` for DESC).
+    - ``key_order``: the total order among DISTINCT keys (must order
+      exactly by ``key_cols``; e.g. ``[F.col("freq").desc()]``).
+    - ``tiebreak_bucket``: numeric monotone projection of the
+      WITHIN-KEY order (``string_order_key(F.col("word"))`` for a
+      string tiebreaker).
+    - ``order_cols``: the within-key total order (e.g.
+      ``[F.col("word")]``).
+
+    Plan: one agg broadcasts both boundary arrays; the data shuffles
+    ONCE on hash(key, b2) for the in-cell window (cell sizes follow
+    the TIEBREAKER's distribution — balanced even when every row has
+    the same key); all offset arithmetic runs on two reduced frames:
+    the per-cell count frame (≤ |keys|·nbuckets rows, equi-joined
+    back) and the distinct-key frame (≤ √(2N) rows for count-valued
+    keys, since distinct counts c1<c2<… satisfy Σci ≤ N). The final
+    number is key_offset (rows with strictly smaller key) +
+    within-key cell offset (same key, smaller tiebreak bucket) +
+    in-cell row_number — exact and bit-identical to the single-level
+    form because tiebreak-range cells are contiguous inside a tie
+    group and the projection is monotone."""
+    n = _nbuckets(df, nbuckets)
+    d, b1, b2 = _two_level_buckets(df, key_bucket, tiebreak_bucket, out_col, n)
+    cell = [*key_cols, b2]
+    cw = Window.partitionBy(*cell).orderBy(*order_cols)
+    # in-cell row_number and per-cell count over the SAME hash(key,b2)
+    # partitioning — ReuseExchange collapses them onto one shuffle
+    wd = d.withColumn("__rn", F.row_number().over(cw)).withColumn(
+        "__cc", F.count("*").over(Window.partitionBy(*cell))
+    )
+    cells = wd.filter(F.col("__rn") == 1).select(
+        *key_cols, b1, b2, F.col("__cc").cast("long").alias("__cc")
+    )
+    # within-key offset: cells with the same key and a smaller tiebreak
+    # bucket — a per-key window over ≤ nbuckets cell rows (bounded)
+    kw = (
+        Window.partitionBy(*key_cols)
+        .orderBy(b2)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    woff = cells.withColumn(
+        "__woff", F.coalesce(F.sum("__cc").over(kw), F.lit(0)).cast("long")
+    ).select(*key_cols, b2, "__woff")
+    # key offset: rows with a strictly smaller key = exclusive prefix
+    # sum of per-key totals in key order, over the DISTINCT-key frame
+    # (keys are distinct here, so the b1 range-bucketize cannot
+    # tie-collapse; worst case one b1 holds the whole frame, which is
+    # ≤ √(2N) scalar rows for count-valued keys)
+    keys = cells.groupBy(*key_cols, b1).agg(F.sum("__cc").alias("__kc"))
+    pw = (
+        Window.partitionBy(b1)
+        .orderBy(*key_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keys = keys.withColumn(
+        "__kprev", F.coalesce(F.sum("__kc").over(pw), F.lit(0)).cast("long")
+    )
+    bcnt = keys.groupBy(b1).agg(F.sum("__kc").cast("long").alias("__bc"))
+    boffs = _exclusive_offsets(bcnt, b1, "__bc", "__boff")
+    koff = (
+        keys.join(F.broadcast(boffs), b1)
+        .select(
+            *key_cols,
+            (F.col("__kprev") + F.col("__boff")).cast("long").alias("__koff"),
+        )
+    )
+    # merge both offset frames FIRST (cells-frame-sized equi-join), so
+    # the data-sized side is joined exactly once, on the (key, b2)
+    # partitioning its window already produced — no second data shuffle
+    offsets = woff.join(koff, list(key_cols)).select(
+        *key_cols, b2, (F.col("__woff") + F.col("__koff")).alias("__off")
+    )
+    return (
+        wd.join(offsets, cell)
+        .withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop(b1, b2, "__rn", "__cc", "__off")
     )
 
 

@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from kinesis_s3_spark.operators.ranking import global_row_number
+from kinesis_s3_spark.operators.ranking import (
+    global_row_number,
+    global_row_number_tiesafe,
+)
 from kinesis_s3_spark.session import get_spark
 
 
@@ -51,6 +54,20 @@ def time_arm(df_fn) -> float:
     t0 = time.time()
     df_fn().write.format("noop").mode("overwrite").save()
     return round(time.time() - t0, 2)
+
+
+def synth_ties(spark, n: int):
+    """n rows whose leading key takes only THREE values (Zipfian-ish
+    80/15/5 split) — the r7 tie-degenerate shape: the single-level
+    bucketize collapses to ≤ 3 buckets no matter how many split
+    points it asks for, so its 'parallel' window is really one core
+    sorting 80% of the data. The id is the high-cardinality
+    tiebreaker the two-level form sub-buckets on."""
+    h = F.pmod(F.hash(F.col("id").cast("string")).cast("long"), F.lit(100))
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(h < 80, F.lit(1)).when(h < 95, F.lit(2)).otherwise(F.lit(3)).alias("k"),
+    )
 
 
 def main(sizes: list[int]) -> None:
@@ -77,6 +94,33 @@ def main(sizes: list[int]) -> None:
         out.append(row)
         print(json.dumps(row))
         base.unpersist()
+
+        # --- tie-degenerate arm (VERDICT r7 missing #1): 3-value key —
+        # the single-LEVEL two-phase plan degenerates to one fat bucket;
+        # the two-LEVEL tiesafe plan must keep scaling
+        tied = synth_ties(spark, n).localCheckpoint()
+
+        def degenerate():
+            return global_row_number(
+                tied, F.col("k"), [F.col("k"), F.col("id")], "r"
+            )
+
+        def tiesafe():
+            return global_row_number_tiesafe(
+                tied, ["k"], F.col("k"), [F.col("k")], F.col("id"),
+                [F.col("id")], "r",
+            )
+
+        time_arm(degenerate), time_arm(tiesafe)
+        row = {
+            "n": n,
+            "key": "3-distinct (80/15/5)",
+            "single_level_two_phase_sec": time_arm(degenerate),
+            "tiesafe_two_level_sec": time_arm(tiesafe),
+        }
+        out.append(row)
+        print(json.dumps(row))
+        tied.unpersist()
     print(json.dumps({"summary": out}))
 
 
