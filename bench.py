@@ -78,6 +78,7 @@ HEADLINE = [
     "ann_pq_topk",
     "dedup_semantic",
     "dedup_semantic_k32",
+    "dedup_semantic_hier",
     "text_bm25_search",
     "graph_pagerank",
     "graph_triangles",

@@ -273,3 +273,265 @@ def dedup_semantic_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sim"), F.lit(0)).alias("n_sim"),
         )
     )
+
+
+# --- hierarchical SemDeDup: the k∝n arm that SCALES -------------------------
+#
+# The flat k∝n mitigation (dedup_semantic_k32) holds per-cluster pair
+# cost constant only by growing k linearly — and flat Lloyd assignment
+# costs n·k distance evaluations, so at 100× corpus growth the ASSIGN
+# stage becomes the cliff the pair stage used to be (measured in
+# tools/scale100_experiment.py: flat k=32 at 100× embeddings leaves
+# Σ|c|²/2 ≈ 6.5e8 candidate pairs, and scaling k to ~3200 would cost
+# 6.4e8 full-dim assign evaluations instead). The standard fix
+# (faiss-style coarse quantizer; Abbas et al. 2023 §3 cluster with
+# faiss) is HIERARCHICAL k-means: √k coarse cells, then √k fine cells
+# WITHIN each coarse cell — effective k cells at n·2√k assign cost.
+# Both levels target cluster size ~TARGET_CELL, so k tracks n with no
+# hand-set constant: kk = ⌈√(n / TARGET_CELL)⌉ per level.
+#
+# Determinism (registry rules): coarse level is exactly the
+# dedup_semantic chain with k=kk; fine seeds are each cell's first kk
+# members by vec_id (fid = dense 0..kk−1 in vec_id order); fine
+# assignment rounds dist to 4 dp with fid tie-break; fine means via
+# DECIMAL(38,12)/ROUND 6; pair verdicts identical to dedup_semantic.
+
+TARGET_CELL = 64  # target members per (coarse, fine) cell
+
+
+def _hier_kk(n: int) -> int:
+    import math
+
+    return max(2, math.ceil(math.sqrt(n / float(TARGET_CELL))))
+
+
+def _sem_kmeans_chain_dyn() -> str:
+    """The dedup_semantic Lloyd chain with DATA-DEPENDENT k: seeds are
+    vec_id < kk where kk = ceil(sqrt(n/TARGET_CELL)) over the
+    augmented corpus — the oracle twin of _hier_kk."""
+    return (
+        f"""
+    WITH {_STRICT_AUG_SQL},
+    v AS (SELECT vec_id, embedding AS e FROM aug),
+    vv AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM v),
+    kparams AS (
+      SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*) / {TARGET_CELL}.0)) AS BIGINT)) AS kk
+      FROM aug
+    ),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM v
+           WHERE vec_id < (SELECT kk FROM kparams)),
+    """
+        + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="", vv="vv")
+        + ","
+        + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1", v="v")
+        + ","
+        + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="", vv="vv")
+        + ","
+        + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2", v="v")
+        + ","
+        + _KM_ASSIGN_SQL.format(a="a2", c="c2", dist_col="", vv="vv")
+    )
+
+
+# one fine Lloyd assignment: score ONLY against the own-cell seed set
+# (equi-join on cid — n·kk evaluations, never n·kk²)
+_HIER_ASSIGN_SQL = """
+  {a} AS (
+    SELECT vec_id, cid, fid FROM (
+      SELECT av.vec_id, av.cid, s.fid,
+             ROW_NUMBER() OVER (
+               PARTITION BY av.vec_id
+               ORDER BY ROUND(av.ee - 2 * list_dot_product(av.e, s.c)
+                              + list_dot_product(s.c, s.c), 4) ASC, s.fid
+             ) AS rn
+      FROM av JOIN {s} s ON av.cid = s.cid
+    ) WHERE rn = 1
+  )
+"""
+
+_HIER_UPDATE_SQL = """
+  {f} AS (
+    SELECT a.cid, a.fid, generate_subscripts(v.e, 1) - 1 AS pos,
+           CAST(unnest(v.e) AS DECIMAL(38,12)) AS x
+    FROM v JOIN {a} a USING (vec_id)
+  ),
+  {s} AS (
+    SELECT cid, fid, list(cx ORDER BY pos) AS c FROM (
+      SELECT cid, fid, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS cx
+      FROM {f} GROUP BY cid, fid, pos
+    ) GROUP BY cid, fid
+  )
+"""
+
+_HIER_SQL = (
+    _sem_kmeans_chain_dyn()
+    + f""",
+    av AS (SELECT a.vec_id, a.cid, vv.e, vv.ee
+           FROM a2 a JOIN vv USING (vec_id)),
+    fs0 AS (
+      SELECT cid, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) - 1 AS fid,
+             e AS c
+      FROM av QUALIFY fid < (SELECT kk FROM kparams)
+    ),
+    """
+    + _HIER_ASSIGN_SQL.format(a="fa0", s="fs0")
+    + ","
+    + _HIER_UPDATE_SQL.format(f="ff1", a="fa0", s="fs1")
+    + ","
+    + _HIER_ASSIGN_SQL.format(a="fa1", s="fs1")
+    + ","
+    + _HIER_UPDATE_SQL.format(f="ff2", a="fa1", s="fs2")
+    + ","
+    + _HIER_ASSIGN_SQL.format(a="fa2", s="fs2")
+    + f""",
+    simpairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM fa2 a JOIN fa2 b
+        ON a.cid = b.cid AND a.fid = b.fid AND a.vec_id < b.vec_id
+      JOIN v va ON a.vec_id = va.vec_id
+      JOIN v vb ON b.vec_id = vb.vec_id
+      WHERE ROUND(list_cosine_similarity(va.e, vb.e), 4) >= {SEM_THRESHOLD}
+    ),
+    dups AS (
+      SELECT v2 AS vec_id, MIN(v1) AS dup_of, COUNT(*) AS n_sim
+      FROM simpairs GROUP BY v2
+    )
+    SELECT a.vec_id, a.cid AS coarse, a.fid AS fine,
+           d.vec_id IS NULL AS keep,
+           COALESCE(d.dup_of, -1) AS dup_of,
+           COALESCE(d.n_sim, 0) AS n_sim
+    FROM fa2 a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+)
+
+
+def _hier_fine_assign(av: DataFrame, seeds: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """One fine assignment pass: score each vector against ONLY its
+    own coarse cell's fine centroids (broadcast equi-join on cid —
+    n·kk evaluations), rounded-dist argmin with fid tie-break."""
+    from pyspark.sql.window import Window
+
+    spark = av.sparkSession
+    sdf = F.broadcast(
+        spark.createDataFrame(
+            [(cid, fid, [float(x) for x in c]) for cid, fid, c in seeds],
+            "cid int, fid int, c array<double>",
+        )
+    )
+    scored = av.join(sdf, "cid").select(
+        "vec_id",
+        "cid",
+        "e",
+        "fid",
+        F.round(
+            F.col("ee") - 2 * _dot(F.col("e"), F.col("c")) + _dot(F.col("c"), F.col("c")),
+            4,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("fid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "fid", "e")
+    )
+
+
+def _hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, fid, e) after coarse Lloyd (kk cells) + grouped
+    fine Lloyd (kk sub-cells per coarse cell), kk = ceil(sqrt(n/64))."""
+    aug = _strict_aug(spark, sf_dir)
+    vv = (
+        aug.select("vec_id", F.col("embedding").alias("e"))
+        .withColumn("ee", _dot(F.col("e"), F.col("e")))
+        .cache()
+    )
+    kk = _hier_kk(vv.count())
+    cents = lloyd_centroids(vv, kk, SEM_ITERS)
+    av = _km_assign(vv, cents, with_dist=False).join(
+        vv.select("vec_id", "ee"), "vec_id"
+    ).cache()
+    # fine seeds: each cell's first kk members by vec_id
+    from pyspark.sql.window import Window
+
+    seeds_df = (
+        av.withColumn(
+            "fid",
+            F.row_number().over(Window.partitionBy("cid").orderBy("vec_id")) - 1,
+        )
+        .filter(F.col("fid") < kk)
+        .select("cid", "fid", "e")
+    )
+    seeds = [
+        (int(r["cid"]), int(r["fid"]), [float(x) for x in r["e"]])
+        for r in seeds_df.collect()
+    ]
+    for it in range(SEM_ITERS):
+        assigned = _hier_fine_assign(av, seeds)
+        means = (
+            assigned.select(
+                "cid", "fid", F.posexplode("e").alias("pos", "xd")
+            )
+            .select("cid", "fid", "pos", F.col("xd").cast("decimal(38,12)").alias("x"))
+            .groupBy("cid", "fid", "pos")
+            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
+            .collect()
+        )
+        by_cell: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault((int(r["cid"]), int(r["fid"])), {})[int(r["pos"])] = float(r["cx"])
+        seeds = [
+            (cid, fid, [pos_map[p] for p in sorted(pos_map)])
+            for (cid, fid), pos_map in sorted(by_cell.items())
+        ]
+    return _hier_fine_assign(av, seeds).cache()
+
+
+@query("dedup_semantic_hier", oracle=_HIER_SQL)
+def dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on a HIERARCHICAL k-means blocking (coarse √k cells ×
+    fine √k sub-cells, k = n/64 tracking the corpus) — the k∝n arm
+    that survives 100× corpus growth: flat k∝n assignment costs n·k
+    distance evaluations (the cliff tools/scale100_experiment.py
+    measures), hierarchical costs n·2√k while keeping the pair stage
+    pair-bound at Σ|cell|²/2 ≈ n·64/2. Same pruning rule and verdict
+    schema as dedup_semantic (keep unless a same-cell lower-id
+    neighbor at rounded cosine ≥ 0.85 exists), with both blocking
+    levels exposed.
+
+    Plan: coarse level = the dedup_semantic Lloyd loop (broadcast
+    centroid frame, k×dim driver collects); fine level = GROUPED Lloyd
+    — fine centroids live in a broadcast (cid, fid, c) frame equi-
+    joined on cid so each vector only scores its own cell's √k
+    sub-centroids; the pair stage equi-joins on (cid, fid). The only
+    corpus-wide shuffles key on vec_id / (cid, fid) — cartesian-free,
+    collect sizes bounded by k·dim. Reference (snowplow/kinesis-s3)
+    has no query surface (SURVEY.md §2); extends the LLM-curation
+    north star (Abbas et al. 2023, faiss coarse-quantizer practice)."""
+    assign = _hier_assign(spark, sf_dir)
+    a = assign.select(
+        "cid", "fid", F.col("vec_id").alias("v1"), F.col("e").alias("e1")
+    )
+    b = assign.select(
+        "cid", "fid", F.col("vec_id").alias("v2"), F.col("e").alias("e2")
+    )
+    pairs = (
+        a.join(b, ["cid", "fid"])
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(F.round(cosine_sim(F.col("e1"), F.col("e2")), 4) >= SEM_THRESHOLD)
+        .select("v1", "v2")
+    )
+    dups = pairs.groupBy(F.col("v2").alias("vec_id")).agg(
+        F.min("v1").alias("dup_of"), F.count("*").alias("n_sim")
+    )
+    return (
+        assign.select("vec_id", F.col("cid").alias("coarse"), F.col("fid").alias("fine"))
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "coarse",
+            "fine",
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+            F.coalesce(F.col("n_sim"), F.lit(0)).alias("n_sim"),
+        )
+    )

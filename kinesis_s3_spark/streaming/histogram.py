@@ -35,20 +35,27 @@ BIN_WIDTH = 64  # bytes per bin; range [0, 4096), overflow -> top bin
 STATE_FILE = "size_histogram.json"
 
 
-def size_bins(batch_df: DataFrame) -> DataFrame:
-    """(value) frame → (bin, cnt) record-size histogram cells. The
-    per-batch aggregation is distributed and map-side combined — at
-    most HIST_BINS rows cross the shuffle regardless of batch size."""
+def size_bins(batch_df: DataFrame, value_col=None, bin_width: float = BIN_WIDTH) -> DataFrame:
+    """(value) frame → (bin, cnt) histogram cells. Default bins the
+    record SIZE in bytes; pass ``value_col`` (a numeric Column over the
+    payload, e.g. a TSV field) to bin a payload VALUE instead — same
+    fixed-absolute-bin mergeability, NULLs (malformed payloads)
+    dropped. The per-batch aggregation is distributed and map-side
+    combined — at most HIST_BINS rows cross the shuffle regardless of
+    batch size."""
+    if value_col is None:
+        # octet_length: this is a record-SIZE (bytes) histogram —
+        # F.length counts characters and undercounts multi-byte
+        # UTF-8 payloads (ADVICE r5)
+        value_col = F.octet_length(F.col("value").cast("string"))
     return (
         batch_df.select(
             F.least(
-                # octet_length: this is a record-SIZE (bytes) histogram —
-                # F.length counts characters and undercounts multi-byte
-                # UTF-8 payloads (ADVICE r5)
-                (F.octet_length(F.col("value").cast("string")) / BIN_WIDTH).cast("int"),
+                F.greatest((value_col / bin_width).try_cast("int"), F.lit(0)),
                 F.lit(HIST_BINS - 1),
             ).alias("bin")
         )
+        .where(F.col("bin").isNotNull())
         .groupBy("bin")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
@@ -58,11 +65,23 @@ class SizeHistogramAccumulator:
     """Cross-batch record-size histogram with persisted, replay-safe
     state. ``update(batch_df, batch_id)`` is wired into run_loader's
     foreachBatch after emit; ``bins`` maps bin → count and equals the
-    one-pass histogram over every applied batch's payloads."""
+    one-pass histogram over every applied batch's payloads.
 
-    def __init__(self, state_dir: str) -> None:
+    Pass ``value_col``/``bin_width``/``state_file`` to maintain a
+    payload-VALUE histogram instead (e.g. a numeric TSV field) — the
+    shards the value-KS drift gauge reads (ValueDriftReporter)."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        value_col=None,
+        bin_width: float = BIN_WIDTH,
+        state_file: str = STATE_FILE,
+    ) -> None:
         os.makedirs(state_dir, exist_ok=True)
-        self._path = os.path.join(state_dir, STATE_FILE)
+        self._path = os.path.join(state_dir, state_file)
+        self._value_col = value_col
+        self._bin_width = bin_width
         self.bins: dict[int, int] = {}
         self.last_batch_id = -1
         if os.path.exists(self._path):
@@ -77,7 +96,8 @@ class SizeHistogramAccumulator:
         so restart re-delivery never double-counts."""
         if batch_id <= self.last_batch_id:
             return
-        for row in size_bins(batch_df).collect():  # ≤ HIST_BINS rows
+        rows = size_bins(batch_df, self._value_col, self._bin_width).collect()
+        for row in rows:  # ≤ HIST_BINS rows
             b = int(row["bin"])
             self.bins[b] = self.bins.get(b, 0) + int(row["cnt"])
         self.last_batch_id = batch_id
@@ -118,6 +138,29 @@ class SizeHistogramAccumulator:
             p_ref = (ref_bins.get(b, 0) + 1) / (n_ref + k)
             psi += (p_cur - p_ref) * _math.log(p_cur / p_ref)
         return psi
+
+    def ks_against(self, ref_bins: dict[int, int]) -> tuple[float, float]:
+        """Two-sample Kolmogorov-Smirnov of THIS histogram against a
+        reference over the same fixed bins: (D, D_crit). D is the max
+        CDF gap over bin edges — EXACT for binned data (both empirical
+        CDFs are step functions constant inside a bin); D_crit is the
+        alpha=0.05 critical line 1.358·√((n1+n2)/(n1·n2)), the same
+        coefficient as the batch events_drift_ks operator. KS sees
+        SHAPE drift (variance/location) that the PSI mix-shift gauge
+        can under-weight, and vice versa — the monitoring surface
+        reports both."""
+        n_cur = sum(self.bins.values())
+        n_ref = sum(ref_bins.values())
+        if n_cur == 0 or n_ref == 0:
+            return 0.0, float("inf")
+        d = 0.0
+        cum_cur = cum_ref = 0
+        for b in sorted(set(self.bins) | set(ref_bins)):
+            cum_cur += self.bins.get(b, 0)
+            cum_ref += ref_bins.get(b, 0)
+            d = max(d, abs(cum_cur / n_cur - cum_ref / n_ref))
+        d_crit = 1.358 * math.sqrt((n_cur + n_ref) / (n_cur * n_ref))
+        return d, d_crit
 
     def quantile(self, q: float) -> int:
         """Estimated q-quantile of record size in bytes: right edge of

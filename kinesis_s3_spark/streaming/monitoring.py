@@ -107,6 +107,48 @@ class SizeDriftReporter:
         self.statsd.send(self.PSI_METRIC, f"{self.last_psi:.4f}", "g")
 
 
+class ValueDriftReporter:
+    """Value-DISTRIBUTION drift on the StatsD surface (VERDICT r7 task
+    #6): after each flush, report the two-sample KS statistic of a
+    loader-maintained payload-VALUE histogram (streaming/histogram.py
+    with a ``value_col``) against a pinned reference histogram — and,
+    ONLY when D exceeds the alpha=0.05 critical line (the batch
+    events_drift_ks coefficient, 1.358·√((n1+n2)/(n1·n2))), an alert
+    counter. The PSI gauge sees size-MIX shift; this sees SHAPE drift
+    in what the payloads SAY (a sensor rescale, a currency change, a
+    truncated field) — together the reference's count/latency wire
+    becomes a distribution-drift monitor.
+
+    Compose exactly like SizeDriftReporter:
+
+        vals = SizeHistogramAccumulator(state_dir,
+                   value_col=F.try_element_at(F.split(F.col("value"), "\\t"), 5)
+                               .try_cast("double"),
+                   bin_width=1.0, state_file="value_histogram.json")
+        vdrift = ValueDriftReporter(statsd, vals, ref_bins)
+        run_loader(..., accumulators=(vals,),
+                   on_flush=lambda m: (statsd.report(m), vdrift(m)))
+
+    Driver-held ≤64-bin arithmetic per flush — no extra Spark work."""
+
+    KS_METRIC = "value_ks"  # gauge: the D statistic
+    ALERT_METRIC = "value_ks_alert"  # count: only past the critical line
+
+    def __init__(self, statsd: StatsDClient, hist, ref_bins: dict[int, int]) -> None:
+        self.statsd = statsd
+        self.hist = hist
+        self.ref_bins = dict(ref_bins)
+        self.last_d: float | None = None  # test/inspection trail
+        self.last_crit: float | None = None
+
+    def __call__(self, meta: BatchMeta) -> None:  # noqa: ARG002 - on_flush shape
+        d, crit = self.hist.ks_against(self.ref_bins)
+        self.last_d, self.last_crit = d, crit
+        self.statsd.send(self.KS_METRIC, f"{d:.4f}", "g")
+        if d > crit:
+            self.statsd.send(self.ALERT_METRIC, "1", "c")
+
+
 def capture_error(error: BaseException) -> None:
     """O20 (Monitoring.captureError, Monitoring.scala:62-65)."""
     if sentry_sdk is not None:  # pragma: no cover

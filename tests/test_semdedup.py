@@ -93,3 +93,31 @@ def test_hybrid_rrf_fuses_both_arms(spark):
         if r["ann_rank"] > 0:
             expected += 1.0 / (60 + r["ann_rank"])
         assert abs(r["rrf_score"] - round(expected, 6)) < 1e-9, r
+
+
+def test_hier_verdicts_consistent_and_recall(spark):
+    """Hierarchical blocking (coarse x fine cells, k ∝ n): verdicts
+    follow the dedup_semantic rules, and two-level blocking must still
+    catch >= 85% of the planted twins (each level adds one
+    cell-boundary split opportunity — the cost the n·2√k assign buys;
+    measured so the trade is visible, not asserted)."""
+    rows = Q["dedup_semantic_hier"](spark, SF_CORRECT).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert len(rows) == len(by_id)
+    assert sum(1 for r in rows if r["vec_id"] >= PLANT_OFFSET) == PLANT_N
+    for r in rows:
+        if r["keep"]:
+            assert r["dup_of"] == -1 and r["n_sim"] == 0
+        else:
+            d = by_id[r["dup_of"]]
+            assert r["dup_of"] < r["vec_id"]
+            assert (d["coarse"], d["fine"]) == (r["coarse"], r["fine"])
+            assert r["n_sim"] >= 1
+    caught = sum(
+        1
+        for r in rows
+        if r["vec_id"] >= PLANT_OFFSET
+        and not r["keep"]
+        and r["dup_of"] == r["vec_id"] - PLANT_OFFSET
+    )
+    assert caught / PLANT_N >= 0.85, caught

@@ -508,3 +508,108 @@ def test_streaming_daily_hll_answers_sliding_wau(spark, tmp_path):
         acc2.last_batch_id + 1,
     )
     assert acc2.shards == before
+
+
+def test_streaming_minhash_shards_answer_near_dup(spark, tmp_path):
+    """End-to-end streaming near-dup (VERDICT r7 task #5): the loader
+    replays the documents corpus in two tranches, MinHashShardStore
+    maintains band-signature shards across micro-batches AND a
+    stop/restart, and the shard-side answers must be bit-equal to the
+    batch arm on the same rows — candidate_pairs() == the
+    dedup_minhash_lsh band-join candidate set, and probe() flags a
+    planted near-dup against the corpus from shards alone."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from kinesis_s3_spark.sources.tables import load_table
+    from kinesis_s3_spark.streaming.loader import run_loader
+    from kinesis_s3_spark.streaming.minhash import MinHashShardStore
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sep = "\x01"
+    ev = docs.select(
+        F.concat_ws(sep, F.col("doc_id").cast("string"), F.col("text")).alias("value"),
+        "doc_id",
+    )
+    part1 = ev.filter(F.col("doc_id") % 2 == 0).select("value")
+    part2 = ev.filter(F.col("doc_id") % 2 == 1).select("value")
+
+    inp = str(tmp_path / "in")
+    part1.coalesce(1).write.mode("append").parquet(inp)
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {"s3": {"path": str(tmp_path / "out"), "compression": "GZIP"}},
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+    doc_id_col = F.get(F.split(F.col("value"), sep), 0)
+    text_col = F.get(F.split(F.col("value"), sep), 1)
+
+    store = MinHashShardStore(str(tmp_path / "mh"), doc_id_col, text_col)
+    q = run_loader(spark, cfg, query_name="mh-a", accumulators=(store,))
+    q.processAllAvailable()
+    q.stop()
+    assert store.applied, "first tranche produced no shards"
+
+    # restart: a fresh instance reloads the applied-batch meta; the
+    # resumed query (same checkpoint) ingests only the new tranche
+    part2.coalesce(1).write.mode("append").parquet(inp)
+    store2 = MinHashShardStore(str(tmp_path / "mh"), doc_id_col, text_col)
+    assert store2.applied == store.applied
+    q2 = run_loader(spark, cfg, query_name="mh-b", accumulators=(store2,))
+    q2.processAllAvailable()
+    q2.stop()
+    assert len(store2.applied) > len(store.applied)
+
+    # gate: shard-side candidates == batch band-join candidates
+    bands = lsh_band_keys(minhash_signatures(shingle_sets(docs)))
+    a = bands.select("band", "band_key", F.col("doc_id").alias("d1"))
+    b = bands.select("band", "band_key", F.col("doc_id").alias("d2"))
+    want = {
+        (r["d1"], r["d2"])
+        for r in a.join(b, ["band", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+        .collect()
+    }
+    got = {(r["d1"], r["d2"]) for r in store2.candidate_pairs(spark).collect()}
+    assert got == want
+
+    # replay gate: re-applying an applied batch id is a no-op
+    before = list(store2.applied)
+    store2.update(
+        spark.createDataFrame([("9999" + sep + "bogus text",)], "value string"),
+        store2.applied[-1],
+    )
+    assert store2.applied == before
+
+    # probe: a planted near-dup of doc 0 (one token appended) must be
+    # flagged against the corpus-so-far with high signature agreement;
+    # a fresh unrelated doc must not match anything strongly
+    base = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    probe_df = spark.createDataFrame(
+        [(100000, base + " zqx"), (100001, "totally unrelated gibberish wkrp")],
+        "doc_id long, text string",
+    )
+    hits = store2.probe(probe_df).collect()
+    near = [r for r in hits if r["doc_id"] == 100000 and r["match_doc_id"] == 0]
+    assert near and near[0]["sig_sim"] >= 0.5, hits
+    assert not [r for r in hits if r["doc_id"] == 100001 and r["sig_sim"] > 0.5]
+
+    # malformed payloads (no separator -> NULL text) are dropped
+    store2.update(
+        spark.createDataFrame([("garbage-no-separator",)], "value string"),
+        store2.applied[-1] + 1000,
+    )
+    empty = spark.read.parquet(store2._shard_path(store2.applied[-1]))
+    assert empty.count() == 0

@@ -249,3 +249,77 @@ def test_size_psi_gauge_on_drifted_batch(spark, tmp_path):
     # total mix shift (bin 0 -> bin 14): PSI far above the 0.2 alarm
     assert float(value) > 0.2
     assert drift.last_psi is not None and drift.last_psi > 0.2
+
+
+def test_value_ks_gauge_alerts_only_on_drift(spark, tmp_path):
+    """VERDICT r7 task #6: the loader-maintained payload-VALUE
+    histogram's two-sample KS against a reference reaches the StatsD
+    wire after each flush; the alert counter fires ONLY when D exceeds
+    the alpha=0.05 critical line (events_drift_ks coefficient). A
+    drifted replay batch (values shifted far right) produces the alert
+    datagram; an un-drifted batch does not."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.streaming.histogram import SizeHistogramAccumulator
+    from kinesis_s3_spark.streaming.monitoring import ValueDriftReporter
+
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(5)
+    port = recv.getsockname()[1]
+    statsd = StatsDClient(
+        MonitoringConfig(
+            statsd_host="127.0.0.1",
+            statsd_port=port,
+            statsd_prefix="snowplow.s3loader",
+        )
+    )
+    # payload = "<id>\t<reading>"; the histogram bins field 1
+    value_col = F.try_element_at(F.split(F.col("value"), "\t"), F.lit(2)).try_cast(
+        "double"
+    )
+
+    def run_tranche(tag: str, payloads: list[str], ref_bins: dict[int, int]):
+        hist = SizeHistogramAccumulator(
+            str(tmp_path / f"state-{tag}"),
+            value_col=value_col,
+            bin_width=1.0,
+            state_file="value_histogram.json",
+        )
+        vdrift = ValueDriftReporter(statsd, hist, ref_bins)
+        inp = str(tmp_path / f"in-{tag}")
+        _write_input(spark, inp, payloads)
+        cfg = from_dict(
+            {
+                "purpose": "RAW",
+                "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+                "output": {"s3": {"path": str(tmp_path / f"out-{tag}"), "compression": "GZIP"}},
+                "buffer": {"time_limit_ms": 250},
+                "checkpoint_location": str(tmp_path / f"ckpt-{tag}"),
+            }
+        )
+        q = run_loader(spark, cfg, accumulators=(hist,), on_flush=vdrift, query_name=f"ks-{tag}")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return vdrift
+
+    # reference: 200 readings in bins 2-3
+    ref = {2: 100, 3: 100}
+
+    # un-drifted tranche: same distribution -> gauge only, no alert
+    ok = run_tranche("ok", [f"r{i}\t{2 + (i % 2)}.5" for i in range(200)], ref)
+    d1 = recv.recvfrom(4096)[0].decode()
+    assert d1.startswith("snowplow.s3loader.value_ks:") and d1.endswith("|g")
+    assert ok.last_d is not None and ok.last_d <= ok.last_crit
+    # drifted tranche: readings jump to bins 40+ -> gauge THEN alert
+    bad = run_tranche("bad", [f"r{i}\t{40 + (i % 5)}.5" for i in range(200)], ref)
+    d2 = recv.recvfrom(4096)[0].decode()
+    d3 = recv.recvfrom(4096)[0].decode()
+    recv.close()
+    assert d2.startswith("snowplow.s3loader.value_ks:")
+    assert d3 == "snowplow.s3loader.value_ks_alert:1|c"
+    assert bad.last_d > bad.last_crit
+    # malformed payloads (no field / non-numeric) were dropped, not binned
+    assert ok.last_d < 0.05  # same-shape tranche stayed under noise

@@ -60,6 +60,7 @@ ALLOW_NESTED_LOOP = {
     "emb_kmeans",  # broadcast k-row centroid frame (embeddings._km_rank)
     "ann_ivf_kmeans_topk",  # same broadcast centroid ranker
     "dedup_semantic",  # same broadcast centroid ranker (semdedup.py)
+    "dedup_semantic_hier",  # same ranker, coarse level + broadcast fine-seed frame
     "dedup_semantic_recall",
     "dedup_semantic_k32",
     "join_range_bands",  # banded range join, bounded bands
