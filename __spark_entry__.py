@@ -58,71 +58,28 @@ for _m in _OPTIONAL_MODULES:
         pass
 
 # The driver's correctness gate historically checks the FIRST ~50
-# registry entries, so gate slots are scarce. Round-6 rotation policy
-# (VERDICT r5 task #5): oldest-green-first. Band 0 holds queries added
-# or semantically changed THIS round (never driver-gated = infinitely
+# registry entries, so gate slots are scarce. Rotation policy (VERDICT
+# r5 task #5): oldest-green-first. Band 0 holds queries added or
+# semantically changed THIS round (never driver-gated = infinitely
 # stale); after that, every registry query ordered by the round of its
-# most recent green driver-gate row (ascending, name-tiebreak), computed
-# from CORRECTNESS_r01..r06.json. The r7 artifact therefore refreshes
-# the ~50 stalest entries (band 0 = this round's ranking-primitive /
-# star-resolver changes, then the residue of the round-2 band and
-# the round-3 band); subsequent rounds keep rotating by
-# regenerating this list from the artifacts.
+# most recent green driver-gate row (ascending, name-tiebreak),
+# computed from CORRECTNESS_r01..r07.json (tools snippet in git
+# history; regenerate each round). The r8 artifact therefore refreshes
+# the ~50 stalest entries (band 0 = this round's hierarchical-SemDeDup
+# / tie-safe-rank changes, then the round-2 residue and the round-3
+# band); subsequent rounds keep rotating by regenerating this list
+# from the artifacts.
 _GATE_FIRST = [
-    # -- (0) added or semantically changed in round 7, never gated
-    #    since the change (ranking primitive / star resolver /
-    #    MIPS-IVF / hybrid component resolver) --
-    "ann_mips_ivf_topk",
-    "ann_recall_mips_ivf",
-    "ann_hard_negatives",
-    "curation_quality_lr_calibration",
-    "emb_prototype_prune",
-    "events_drift_ks",
-    "events_funnel_conversion_time",
-    "events_peak_detection",
-    "events_resample_ffill",
-    "events_rollup_cascade",
-    "events_seasonal_decompose",
-    "mm_video_shot_boundary",
-    "text_learnability",
-    "text_ngram_novelty",
-    "curation_split_leakage",
-    "curation_epoch_shuffle_write",
-    "curation_decontaminate",
-    "dedup_cluster_resolve",
-    "curation_dedup_pipeline",
-    "curation_dedup_survivorship",
-    "curation_epoch_shuffle",
-    "curation_quality_lr_auc",
-    "curation_dsir_weights",
-    "sketch_quantile_histogram",
-    "window_rank_dense",
-    "text_zipf_fit",
+    # -- (0) added or semantically changed in round 8, never gated
+    #    since the change (hierarchical SemDeDup; the tie-safe rank
+    #    switch on the three rank-by-count surfaces; the
+    #    window_rank_dense dense-arm plan fix) --
+    "dedup_semantic_hier",
     "text_vocabulary",
+    "text_zipf_fit",
     "diag_key_skew",
+    "window_rank_dense",
     # -- last driver-gated in round 2 --
-    "fn_string_suite",
-    "join_anti",
-    "join_argmin_supplier",
-    "join_broadcast_dims",
-    "join_outer_counts",
-    "join_range_bands",
-    "join_self_correlation",
-    "join_semi",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "reshape_pivot",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_distinct",
-    "sort_multi_key",
-    "sort_topk_global",
-    "subquery_in",
-    "subquery_scalar_agg",
-    "window_lag_lead",
-    "window_ntile_moving",
-    "window_running_total",
     "window_topk_per_group",
     # -- last driver-gated in round 3 --
     "agg_argminmax",
@@ -230,7 +187,6 @@ _GATE_FIRST = [
     "curation_ccnet_buckets",
     "curation_quality_lr",
     "curation_quality_lr_scores",
-    "curation_split_leakage",
     "curation_weighted_sample",
     "dedup_fuzzy_names",
     "dedup_minhash_containment",
@@ -317,7 +273,55 @@ _GATE_FIRST = [
     "sketch_hll_sliding",
     "sketch_kmv_intersection",
     "text_gopher_rules",
+    # -- last driver-gated in round 7 --
+    "ann_hard_negatives",
+    "ann_mips_ivf_topk",
+    "ann_recall_mips_ivf",
+    "curation_decontaminate",
+    "curation_dedup_pipeline",
+    "curation_dedup_survivorship",
+    "curation_dsir_weights",
+    "curation_epoch_shuffle",
+    "curation_epoch_shuffle_write",
+    "curation_quality_lr_auc",
+    "curation_quality_lr_calibration",
+    "curation_split_leakage",
+    "dedup_cluster_resolve",
+    "emb_prototype_prune",
+    "events_drift_ks",
+    "events_funnel_conversion_time",
+    "events_peak_detection",
+    "events_resample_ffill",
+    "events_rollup_cascade",
+    "events_seasonal_decompose",
+    "fn_string_suite",
+    "join_anti",
+    "join_argmin_supplier",
+    "join_broadcast_dims",
+    "join_outer_counts",
+    "join_range_bands",
+    "join_self_correlation",
+    "join_semi",
+    "mm_video_shot_boundary",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "reshape_pivot",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_distinct",
+    "sketch_quantile_histogram",
+    "sort_multi_key",
+    "sort_topk_global",
+    "subquery_in",
+    "subquery_scalar_agg",
+    "text_learnability",
+    "text_ngram_novelty",
+    "window_lag_lead",
+    "window_ntile_moving",
+    "window_running_total",
 ]
+
 
 
 def _ordered(d: dict) -> dict:
