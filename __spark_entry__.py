@@ -75,6 +75,7 @@ _GATE_FIRST = [
     #    switch on the three rank-by-count surfaces; the
     #    window_rank_dense dense-arm plan fix) --
     "dedup_semantic_hier",
+    "emb_kcenter_coreset",
     "text_vocabulary",
     "text_zipf_fit",
     "diag_key_skew",

@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_semantic_k32",
     "dedup_semantic_hier",
+    "emb_kcenter_coreset",
     "text_bm25_search",
     "graph_pagerank",
     "graph_triangles",

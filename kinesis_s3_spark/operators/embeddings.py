@@ -591,3 +591,118 @@ def emb_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prune"),
         )
     )
+
+
+# --- k-center-greedy coreset (diversity selection) ---------------------------
+#
+# The curation suite prunes REDUNDANT data three ways (SemDeDup,
+# prototypes, LSH); this is the complementary selector: pick the k
+# vectors that COVER the embedding space (Gonzalez 1985 farthest-point
+# traversal, the k-Center-Greedy of Sener & Savarese 2018 coreset
+# active learning) — the "diverse subset" primitive a training-data
+# pipeline uses to seed labeling/eval sets or cap a over-represented
+# mode. Greedy 2-approximation of the k-center radius.
+#
+# Determinism (registry rules): seed = vec_id 0; per round distances
+# rounded to 4 dp (IVF rule) and the farthest point tie-broken by MIN
+# vec_id; radius_before is the max-min distance that made the pick.
+
+K_CENTERS = 8
+
+
+def _kc_dist(e_col, c_vec: list[float]):
+    """ROUND(dist², 4) of each vector against ONE center literal —
+    the same rounded-euclidean the k-means family uses."""
+    c = F.array(*[F.lit(float(x)) for x in c_vec])
+    return F.round(
+        _dot(e_col, e_col) - 2 * _dot(e_col, c) + _dot(c, c), 4
+    )
+
+
+def _kcenter_rounds() -> str:
+    """DuckDB unroll of K_CENTERS-1 greedy rounds: d{i} carries the
+    running min distance to the selected set, p{i} the round's pick."""
+    parts = [
+        f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s0 AS (SELECT vec_id, e FROM v WHERE vec_id = 0),
+    d1 AS (
+      SELECT v.vec_id, v.e,
+             ROUND(list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, s0.e)
+                   + list_dot_product(s0.e, s0.e), 4) AS mind
+      FROM v, s0
+    )"""
+    ]
+    for i in range(1, K_CENTERS):
+        parts.append(
+            f""",
+    p{i} AS (SELECT vec_id, e, mind FROM d{i}
+             ORDER BY mind DESC, vec_id LIMIT 1)"""
+        )
+        if i < K_CENTERS - 1:
+            parts.append(
+                f""",
+    d{i + 1} AS (
+      SELECT d.vec_id, d.e,
+             LEAST(d.mind,
+                   ROUND(list_dot_product(d.e, d.e)
+                         - 2 * list_dot_product(d.e, p.e)
+                         + list_dot_product(p.e, p.e), 4)) AS mind
+      FROM d{i} d, p{i} p
+    )"""
+            )
+    sel = ["SELECT 0 AS sel_order, vec_id, 0.0 AS radius_before FROM s0"]
+    for i in range(1, K_CENTERS):
+        sel.append(
+            f"SELECT {i} AS sel_order, vec_id, mind AS radius_before FROM p{i}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY sel_order")
+    return "".join(parts)
+
+
+_KCENTER_SQL = _kcenter_rounds()
+
+
+@query("emb_kcenter_coreset", oracle=_KCENTER_SQL)
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center-greedy coreset: the K_CENTERS most mutually-distant
+    vectors (seed vec_id 0, then repeatedly the point farthest from
+    the selected set), each with the coverage radius it closed. The
+    DuckDB oracle unrolls all rounds, so every pick and every rounded
+    distance is checked bit-for-bit.
+
+    Plan: the running min-distance column folds ONE new rounded
+    center-distance per round (LEAST over the cached frame — a
+    map-only pass, the center is a dim-length literal); the round's
+    pick is a TakeOrderedAndProject top-1 (no full sort, no
+    single-partition window) collected as one row. k scans total,
+    k·dim driver bytes — the identical cost shape as the Lloyd loop,
+    and at 100 TB each round is one codegen'd scan of the vector
+    table. Reference (snowplow/kinesis-s3) has no query surface
+    (SURVEY §2); extends the LLM-curation north star (Gonzalez 1985;
+    Sener & Savarese 2018 k-Center-Greedy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vv = emb.select("vec_id", _vec_d(F.col("embedding")).alias("e")).cache()
+    seed = vv.filter(F.col("vec_id") == 0).select("vec_id", "e").collect()[0]
+    picks = [(0, int(seed["vec_id"]), 0.0)]
+    cur = vv.withColumn("mind", _kc_dist(F.col("e"), [float(x) for x in seed["e"]]))
+    for i in range(1, K_CENTERS):
+        top = (
+            cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .select("vec_id", "e", "mind")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((i, int(top["vec_id"]), float(top["mind"])))
+        if i < K_CENTERS - 1:
+            cur = cur.withColumn(
+                "mind",
+                F.least(
+                    F.col("mind"),
+                    _kc_dist(F.col("e"), [float(x) for x in top["e"]]),
+                ),
+            )
+    return spark.createDataFrame(
+        picks, "sel_order int, vec_id long, radius_before double"
+    )

@@ -123,3 +123,38 @@ def test_prototype_prune_drops_exactly_the_farthest_fifth(spark):
         rs.sort(key=lambda r: (-r["dist2"], r["vec_id"]))
         assert all(r["prune"] == 1 for r in rs[:k])
         assert all(r["prune"] == 0 for r in rs[k:])
+
+
+def test_kcenter_coreset_greedy_properties(spark):
+    """k-center-greedy invariants on the real table: picks distinct,
+    the coverage radius closed per round is NON-INCREASING (the
+    farthest point can only get closer as centers accumulate), and
+    every pick is genuinely the farthest point from its predecessor
+    set (re-verified directly for round 1)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_CORRECT
+
+    rows = sorted(
+        entrymod.queries()["emb_kcenter_coreset"](spark, SF_CORRECT).collect(),
+        key=lambda r: r["sel_order"],
+    )
+    assert [r["sel_order"] for r in rows] == list(range(len(rows)))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    radii = [r["radius_before"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    # round-1 pick == argmax rounded dist to the seed, min-id tie-break
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators.embeddings import _kc_dist, _vec_d
+    from kinesis_s3_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    vv = emb.select("vec_id", _vec_d(F.col("embedding")).alias("e"))
+    seed = vv.filter(F.col("vec_id") == 0).collect()[0]["e"]
+    far = (
+        vv.withColumn("d", _kc_dist(F.col("e"), [float(x) for x in seed]))
+        .orderBy(F.col("d").desc(), F.col("vec_id"))
+        .first()
+    )
+    assert far["vec_id"] == ids[1] and abs(far["d"] - rows[1]["radius_before"]) < 1e-9
