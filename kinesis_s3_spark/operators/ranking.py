@@ -52,6 +52,16 @@ contiguous and the numbering stays exact (bit-identical to the
 single-level form), while the per-cell window is now bounded by the
 tiebreaker's distribution, not the key's.
 
+:func:`global_prefix_sum` callers do not need a tie-safe form: both
+production call sites (AUC midranks in quality_lr.py, the KS CDFs in
+events.py) first ``groupBy`` the ranking key, so the ranked frame has
+DISTINCT keys by construction — a bucket can only collapse when the
+key is low-cardinality, and then the distinct-key frame is itself
+small. The degenerate combination (many rows sharing one key value)
+cannot reach the prefix-sum pass. Any future caller ranking an
+UN-grouped frame on a low-cardinality key must group first or follow
+the tiesafe pattern.
+
 Reference parity note: the reference pipeline (kinesis-s3) has no
 ranking surface at all; this primitive exists for the curation/eval
 operators built on top (epoch shuffle, AUC midranks, DSIR rank,
