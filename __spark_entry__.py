@@ -76,6 +76,7 @@ _GATE_FIRST = [
     #    window_rank_dense dense-arm plan fix) --
     "dedup_semantic_hier",
     "emb_kcenter_coreset",
+    "text_phrase_search",
     "text_vocabulary",
     "text_zipf_fit",
     "diag_key_skew",

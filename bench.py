@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_semantic_k32",
     "dedup_semantic_hier",
     "emb_kcenter_coreset",
+    "text_phrase_search",
     "text_bm25_search",
     "graph_pagerank",
     "graph_triangles",

@@ -320,3 +320,103 @@ def _register_hybrid_oracle() -> None:
 
 
 _register_hybrid_oracle()
+
+
+# --- positional phrase search ------------------------------------------------
+#
+# The inverted index above answers TERM lookups; exact PHRASE queries
+# ("attention is all", a benchmark title, a license header) need term
+# POSITIONS — the standard positional-index self-join: occurrences of
+# word1 at position p joined to occurrences of word2 at p+1 within the
+# same document. This is the decontamination/boilerplate primitive for
+# multi-word patterns that 5-gram hashing (curation_decontaminate)
+# over-matches and single-term lookup under-matches.
+#
+# The phrase set is derived from the corpus itself (top PHRASE_N
+# bigrams by count, count-desc then text tie-break) so hits are
+# guaranteed on any corpus and the operator stays self-contained.
+
+PHRASE_N = 3  # phrases searched
+PHRASE_TOP_BIGRAMS_SQL = f"""
+    bt AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+      SELECT t[i] || ' ' || t[i+1] AS phrase, COUNT(*) AS cnt
+      FROM bt, LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i)
+      GROUP BY phrase
+    ),
+    phrases AS (
+      SELECT phrase FROM bg ORDER BY cnt DESC, phrase LIMIT {PHRASE_N}
+    )
+"""
+
+_PHRASE_SQL = f"""
+    WITH {PHRASE_TOP_BIGRAMS_SQL},
+    pos AS (
+      SELECT doc_id, i AS p, t[i] AS w1, t[i+1] AS w2
+      FROM bt, LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i)
+    )
+    SELECT ph.phrase, pos.doc_id, COUNT(*) AS n_occurrences
+    FROM phrases ph JOIN pos
+      ON pos.w1 || ' ' || pos.w2 = ph.phrase
+    GROUP BY ph.phrase, pos.doc_id
+"""
+
+
+@query("text_phrase_search", oracle=_PHRASE_SQL)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase (adjacent-bigram) search via a positional index:
+    per (phrase, doc) occurrence counts for the corpus's top-3
+    bigram phrases.
+
+    Plan, in the production shape (phrases known at query time): the
+    phrase list comes from ONE zip-shifted bigram count (array
+    transform in-scan, map-side combined — never a positional
+    self-join) collected as PHRASE_N rows; the MATCH is then two
+    SELECTIVE legs of the (doc_id, pos, word) positional index — each
+    leg filters to the phrases' first/second words, so the
+    predicate-pushed join sides are phrase-occurrence-sized, not
+    corpus-sized — joined on (doc_id, pos+1). At 100 TB the index
+    build is the linear frame and the match shuffles only matching
+    positions. Reference has no query surface (SURVEY §2); extends
+    the retrieval family (Manning et al., IIR §2.4 positional
+    postings)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    # phrase derivation: in-scan zip-shift bigrams, one count, 3 rows out
+    bigram_col = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top = (
+        toks.select(F.explode(bigram_col).alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("phrase"))
+        .limit(PHRASE_N)
+        .collect()
+    )
+    phrases = [r["phrase"] for r in top]  # PHRASE_N rows — bounded collect
+    w1s = [p.split(" ")[0] for p in phrases]
+    w2s = [p.split(" ")[1] for p in phrases]
+    index = docs.select(
+        "doc_id", F.posexplode(tokens(F.lower(F.col("text")))).alias("p", "w")
+    )
+    a = index.filter(F.col("w").isin(w1s)).select(
+        "doc_id", "p", F.col("w").alias("w1")
+    )
+    b = index.filter(F.col("w").isin(w2s)).select(
+        "doc_id", (F.col("p") - 1).alias("p"), F.col("w").alias("w2")
+    )
+    return (
+        a.join(b, ["doc_id", "p"])
+        .withColumn("phrase", F.concat_ws(" ", F.col("w1"), F.col("w2")))
+        .filter(F.col("phrase").isin(phrases))
+        .groupBy("phrase", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
