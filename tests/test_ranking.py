@@ -183,3 +183,52 @@ def test_tiesafe_balances_all_ties_frame(spark):
     d1, bc = _bucketize(df, F.col("k"), "neg", nbuckets)
     ones = [r["c"] for r in d1.groupBy(bc).agg(F.count("*").alias("c")).collect()]
     assert len(ones) == 1 and ones[0] == n
+
+
+def test_tiesafe_property_random_frames(spark):
+    """Property sweep (hypothesis-style generation, fixed seeds kept
+    deterministic for CI): random low-cardinality key sets × random
+    repeated string tiebreakers must always reproduce the
+    single-partition numbering exactly — the input space between the
+    hand-picked CASES."""
+    import random
+
+    from kinesis_s3_spark.operators.ranking import (
+        global_row_number_tiesafe,
+        string_order_key,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = rng.randrange(50, 400)
+        nkeys = rng.choice([1, 2, 3, 5])
+        keyvals = rng.sample(range(-50, 50), nkeys)
+        rows = [
+            (
+                i,
+                rng.choice(keyvals),
+                "w" + str(rng.randrange(n // 3 + 1)),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, k long, w string")
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("k", "w", "id"))
+            ).collect()
+        }
+        got = {
+            r["id"]: r["rn"]
+            for r in global_row_number_tiesafe(
+                df,
+                ["k"],
+                F.col("k"),
+                [F.col("k")],
+                string_order_key(F.col("w")),
+                [F.col("w"), F.col("id")],
+                "rn",
+                nbuckets=rng.choice([2, 5, 9]),
+            ).collect()
+        }
+        assert got == want, (seed, n, nkeys)
