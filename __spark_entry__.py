@@ -77,6 +77,7 @@ _GATE_FIRST = [
     "dedup_semantic_hier",
     "emb_kcenter_coreset",
     "text_phrase_search",
+    "curation_url_dedup",
     "text_vocabulary",
     "text_zipf_fit",
     "diag_key_skew",

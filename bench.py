@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_semantic_hier",
     "emb_kcenter_coreset",
     "text_phrase_search",
+    "curation_url_dedup",
     "text_bm25_search",
     "graph_pagerank",
     "graph_triangles",
