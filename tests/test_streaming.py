@@ -323,3 +323,36 @@ def test_value_ks_gauge_alerts_only_on_drift(spark, tmp_path):
     assert bad.last_d > bad.last_crit
     # malformed payloads (no field / non-numeric) were dropped, not binned
     assert ok.last_d < 0.05  # same-shape tranche stayed under noise
+
+
+def test_ks_against_matches_bruteforce():
+    """ks_against must equal the brute-force two-sample KS over the
+    binned data (max CDF gap at bin edges — exact for step CDFs) and
+    use the events_drift_ks critical coefficient. Pure driver-side
+    arithmetic; no Spark."""
+    import math
+    import random
+
+    from kinesis_s3_spark.streaming.histogram import SizeHistogramAccumulator
+
+    rng = random.Random(3)
+    for _ in range(25):
+        cur = {rng.randrange(0, 20): rng.randrange(1, 500) for _ in range(rng.randrange(1, 12))}
+        ref = {rng.randrange(0, 20): rng.randrange(1, 500) for _ in range(rng.randrange(1, 12))}
+        acc = SizeHistogramAccumulator.__new__(SizeHistogramAccumulator)
+        acc.bins = dict(cur)
+        d, crit = acc.ks_against(ref)
+        n1, n2 = sum(cur.values()), sum(ref.values())
+        want = 0.0
+        c1 = c2 = 0
+        for b in sorted(set(cur) | set(ref)):
+            c1 += cur.get(b, 0)
+            c2 += ref.get(b, 0)
+            want = max(want, abs(c1 / n1 - c2 / n2))
+        assert abs(d - want) < 1e-12
+        assert abs(crit - 1.358 * math.sqrt((n1 + n2) / (n1 * n2))) < 1e-12
+    # empty sides never alert
+    acc = SizeHistogramAccumulator.__new__(SizeHistogramAccumulator)
+    acc.bins = {}
+    d, crit = acc.ks_against({1: 5})
+    assert d == 0.0 and crit == float("inf")
