@@ -613,3 +613,80 @@ def test_streaming_minhash_shards_answer_near_dup(spark, tmp_path):
     )
     empty = spark.read.parquet(store2._shard_path(store2.applied[-1]))
     assert empty.count() == 0
+
+
+def test_streaming_misra_gries_matches_batch_heavy_hitters(spark, tmp_path):
+    """Streaming Misra-Gries on the loader path: the corpus replayed
+    in two tranches with a stop/restart; the accumulator's k-counter
+    state must (a) contain every true heavy hitter (freq*k > total —
+    the MG superset guarantee carried across partition summaries,
+    batch merges, and the restart), (b) bound each counter within
+    total/k of the exact frequency, and (c) reproduce the batch
+    sketch_heavy_hitters output exactly after the candidate recount —
+    the same phase-2 the batch operator runs."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from kinesis_s3_spark.config import from_dict
+    from kinesis_s3_spark.operators.sketches import MG_K, words_of
+    from kinesis_s3_spark.sources.tables import load_table
+    from kinesis_s3_spark.streaming.loader import run_loader
+    from kinesis_s3_spark.streaming.misra_gries import MisraGriesAccumulator
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    inp = str(tmp_path / "in")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("text").alias("value")
+    ).coalesce(1).write.mode("append").parquet(inp)
+    cfg = from_dict(
+        {
+            "purpose": "RAW",
+            "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+            "output": {"s3": {"path": str(tmp_path / "out"), "compression": "GZIP"}},
+            "buffer": {"time_limit_ms": 250},
+            "checkpoint_location": str(tmp_path / "ckpt"),
+        }
+    )
+    acc = MisraGriesAccumulator(str(tmp_path / "mg"))
+    q = run_loader(spark, cfg, query_name="mg-a", accumulators=(acc,))
+    q.processAllAvailable()
+    q.stop()
+    assert acc.counters and acc.total > 0
+
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("text").alias("value")
+    ).coalesce(1).write.mode("append").parquet(inp)
+    acc2 = MisraGriesAccumulator(str(tmp_path / "mg"))
+    assert acc2.counters == acc.counters and acc2.total == acc.total
+    q2 = run_loader(spark, cfg, query_name="mg-b", accumulators=(acc2,))
+    q2.processAllAvailable()
+    q2.stop()
+
+    words = docs.select(F.explode(words_of(F.col("text"))).alias("word")).filter(
+        F.col("word") != ""
+    )
+    exact = {r["word"]: r["c"] for r in words.groupBy("word").agg(F.count("*").alias("c")).collect()}
+    total = sum(exact.values())
+    assert acc2.total == total  # stream length tracked exactly
+
+    # (a) superset + (b) counter bound
+    cands = acc2.candidates()
+    for w, f in exact.items():
+        if f * MG_K > total:
+            assert w in cands, w
+    for w, c in cands.items():
+        assert c <= exact.get(w, 0)
+        assert exact.get(w, 0) - c <= total / MG_K
+    # (c) candidate recount == the batch operator's exact output
+    want = {
+        (r["word"], r["freq"])
+        for r in entrymod.queries()["sketch_heavy_hitters"](spark, sf).collect()
+    }
+    got = {(w, exact[w]) for w in cands if w in exact and exact[w] * MG_K > total}
+    assert got == want
+
+    # replay gate
+    before = dict(acc2.counters)
+    acc2.update(spark.createDataFrame([("x x x",)], "value string"), acc2.last_batch_id)
+    assert acc2.counters == before
