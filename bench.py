@@ -433,6 +433,15 @@ def main() -> None:
     drift = suite_drift(timings, baseline)
     regressions = flag_regressions(timings, baseline, drift)
 
+    # cross-ROUND ratchet (VERDICT r8 next #2): the pin file above is a
+    # within-round gate since the r8 re-seed; this compares against the
+    # PREVIOUS round's committed warm medians (tools/bench_rounds.json,
+    # snapshotted once per round — see tools/cross_round_check.py)
+    from tools.cross_round_check import cross_round_regressions, prev_round_medians
+
+    prev_label, prev_medians = prev_round_medians()
+    xround_flags, xround_drift = cross_round_regressions(timings, prev_medians)
+
     loader = loader_throughput(spark, sf_dir)
 
     sf1_times: dict[str, float] = {}
@@ -463,6 +472,9 @@ def main() -> None:
                 "regressions_vs_baseline": regressions,
                 "suite_drift": drift,
                 "drift_alert": drift > DRIFT_ALERT,
+                "cross_round_vs": prev_label,
+                "cross_round_drift": xround_drift,
+                "cross_round_regressions": xround_flags,
                 "loader": loader,
                 "sf1_single_run_sec": sf1_times,
                 "sf1_errors": sf1_errors,
@@ -484,6 +496,9 @@ def main() -> None:
         "n_regressions": len(regressions),
         "regressed": sorted(regressions),
         "suite_drift": drift,
+        "cross_round_vs": prev_label,
+        "cross_round_drift": xround_drift,
+        "cross_round_regressions": sorted(xround_flags),
     }
     if sf1_times:
         # array aligned with the `queries` map's key order (HEADLINE

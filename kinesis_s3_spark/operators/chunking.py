@@ -17,7 +17,6 @@ from pyspark.sql.window import Window
 from kinesis_s3_spark.functions.text import ngrams_from_tokens, tokens
 from kinesis_s3_spark.operators.ranking import (
     global_row_number_tiesafe,
-    string_order_key,
 )
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
@@ -105,9 +104,10 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["freq"],
         F.lit(0) - F.col("freq"),
         [F.col("freq").desc()],
-        string_order_key(F.col("word")),
+        None,
         [F.col("word")],
         "vocab_id",
+        tiebreak_str=F.col("word"),
     ).select("word", "freq", F.col("vocab_id").cast("int").alias("vocab_id"))
 
 

@@ -684,10 +684,16 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sener & Savarese 2018 k-Center-Greedy)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vv = emb.select("vec_id", _vec_d(F.col("embedding")).alias("e")).cache()
+    return kcenter_greedy_frame(spark, vv, K_CENTERS)
+
+
+def kcenter_greedy_frame(spark: SparkSession, vv: DataFrame, k: int) -> DataFrame:
+    """Reusable greedy core over a cached (vec_id, e) frame — exposed
+    for tools/kcenter_scale_experiment.py's crossover measurement."""
     seed = vv.filter(F.col("vec_id") == 0).select("vec_id", "e").collect()[0]
     picks = [(0, int(seed["vec_id"]), 0.0)]
     cur = vv.withColumn("mind", _kc_dist(F.col("e"), [float(x) for x in seed["e"]]))
-    for i in range(1, K_CENTERS):
+    for i in range(1, k):
         top = (
             cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
             .select("vec_id", "e", "mind")
@@ -695,7 +701,7 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         picks.append((i, int(top["vec_id"]), float(top["mind"])))
-        if i < K_CENTERS - 1:
+        if i < k - 1:
             cur = cur.withColumn(
                 "mind",
                 F.least(
@@ -706,3 +712,192 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "sel_order int, vec_id long, radius_before double"
     )
+
+
+# --- batched k-center (k-means||-style oversampling) -------------------------
+#
+# emb_kcenter_coreset's greedy loop folds ONE center literal per round:
+# k scans and a k-term projection — fine at k=8, impossible at k=10^4
+# (VERDICT r8 next #6). The batched variant is the k-means|| move
+# (Bahmani et al., VLDB 2012) applied to k-center: OVERSAMPLE a batch
+# of candidates per pass (PASSES ≈ 4-8 scans total, independent of k),
+# then re-run the exact greedy driver-side on the small candidate set.
+# Production k-means|| samples candidates distance-weighted; this twin
+# takes the deterministic top-ℓ by (running-min distance DESC, vec_id)
+# so the DuckDB oracle can replay every pass and every re-greedy round
+# bit-for-bit (registry determinism rules — same 4 dp rounding as the
+# greedy twin). Quality trade: a pass's ℓ far points can cluster in one
+# far region; the driver-side re-greedy rejects the near-duplicates,
+# and the corpus_radius column reports the realized coverage so the
+# greedy-vs-batched gap is measurable (tools/kcenter_scale_experiment).
+
+KB_CENTERS = 16
+KB_L = 8
+KB_PASSES = 4
+
+_KC_DIST_SQL = (
+    "ROUND(list_dot_product({a}.e, {a}.e) - 2 * list_dot_product({a}.e, {b}.e)"
+    " + list_dot_product({b}.e, {b}.e), 4)"
+)
+
+
+def _kcenter_batched_sql() -> str:
+    """DuckDB unroll: KB_PASSES top-ℓ passes (running-min update via a
+    MIN-over-candidates join per pass), then KB_CENTERS-1 exact greedy
+    rounds over the collected candidate set's rounded pairwise matrix,
+    then the corpus coverage radius of the selected centers."""
+    dist = _KC_DIST_SQL
+    parts = [
+        f"""
+    WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s0 AS (SELECT vec_id, e FROM v WHERE vec_id = 0),
+    d1 AS MATERIALIZED (SELECT v.vec_id, v.e, {dist.format(a="v", b="s0")} AS mind FROM v, s0)"""
+    ]
+    for p in range(1, KB_PASSES + 1):
+        parts.append(
+            f""",
+    c{p} AS MATERIALIZED (SELECT vec_id, e, mind FROM d{p} ORDER BY mind DESC, vec_id LIMIT {KB_L})"""
+        )
+        if p < KB_PASSES:
+            parts.append(
+                f""",
+    u{p + 1} AS (SELECT d.vec_id, MIN({dist.format(a="d", b="c")}) AS nd
+                 FROM d{p} d, c{p} c GROUP BY d.vec_id),
+    d{p + 1} AS MATERIALIZED (SELECT d.vec_id, d.e, LEAST(d.mind, u.nd) AS mind
+                 FROM d{p} d JOIN u{p + 1} u USING (vec_id))"""
+            )
+    cand_union = " UNION ALL ".join(
+        ["SELECT vec_id, e FROM s0"]
+        + [f"SELECT vec_id, e FROM c{p}" for p in range(1, KB_PASSES + 1)]
+    )
+    parts.append(
+        f""",
+    cand AS MATERIALIZED ({cand_union}),
+    pw AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j, {dist.format(a="a", b="b")} AS d
+           FROM cand a, cand b),
+    g1 AS MATERIALIZED (SELECT i AS vec_id, d AS mind FROM pw WHERE j = 0)"""
+    )
+    for r in range(1, KB_CENTERS):
+        parts.append(
+            f""",
+    p{r} AS (SELECT vec_id, mind FROM g{r} ORDER BY mind DESC, vec_id LIMIT 1)"""
+        )
+        if r < KB_CENTERS - 1:
+            parts.append(
+                f""",
+    g{r + 1} AS MATERIALIZED (SELECT g.vec_id, LEAST(g.mind, pw.d) AS mind
+                 FROM g{r} g JOIN pw ON pw.i = g.vec_id
+                                    AND pw.j = (SELECT vec_id FROM p{r}))"""
+            )
+    sel_union = " UNION ALL ".join(
+        ["SELECT 0 AS sel_order, CAST(0 AS BIGINT) AS vec_id, 0.0 AS radius_before"]
+        + [
+            f"SELECT {r}, vec_id, mind FROM p{r}"
+            for r in range(1, KB_CENTERS)
+        ]
+    )
+    parts.append(
+        f""",
+    sel AS ({sel_union}),
+    selv AS MATERIALIZED (SELECT DISTINCT c.vec_id, c.e FROM cand c JOIN sel s USING (vec_id)),
+    cm AS (SELECT v.vec_id, MIN({dist.format(a="v", b="t")}) AS m
+           FROM v, selv t GROUP BY v.vec_id),
+    cr AS (SELECT MAX(m) AS r FROM cm)
+    SELECT s.sel_order, s.vec_id, s.radius_before,
+           (SELECT r FROM cr) AS corpus_radius
+    FROM sel s ORDER BY sel_order"""
+    )
+    return "".join(parts)
+
+
+_KCENTER_BATCHED_SQL = _kcenter_batched_sql()
+
+
+def kcenter_batched_frame(
+    spark: SparkSession,
+    vv: DataFrame,
+    k: int = KB_CENTERS,
+    l: int = KB_L,
+    passes: int = KB_PASSES,
+) -> DataFrame:
+    """Reusable core over a cached (vec_id, e) frame — exposed for
+    tools/kcenter_scale_experiment.py's crossover measurement."""
+    seed = vv.filter(F.col("vec_id") == 0).select("vec_id", "e").collect()[0]
+    cand: list[tuple[int, list[float]]] = [(0, [float(x) for x in seed["e"]])]
+    cur = vv.withColumn("mind", _kc_dist(F.col("e"), cand[0][1]))
+    for p in range(passes):
+        top = (
+            cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .select("vec_id", "e")
+            .limit(l)
+            .collect()
+        )
+        batch = [(int(t["vec_id"]), [float(x) for x in t["e"]]) for t in top]
+        cand.extend(batch)
+        if p < passes - 1:
+            m = F.col("mind")
+            # ℓ new center literals folded in ONE map-only projection —
+            # passes stay O(1) scans regardless of k
+            for _, cvec in batch:
+                m = F.least(m, _kc_dist(F.col("e"), cvec))
+            cur = cur.withColumn("mind", m)
+    # rounded pairwise matrix of the (1 + passes·ℓ)-point candidate set
+    # — a bounded cross join, collected once; the driver-side re-greedy
+    # below only COMPARES these Spark-rounded values (no new float
+    # arithmetic), so the oracle's identical greedy over DuckDB's
+    # rounded matrix picks the same centers (4 dp convention)
+    # single-partition micro-frame: the default parallelize split would
+    # plan a 32x32=1024-task cross join over 33 rows
+    cdf = spark.createDataFrame(cand, "vec_id long, e array<double>").coalesce(1)
+    pw = (
+        cdf.alias("a")
+        .crossJoin(cdf.alias("b"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            F.round(
+                _dot(F.col("a.e"), F.col("a.e"))
+                - 2 * _dot(F.col("a.e"), F.col("b.e"))
+                + _dot(F.col("b.e"), F.col("b.e")),
+                4,
+            ).alias("d"),
+        )
+    )
+    D = {(r["i"], r["j"]): r["d"] for r in pw.collect()}
+    ids = list(dict.fromkeys(i for i, _ in cand))
+    mind = {i: D[(i, 0)] for i in ids}
+    picks = [(0, 0, 0.0)]
+    for r in range(1, k):
+        nxt = max(ids, key=lambda i: (mind[i], -i))
+        picks.append((r, int(nxt), float(mind[nxt])))
+        for i in ids:
+            mind[i] = min(mind[i], D[(i, nxt)])
+    # corpus coverage radius of the selected set: ONE more scan with a
+    # k-term LEAST fold (the scale metric the greedy twin cannot afford
+    # to re-check per round at large k)
+    by_id = dict(cand)
+    m = None
+    for _, vid, _rb in picks:
+        t = _kc_dist(F.col("e"), by_id[vid])
+        m = t if m is None else F.least(m, t)
+    radius = float(vv.select(m.alias("m")).agg(F.max("m")).collect()[0][0])
+    return spark.createDataFrame(
+        [(o, i, rb, radius) for o, i, rb in picks],
+        "sel_order int, vec_id long, radius_before double, corpus_radius double",
+    )
+
+
+@query("emb_kcenter_batched", oracle=_KCENTER_BATCHED_SQL)
+def emb_kcenter_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-center coreset (k-means||-style oversampling +
+    driver-side re-greedy): KB_CENTERS centers from KB_PASSES top-ℓ
+    passes instead of k greedy scans, plus the realized corpus
+    coverage radius. Scans: passes + pairwise + radius = O(passes),
+    independent of k — the large-k path where emb_kcenter_coreset's
+    one-pick-per-round folding stops (k·dim literals and k jobs).
+    The oracle unrolls every pass AND every re-greedy round, so the
+    candidate sets, the picks, and both radius columns are gated
+    bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vv = emb.select("vec_id", _vec_d(F.col("embedding")).alias("e")).cache()
+    return kcenter_batched_frame(spark, vv)

@@ -25,7 +25,6 @@ from kinesis_s3_spark.functions.text import (
 )
 from kinesis_s3_spark.operators.ranking import (
     global_row_number_tiesafe,
-    string_order_key,
 )
 from kinesis_s3_spark.operators.registry import query
 from kinesis_s3_spark.sources.tables import load_table
@@ -546,9 +545,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["freq"],
         F.lit(0) - F.col("freq"),
         [F.col("freq").desc()],
-        string_order_key(F.col("word")),
+        None,
         [F.col("word")],
         "rk",
+        tiebreak_str=F.col("word"),
     ).select(
         F.log(F.col("rk").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),

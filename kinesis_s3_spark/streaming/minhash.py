@@ -174,3 +174,89 @@ class MinHashShardStore:
             "match_doc_id",
             F.round(agree.cast("double") / N_HASHES, 6).alias("sig_sim"),
         )
+
+    def probe_verified(
+        self, new_docs: DataFrame, archive_root: str, raw_base64: bool = False
+    ) -> DataFrame:
+        """:meth:`probe` plus the batch arm's EXACT-verify tier
+        (VERDICT r8 next #4). ``probe()`` alone returns the
+        signature-agreement ESTIMATE (±1σ ≈ 0.14 at 12 hashes) because
+        shards deliberately keep no text; this closes the precision gap
+        by fetching the COLLIDED corpus documents' text back out of the
+        loader's own emitted archive through the ``archive_replay``
+        streaming source and computing the exact shingle Jaccard
+        (bit-equal to ``operators/dedup.minhash_pairs``'s verify stage:
+        same shingles, same |∩| / (|A|+|B|−|∩|), same rounding).
+
+        The archive replays INCREMENTALLY into a parquet staging dir
+        under the state dir: the replay checkpoint means a re-verify
+        only ingests batches emitted since the last one — steady-state
+        cost is one no-op microbatch plus a staging-scan equi-join over
+        the candidate ids only (never the corpus). Returns
+        (doc_id, match_doc_id, sig_sim, jaccard); consumers threshold
+        ``jaccard`` at the batch arm's JACCARD_THRESHOLD for verdicts
+        identical to ``dedup_minhash_lsh`` on the same tree.
+
+        ``raw_base64``: pass True for archives emitted under
+        ``Purpose.RAW`` through a line sink — the emitter base64-frames
+        raw bytes one line per record (emitter.py:199-209), so the
+        staged lines must be unbase64'd back to the exact payload
+        before the store's (doc_id, text) column contract applies."""
+        from kinesis_s3_spark.sources.replay import register_replay_source
+
+        spark = new_docs.sparkSession
+        register_replay_source(spark)
+        stage = os.path.join(self._dir, "verify_stage")
+        ckpt = os.path.join(self._dir, "verify_ckpt")
+        q = (
+            spark.readStream.format("archive_replay")
+            .option("path", archive_root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", stage)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+        hits = self.probe(new_docs)
+        staged = spark.read.parquet(stage)
+        if raw_base64:
+            staged = staged.withColumn(
+                "value", F.decode(F.unbase64(F.col("value")), "UTF-8")
+            )
+        corpus = (
+            staged
+            .select(
+                self._doc_id_col.try_cast("long").alias("match_doc_id"),
+                self._text_col.alias("text"),
+            )
+            .where(F.col("match_doc_id").isNotNull() & F.col("text").isNotNull())
+        )
+        # candidates only (an equi-join on the hit ids — the staging
+        # scan is pruned to collided documents, never the corpus);
+        # max() collapses the impossible-but-cheap duplicate-staging
+        # case deterministically
+        cand = (
+            corpus.join(hits.select("match_doc_id").distinct(), "match_doc_id")
+            .groupBy("match_doc_id")
+            .agg(F.max("text").alias("text"))
+        )
+        g2 = shingle_sets(
+            cand.select(F.col("match_doc_id").alias("doc_id"), "text")
+        ).select(F.col("doc_id").alias("match_doc_id"), F.col("shingles").alias("gs2"))
+        g1 = shingle_sets(new_docs).select(
+            "doc_id", F.col("shingles").alias("gs1")
+        )
+        inter = F.size(F.array_intersect("gs1", "gs2")).cast("double")
+        union = F.size("gs1") + F.size("gs2") - F.size(F.array_intersect("gs1", "gs2"))
+        return (
+            hits.join(g1, "doc_id")
+            .join(g2, "match_doc_id")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .select("doc_id", "match_doc_id", "sig_sim", "jaccard")
+        )

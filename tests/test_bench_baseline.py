@@ -96,3 +96,50 @@ def test_shipped_sf1_baseline_covers_headline():
     # every measured query has a pin (new queries get pinned the round
     # after they first run at sf1; allow a small lag)
     assert len(measured - set(base)) <= 8, sorted(measured - set(base))
+
+
+# --- cross-ROUND ratchet (VERDICT r8 next #2) ---
+
+from tools.cross_round_check import cross_round_regressions
+
+
+def test_cross_round_injected_regression_flagged():
+    prev = {f"q{i}": 1.0 for i in range(20)}
+    cur = dict(prev, q7=1.8)  # 1.8x, +0.8 s
+    flags, drift = cross_round_regressions(cur, prev)
+    assert set(flags) == {"q7"} and abs(drift - 1.0) < 1e-9
+    assert flags["q7"]["ratio"] == 1.8
+
+
+def test_cross_round_uniform_drift_not_flagged():
+    prev = {f"q{i}": 1.0 for i in range(20)}
+    cur = {f"q{i}": 1.7 for i in range(20)}  # slow box, not a plan change
+    flags, drift = cross_round_regressions(cur, prev)
+    assert flags == {} and abs(drift - 1.7) < 1e-9
+    # idiosyncratic 3x on the same drifted box still fires
+    cur["q3"] = 3.0 * 1.7
+    flags, _ = cross_round_regressions(cur, prev)
+    assert set(flags) == {"q3"}
+
+
+def test_cross_round_subsecond_jitter_below_floor():
+    prev = {"q": 0.1, "r": 5.0}
+    # 1.9x but only +0.09 s — local[32] scheduler noise, not a regression
+    flags, _ = cross_round_regressions({"q": 0.19, "r": 5.0}, prev)
+    assert flags == {}
+
+
+def test_cross_round_disjoint_or_empty_history():
+    assert cross_round_regressions({"a": 1.0}, {}) == ({}, 1.0)
+    assert cross_round_regressions({"a": 1.0}, {"b": 2.0}) == ({}, 1.0)
+
+
+def test_history_file_matches_headline():
+    """Every snapshotted round's queries are (a subset of) HEADLINE —
+    a renamed query would silently fall out of the comparison."""
+    from tools.cross_round_check import load_history
+
+    hist = load_history()
+    assert hist, "tools/bench_rounds.json must exist (snapshot protocol)"
+    for label, medians in hist.items():
+        assert set(medians) <= set(bench.HEADLINE), label

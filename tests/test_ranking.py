@@ -185,6 +185,125 @@ def test_tiesafe_balances_all_ties_frame(spark):
     assert len(ones) == 1 and ones[0] == n
 
 
+def test_tiesafe_lcp_balances_shared_prefix_tiebreakers(spark):
+    """VERDICT r8 missing #1: URL-shaped tiebreakers all sharing a
+    ≥7-byte prefix project EQUAL under the plain 7-byte key, so the
+    tiebreak sub-bucketing collapses to one cell. The tiebreak_str
+    path must strip the frame's longest common prefix and restore the
+    balance property — no (key, b2) cell above ~2n/nbuckets."""
+    from kinesis_s3_spark.operators.ranking import (
+        _two_level_buckets,
+        _two_level_buckets_lcp,
+        string_order_key,
+    )
+
+    n, nbuckets = 4000, 8
+    df = spark.range(n).select(
+        F.lit(1).alias("k"),
+        F.concat(F.lit("https://shop.example.com/item/"), F.lpad("id", 8, "0")).alias("w"),
+    )
+    # negative control: the plain projection collapses — every row
+    # shares the 7-byte prefix "https:/" so all b2 ids are equal
+    d0, _, b2_0 = _two_level_buckets(
+        df, F.col("k"), string_order_key(F.col("w")), "neg", nbuckets
+    )
+    ones = [r["c"] for r in d0.groupBy(b2_0).agg(F.count("*").alias("c")).collect()]
+    assert len(ones) == 1 and ones[0] == n
+    # the LCP form spreads the frame across tiebreak cells
+    d, _, b2, _pcol = _two_level_buckets_lcp(df, F.col("k"), F.col("w"), "t", nbuckets)
+    sizes = [r["c"] for r in d.groupBy("k", b2).agg(F.count("*").alias("c")).collect()]
+    assert len(sizes) >= nbuckets - 1, sizes
+    assert max(sizes) <= 2 * n / nbuckets, sizes
+
+
+def test_tiesafe_lcp_matches_single_partition_window(spark):
+    """Exactness of the tiebreak_str path on adversarial shapes: the
+    shared-prefix frame AND every CASES key distribution with repeated
+    prefix-shaped string tiebreakers must reproduce the
+    single-partition numbering bit-for-bit."""
+    from kinesis_s3_spark.operators.ranking import global_row_number_tiesafe
+
+    for name, keys in CASES.items():
+        df = _frame(spark, keys).withColumn(
+            "w",
+            F.concat(
+                F.lit("https://shop/p/"),
+                F.lpad((F.col("id") * 37 % 250).cast("string"), 4, "0"),
+            ),
+        )
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn",
+                F.row_number().over(Window.orderBy(F.col("k").desc(), "w", "id")),
+            ).collect()
+        }
+        got = {
+            r["id"]: r["rn"]
+            for r in global_row_number_tiesafe(
+                df, ["k"], F.lit(0) - F.col("k"), [F.col("k").desc()],
+                None, [F.col("w"), F.col("id")], "rn", nbuckets=7,
+                tiebreak_str=F.col("w"),
+            ).collect()
+        }
+        assert got == want, name
+
+
+def test_tiesafe_lcp_multibyte_and_degenerate_frames(spark):
+    """Edge shapes of the LCP path: a frame whose shared prefix ends
+    inside a multi-byte UTF-8 code point (byte-level skip must stay
+    order-correct), an all-identical-string frame (LCP = full length,
+    every projection 0 — single cell, order_cols finish), and an
+    empty frame."""
+    from kinesis_s3_spark.operators.ranking import global_row_number_tiesafe
+
+    # shared prefix "héllo-wörld-" is 14 bytes; suffix digits vary
+    df = spark.range(200).select(
+        (F.col("id") % 3).alias("k"),
+        F.concat(F.lit("héllo-wörld-"), F.lpad("id", 4, "0")).alias("w"),
+        F.col("id"),
+    )
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "w", "id"))
+        ).collect()
+    }
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number_tiesafe(
+            df, ["k"], F.col("k"), [F.col("k")], None,
+            [F.col("w"), F.col("id")], "rn", nbuckets=5,
+            tiebreak_str=F.col("w"),
+        ).collect()
+    }
+    assert got == want
+    # all-identical strings
+    same = spark.range(50).select(
+        F.lit(1).alias("k"), F.lit("constant").alias("w"), F.col("id")
+    )
+    got_same = {
+        r["id"]: r["rn"]
+        for r in global_row_number_tiesafe(
+            same, ["k"], F.col("k"), [F.col("k")], None,
+            [F.col("w"), F.col("id")], "rn", nbuckets=5,
+            tiebreak_str=F.col("w"),
+        ).collect()
+    }
+    assert sorted(got_same.values()) == list(range(1, 51))
+    assert got_same == {i: i + 1 for i in range(50)}
+    # empty frame
+    empty = same.filter(F.lit(False))
+    assert (
+        global_row_number_tiesafe(
+            empty, ["k"], F.col("k"), [F.col("k")], None,
+            [F.col("w"), F.col("id")], "rn", nbuckets=5,
+            tiebreak_str=F.col("w"),
+        ).count()
+        == 0
+    )
+
+
 def test_tiesafe_property_random_frames(spark):
     """Property sweep (hypothesis-style generation, fixed seeds kept
     deterministic for CI): random low-cardinality key sets × random

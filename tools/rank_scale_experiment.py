@@ -70,6 +70,22 @@ def synth_ties(spark, n: int):
     )
 
 
+def synth_prefix_ties(spark, n: int):
+    """The r8 degeneracy shape: 3-value leading key AND a URL-shaped
+    string tiebreaker where every row shares a 30-byte prefix — the
+    plain 7-byte projection maps ALL rows to one tiebreak cell, so
+    even the two-level form degenerates to one fat window unless the
+    frame's longest common prefix is stripped first."""
+    h = F.pmod(F.hash(F.col("id").cast("string")).cast("long"), F.lit(100))
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(h < 80, F.lit(1)).when(h < 95, F.lit(2)).otherwise(F.lit(3)).alias("k"),
+        F.concat(
+            F.lit("https://shop.example.com/item/"), F.lpad("id", 12, "0")
+        ).alias("w"),
+    )
+
+
 def main(sizes: list[int]) -> None:
     spark = get_spark("rank-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -121,6 +137,37 @@ def main(sizes: list[int]) -> None:
         out.append(row)
         print(json.dumps(row))
         tied.unpersist()
+
+        # --- shared-prefix string-tiebreaker arm (VERDICT r8 missing
+        # #1): 3-value key x URL-shaped tiebreaker. The plain 7-byte
+        # projection collapses every tiebreak cell; the LCP-stripped
+        # tiebreak_str path must keep the cells balanced
+        from kinesis_s3_spark.operators.ranking import string_order_key
+
+        pref = synth_prefix_ties(spark, n).localCheckpoint()
+
+        def prefix_plain():
+            return global_row_number_tiesafe(
+                pref, ["k"], F.col("k"), [F.col("k")],
+                string_order_key(F.col("w")), [F.col("w"), F.col("id")], "r",
+            )
+
+        def prefix_lcp():
+            return global_row_number_tiesafe(
+                pref, ["k"], F.col("k"), [F.col("k")], None,
+                [F.col("w"), F.col("id")], "r", tiebreak_str=F.col("w"),
+            )
+
+        time_arm(prefix_plain), time_arm(prefix_lcp)
+        row = {
+            "n": n,
+            "key": "3-distinct x 30-byte shared-prefix URL tiebreaker",
+            "plain_projection_sec": time_arm(prefix_plain),
+            "lcp_stripped_sec": time_arm(prefix_lcp),
+        }
+        out.append(row)
+        print(json.dumps(row))
+        pref.unpersist()
     print(json.dumps({"summary": out}))
 
 

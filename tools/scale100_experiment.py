@@ -155,6 +155,124 @@ def build_embeddings(spark) -> None:
             os.symlink(src, os.path.join(OUT_EMB, f"{t}.parquet"))
 
 
+OUT_EV = "/tmp/scale100ev"
+
+EV_QUERIES = [
+    "events_sessionize",
+    "events_asof_join",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "events_drift_ks",
+    "join_skew_salted",
+]
+
+
+def build_events(spark) -> None:
+    """100× events corpus-growth axis (VERDICT r8 next #3): copy 0 is
+    the original sf0.1 tables; the growth is FRESH rows at natural key
+    density — 99× more USERS (new user_ids, hash-derived event
+    streams at the original ~67 events/user over the same 30-day
+    window), not replicas, so sessions/cohorts/funnels grow by user
+    count while per-user stream length (the window-partition size)
+    stays constant — exactly how a 100 TB product corpus grows.
+
+    Companion tables grow with the users: fresh orders for the new
+    users at the original ~10 orders/user (events_asof_join), and a
+    99× supplier/lineitem pair at constant lineitems-per-supplier
+    (join_skew_salted). Only the columns those queries read are
+    generated; everything else symlinks to sf0.1."""
+    if os.path.exists(os.path.join(OUT_EV, "_BUILT")):
+        return
+    import shutil
+
+    shutil.rmtree(OUT_EV, ignore_errors=True)
+    os.makedirs(OUT_EV)
+    extra = COPIES - 1
+
+    e0 = load_table(spark, BASE, "events")
+    n_ev = e0.count()
+    n_users = e0.agg(F.max("user_id")).first()[0] + 1
+    max_eid = e0.agg(F.max("event_id")).first()[0] + 1
+    ts_lo, ts_hi = e0.agg(F.min("ts"), F.max("ts")).first()
+    span_s = int((ts_hi - ts_lo).total_seconds())
+    types = sorted(r[0] for r in e0.select("event_type").distinct().collect())
+    dt = dict(e0.dtypes)
+
+    def h(tag):  # deterministic per-row hash in [0, 2^31)
+        return F.pmod(
+            F.hash(F.concat(F.col("id").cast("string"), F.lit(tag))).cast("long"),
+            F.lit(2**31),
+        )
+
+    g = spark.range(extra * n_ev).select(
+        (F.col("id") + F.lit(max_eid)).cast(dt["event_id"]).alias("event_id"),
+        F.expr(
+            f"timestampadd(MICROSECOND, pmod(hash(concat(cast(id as string), '_us')), 1000000), "
+            f"timestampadd(SECOND, pmod(hash(concat(cast(id as string), '_t')), {span_s}), "
+            f"TIMESTAMP_NTZ '{ts_lo.strftime('%Y-%m-%d %H:%M:%S')}'))"
+        ).cast(dt["ts"]).alias("ts"),
+        (F.lit(n_users) + (h("_u") % F.lit(extra * n_users)))
+        .cast(dt["user_id"]).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in types]), (h("_e") % len(types) + 1).cast("int")
+        ).cast(dt["event_type"]).alias("event_type"),
+        F.round((h("_v") % 15000) / 100.0, 2).cast(dt["value"]).alias("value"),
+        F.format_string('{"k": %d}', (h("_k") % 100).cast("int"))
+        .cast(dt["props"]).alias("props"),
+    )
+    e0.select(*[c for c, _ in e0.dtypes]).unionByName(g).write.parquet(
+        f"{OUT_EV}/events.parquet"
+    )
+
+    # fresh orders for the NEW users, ~10 orders/user (the original
+    # per-custkey density); only the asof-join columns
+    o0 = load_table(spark, BASE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    odt = dict(o0.dtypes)
+    max_ok = o0.agg(F.max("o_orderkey")).first()[0] + 1
+    n_new_orders = extra * n_users * 10
+    go = spark.range(n_new_orders).select(
+        (F.col("id") + F.lit(max_ok)).cast(odt["o_orderkey"]).alias("o_orderkey"),
+        (F.lit(n_users) + (h("_c") % F.lit(extra * n_users)))
+        .cast(odt["o_custkey"]).alias("o_custkey"),
+        F.date_add(F.lit("1992-01-01").cast("date"), (h("_d") % 2400).cast("int"))
+        .cast(odt["o_orderdate"]).alias("o_orderdate"),
+    )
+    o0.unionByName(go).write.parquet(f"{OUT_EV}/orders.parquet")
+
+    # 99× suppliers + lineitems at constant lineitems-per-supplier
+    s0 = load_table(spark, BASE, "supplier").select("s_suppkey", "s_nationkey")
+    sdt = dict(s0.dtypes)
+    n_sup = s0.count()
+    gs = spark.range(extra * n_sup).select(
+        (F.col("id") + F.lit(n_sup + 1)).cast(sdt["s_suppkey"]).alias("s_suppkey"),
+        (h("_n") % 25).cast(sdt["s_nationkey"]).alias("s_nationkey"),
+    )
+    s0.unionByName(gs).write.parquet(f"{OUT_EV}/supplier.parquet")
+
+    l0 = load_table(spark, BASE, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    ldt = dict(l0.dtypes)
+    n_li = l0.count()
+    max_lok = l0.agg(F.max("l_orderkey")).first()[0] + 1
+    gl = spark.range(extra * n_li).select(
+        (F.col("id") + F.lit(max_lok)).cast(ldt["l_orderkey"]).alias("l_orderkey"),
+        ((h("_s") % F.lit((extra + 1) * n_sup)) + 1)
+        .cast(ldt["l_suppkey"]).alias("l_suppkey"),
+        F.round((h("_p") % 10_000_000) / 100.0, 2)
+        .cast(ldt["l_extendedprice"]).alias("l_extendedprice"),
+    )
+    l0.unionByName(gl).write.parquet(f"{OUT_EV}/lineitem.parquet")
+
+    for t in ("region", "nation", "customer", "part", "documents", "embeddings"):
+        src = os.path.join(BASE, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(OUT_EV, f"{t}.parquet"))
+    open(os.path.join(OUT_EV, "_BUILT"), "w").close()
+
+
 def flat_k_pair_count(spark, sf_dir: str, k: int):
     """The k∝n cliff, measured by COUNT not by evaluation: within-
     cluster candidate pairs Σ|c|·(|c|−1)/2 after a k-cluster Lloyd
@@ -177,10 +295,23 @@ def main(names: list[str]) -> None:
     spark = get_spark("scale100")
     spark.sparkContext.setLogLevel("ERROR")
     emb_mode = "--embeddings" in names
+    ev_mode = "--events" in names
     names = [a for a in names if not a.startswith("--")]
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()
+    if ev_mode:
+        build_events(spark)
+        for name in names or EV_QUERIES:
+            row = {"query": name}
+            for sf_dir, col in ((BASE, "sec_1x"), (OUT_EV, "sec_100x")):
+                q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t0 = time.time()
+                q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                row[col] = round(time.time() - t0, 2)
+            row["ratio"] = round(row["sec_100x"] / row["sec_1x"], 1)
+            print(json.dumps(row), flush=True)
+        return
     if emb_mode:
         build_embeddings(spark)
         for name in names or EMB_QUERIES:
