@@ -63,69 +63,32 @@ for _m in _OPTIONAL_MODULES:
 # semantically changed THIS round (never driver-gated = infinitely
 # stale); after that, every registry query ordered by the round of its
 # most recent green driver-gate row (ascending, name-tiebreak),
-# computed from CORRECTNESS_r01..r07.json (tools snippet in git
-# history; regenerate each round). The r8 artifact therefore refreshes
-# the ~50 stalest entries (band 0 = this round's hierarchical-SemDeDup
-# / tie-safe-rank changes, then the round-2 residue and the round-3
-# band); subsequent rounds keep rotating by regenerating this list
-# from the artifacts.
+# computed from CORRECTNESS_r01..r08.json (tools snippet in git
+# history; regenerate each round). The r9 artifact therefore refreshes
+# band 0 (this round's ranking/k-center changes) plus the stalest
+# round-3/round-4 residue (ann_*, etl_*, mm_*, q10-q22,
+# sketch_countmin*, per VERDICT r8 next #7); subsequent rounds keep
+# rotating by regenerating this list from the artifacts.
 _GATE_FIRST = [
-    # -- (0) added or semantically changed in round 8, never gated
-    #    since the change (hierarchical SemDeDup; the tie-safe rank
-    #    switch on the three rank-by-count surfaces; the
-    #    window_rank_dense dense-arm plan fix) --
-    "dedup_semantic_hier",
+    # -- (0) added or semantically changed in round 9, never gated
+    #    since the change (batched k-center is NEW; the greedy twin was
+    #    refactored onto the shared core; the three rank-by-count
+    #    surfaces switched to the LCP-stripped tiebreak_str path; every
+    #    other entry here consumes the ranking primitives whose offset
+    #    frames now persist — values identical, plans changed) --
+    "emb_kcenter_batched",
     "emb_kcenter_coreset",
-    "text_phrase_search",
-    "curation_url_dedup",
     "text_vocabulary",
     "text_zipf_fit",
     "diag_key_skew",
     "window_rank_dense",
-    # -- last driver-gated in round 2 --
-    "window_topk_per_group",
+    "events_drift_ks",
+    "sketch_quantile_histogram",
+    "curation_epoch_shuffle",
+    "curation_dsir_weights",
+    "curation_quality_lr_auc",
+    "sketch_countmin_estimate",
     # -- last driver-gated in round 3 --
-    "agg_argminmax",
-    "agg_listagg",
-    "agg_mode_per_user",
-    "agg_regression",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "ann_recall_ivf",
-    "ann_recall_lsh",
-    "approx_error_bounds",
-    "curation_hash_split",
-    "curation_length_histogram",
-    "curation_mixture_temperature",
-    "curation_pack_sequences",
-    "curation_pipeline_funnel",
-    "curation_source_report",
-    "curation_stratified_sample",
-    "curation_token_budget_sample",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_recall_embedding_lsh",
-    "emb_kmeans",
-    "emb_label_centroids",
-    "emb_normalize_quantize",
-    "events_ewma",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "events_zscore_anomaly",
-    "fn_bitwise_suite",
-    "fn_struct_suite",
-    "join_skew_salted",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q16_supplier_part_counts",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
     "text_bigram_surprisal",
@@ -170,7 +133,6 @@ _GATE_FIRST = [
     "reshape_unpivot",
     "setop_intersect_all",
     "sketch_countmin",
-    "sketch_countmin_estimate",
     "text_bpe_tokenize",
     "text_bpe_train",
     "text_chunking",
@@ -283,15 +245,11 @@ _GATE_FIRST = [
     "curation_decontaminate",
     "curation_dedup_pipeline",
     "curation_dedup_survivorship",
-    "curation_dsir_weights",
-    "curation_epoch_shuffle",
     "curation_epoch_shuffle_write",
-    "curation_quality_lr_auc",
     "curation_quality_lr_calibration",
     "curation_split_leakage",
     "dedup_cluster_resolve",
     "emb_prototype_prune",
-    "events_drift_ks",
     "events_funnel_conversion_time",
     "events_peak_detection",
     "events_resample_ffill",
@@ -313,7 +271,6 @@ _GATE_FIRST = [
     "setop_except",
     "setop_intersect",
     "setop_union_distinct",
-    "sketch_quantile_histogram",
     "sort_multi_key",
     "sort_topk_global",
     "subquery_in",
@@ -323,6 +280,52 @@ _GATE_FIRST = [
     "window_lag_lead",
     "window_ntile_moving",
     "window_running_total",
+    # -- last driver-gated in round 8 --
+    "agg_argminmax",
+    "agg_listagg",
+    "agg_mode_per_user",
+    "agg_regression",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "approx_error_bounds",
+    "curation_hash_split",
+    "curation_length_histogram",
+    "curation_mixture_temperature",
+    "curation_pack_sequences",
+    "curation_pipeline_funnel",
+    "curation_source_report",
+    "curation_stratified_sample",
+    "curation_token_budget_sample",
+    "curation_url_dedup",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_recall_embedding_lsh",
+    "dedup_semantic_hier",
+    "emb_kmeans",
+    "emb_label_centroids",
+    "emb_normalize_quantize",
+    "events_ewma",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_zscore_anomaly",
+    "fn_bitwise_suite",
+    "fn_struct_suite",
+    "join_skew_salted",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q16_supplier_part_counts",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "text_phrase_search",
+    "window_topk_per_group",
 ]
 
 
