@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_semantic_k32",
     "dedup_semantic_hier",
     "emb_kcenter_coreset",
+    "emb_kcenter_batched",
     "text_phrase_search",
     "curation_url_dedup",
     "text_bm25_search",

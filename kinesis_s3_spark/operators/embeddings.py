@@ -606,6 +606,14 @@ def emb_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Determinism (registry rules): seed = vec_id 0; per round distances
 # rounded to 4 dp (IVF rule) and the farthest point tie-broken by MIN
 # vec_id; radius_before is the max-min distance that made the pick.
+# Cascade caveat (ADVICE r8): both engines round independently (Spark
+# _dot vs DuckDB list_dot_product, possibly different summation
+# orders), so a distance landing exactly on a 4-dp rounding boundary
+# could flip one greedy pick and cascade through every later round —
+# sharper than the one-shot uses of the same rule. Accepted under the
+# repo-wide 4-dp convention; if a flake ever appears, compare at
+# higher precision or pick via (rounded dist, vec_id) from a single
+# canonical summation order.
 
 K_CENTERS = 8
 

@@ -40,9 +40,13 @@ def size_bins(batch_df: DataFrame, value_col=None, bin_width: float = BIN_WIDTH)
     record SIZE in bytes; pass ``value_col`` (a numeric Column over the
     payload, e.g. a TSV field) to bin a payload VALUE instead — same
     fixed-absolute-bin mergeability, NULLs (malformed payloads)
-    dropped. The per-batch aggregation is distributed and map-side
-    combined — at most HIST_BINS rows cross the shuffle regardless of
-    batch size."""
+    dropped. NEGATIVE values are CLAMPED into bin 0 (the
+    ``greatest(·, 0)`` below), not dropped — so a sign-flip/offset
+    fault upstream shows up as bin-0 mass, and a value domain that
+    legitimately includes negatives needs a shifted ``value_col``
+    (ADVICE r8: documented clamp, not silent). The per-batch
+    aggregation is distributed and map-side combined — at most
+    HIST_BINS rows cross the shuffle regardless of batch size."""
     if value_col is None:
         # octet_length: this is a record-SIZE (bytes) histogram —
         # F.length counts characters and undercounts multi-byte
