@@ -821,6 +821,38 @@ def _kcenter_batched_sql() -> str:
 _KCENTER_BATCHED_SQL = _kcenter_batched_sql()
 
 
+def _kc_min_dist_batch(e_col, ee_col, centers: list[list[float]]):
+    """min over a BATCH of center literals of ROUND(dist², 4), as ONE
+    expression: centers pack into a literal array<array<double>>, each
+    extended by its self-dot computed driver-side (Python left-to-right
+    sum — the same fold order as _dot and DuckDB's list_dot_product,
+    so the term ee − 2·dot(e,c) + cc is bit-identical to _kc_dist).
+    Replaces the ℓ-deep LEAST chain whose per-term _dot(e,e)
+    re-evaluation and plan depth dominated toy-scale wall time
+    (16.6 s → plan-compile-bound at 2k vectors)."""
+    dim = len(centers[0])
+    packed = []
+    for c in centers:
+        cc = 0.0
+        for x in c:
+            cc += x * x
+        packed.append([float(x) for x in c] + [cc])
+    # ONE nested-list literal (one py4j call) — building the same
+    # array via per-element F.lit was ~2k Column objects per pass and
+    # dominated the pass's wall time at toy scale
+    arr = F.lit(packed)
+
+    def term(c):
+        dot = F.aggregate(
+            F.zip_with(e_col, F.slice(c, 1, dim), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.round(ee_col - 2 * dot + F.element_at(c, dim + 1), 4)
+
+    return F.array_min(F.transform(arr, term))
+
+
 def kcenter_batched_frame(
     spark: SparkSession,
     vv: DataFrame,
@@ -832,46 +864,58 @@ def kcenter_batched_frame(
     tools/kcenter_scale_experiment.py's crossover measurement."""
     seed = vv.filter(F.col("vec_id") == 0).select("vec_id", "e").collect()[0]
     cand: list[tuple[int, list[float]]] = [(0, [float(x) for x in seed["e"]])]
-    cur = vv.withColumn("mind", _kc_dist(F.col("e"), cand[0][1]))
+    base = vv.withColumn("ee", _dot(F.col("e"), F.col("e")))
     for p in range(passes):
+        # mind rebuilt FLAT from all candidates so far: min is
+        # associative, so this equals the incremental LEAST chain
+        # bit-for-bit — and since the chain is lazy (each pass
+        # re-executes every earlier update anyway), the flat form costs
+        # the same compute with an O(1)-depth plan instead of a p-deep
+        # nest (each extra nesting level re-analyzed + re-codegen'd per
+        # pass dominated toy-scale wall time)
+        cur = base.withColumn(
+            "mind",
+            _kc_min_dist_batch(F.col("e"), F.col("ee"), [cv for _, cv in cand]),
+        )
         top = (
             cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
             .select("vec_id", "e")
             .limit(l)
             .collect()
         )
-        batch = [(int(t["vec_id"]), [float(x) for x in t["e"]]) for t in top]
-        cand.extend(batch)
-        if p < passes - 1:
-            m = F.col("mind")
-            # ℓ new center literals folded in ONE map-only projection —
-            # passes stay O(1) scans regardless of k
-            for _, cvec in batch:
-                m = F.least(m, _kc_dist(F.col("e"), cvec))
-            cur = cur.withColumn("mind", m)
-    # rounded pairwise matrix of the (1 + passes·ℓ)-point candidate set
-    # — a bounded cross join, collected once; the driver-side re-greedy
-    # below only COMPARES these Spark-rounded values (no new float
-    # arithmetic), so the oracle's identical greedy over DuckDB's
-    # rounded matrix picks the same centers (4 dp convention)
-    # single-partition micro-frame: the default parallelize split would
-    # plan a 32x32=1024-task cross join over 33 rows
-    cdf = spark.createDataFrame(cand, "vec_id long, e array<double>").coalesce(1)
-    pw = (
-        cdf.alias("a")
-        .crossJoin(cdf.alias("b"))
-        .select(
-            F.col("a.vec_id").alias("i"),
-            F.col("b.vec_id").alias("j"),
-            F.round(
-                _dot(F.col("a.e"), F.col("a.e"))
-                - 2 * _dot(F.col("a.e"), F.col("b.e"))
-                + _dot(F.col("b.e"), F.col("b.e")),
-                4,
-            ).alias("d"),
+        cand.extend((int(t["vec_id"]), [float(x) for x in t["e"]]) for t in top)
+    # rounded pairwise matrix of the (1 + passes·ℓ)-point candidate
+    # set, computed DRIVER-SIDE: the candidates are already collected,
+    # and a Spark cross join over 33 rows cost 8.8 s of plan/codegen
+    # for ~1k pairs. Bit-exact to the engines: dots accumulate
+    # left-to-right in float64 (the _dot / list_dot_product fold
+    # order), and _r4 mirrors Spark's F.round exactly — Catalyst
+    # rounds BigDecimal.valueOf(double) (= the double's SHORTEST
+    # DECIMAL REPR) HALF_UP, which is Decimal(repr(x)) + ROUND_HALF_UP
+    # in Python. The re-greedy below only COMPARES these values, so
+    # the oracle's identical greedy over DuckDB's rounded matrix picks
+    # the same centers (4 dp convention). At k ≳ 10⁴ (≈2k·dim² pair
+    # dots) this moves to blocked numpy with a canonical summation
+    # order — documented escalation, not needed at gated sizes.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
         )
-    )
-    D = {(r["i"], r["j"]): r["d"] for r in pw.collect()}
+
+    def _pydot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for xa, xb in zip(a, b):
+            acc += xa * xb
+        return acc
+
+    ee_by_id = {i: _pydot(e, e) for i, e in cand}
+    D = {
+        (i, j): _r4(ee_by_id[i] - 2 * _pydot(ei, ej) + ee_by_id[j])
+        for i, ei in cand
+        for j, ej in cand
+    }
     ids = list(dict.fromkeys(i for i, _ in cand))
     mind = {i: D[(i, 0)] for i in ids}
     picks = [(0, 0, 0.0)]
@@ -884,11 +928,10 @@ def kcenter_batched_frame(
     # k-term LEAST fold (the scale metric the greedy twin cannot afford
     # to re-check per round at large k)
     by_id = dict(cand)
-    m = None
-    for _, vid, _rb in picks:
-        t = _kc_dist(F.col("e"), by_id[vid])
-        m = t if m is None else F.least(m, t)
-    radius = float(vv.select(m.alias("m")).agg(F.max("m")).collect()[0][0])
+    m = _kc_min_dist_batch(
+        F.col("e"), F.col("ee"), [by_id[vid] for _, vid, _rb in picks]
+    )
+    radius = float(base.select(m.alias("m")).agg(F.max("m")).collect()[0][0])
     return spark.createDataFrame(
         [(o, i, rb, radius) for o, i, rb in picks],
         "sel_order int, vec_id long, radius_before double, corpus_radius double",
