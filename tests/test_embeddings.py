@@ -158,3 +158,69 @@ def test_kcenter_coreset_greedy_properties(spark):
         .first()
     )
     assert far["vec_id"] == ids[1] and abs(far["d"] - rows[1]["radius_before"]) < 1e-9
+
+
+def test_kc_min_dist_batch_equals_least_fold(spark):
+    """The array-of-centers form (r9 plan fix) must equal the
+    per-center _kc_dist LEAST fold bit-for-bit: same rounded per-term
+    distances, min associative — a flip here would silently change
+    every batched k-center pick."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators.embeddings import (
+        _dot,
+        _kc_dist,
+        _kc_min_dist_batch,
+    )
+
+    dim = 16
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(
+                    F.hash(F.concat(F.col("id"), F.lit("_"), j)).cast("long"),
+                    F.lit(2001),
+                )
+                - 1000
+            ).cast("double")
+            / 1000.0,
+        ).alias("e"),
+    )
+    centers = [
+        [((i * 37 + j * 11) % 2001 - 1000) / 1000.0 for j in range(dim)]
+        for i in range(5)
+    ]
+    base = vecs.withColumn("ee", _dot(F.col("e"), F.col("e")))
+    fold = None
+    for c in centers:
+        t = _kc_dist(F.col("e"), c)
+        fold = t if fold is None else F.least(fold, t)
+    got = base.select(
+        "vec_id",
+        _kc_min_dist_batch(F.col("e"), F.col("ee"), centers).alias("a"),
+        fold.alias("b"),
+    ).collect()
+    for r in got:
+        assert r["a"] == r["b"], (r["vec_id"], r["a"], r["b"])
+
+
+def test_kcenter_driver_round_matches_spark_round():
+    """_r4-style driver rounding must mirror Catalyst's F.round
+    (BigDecimal.valueOf HALF_UP on the double's shortest repr) on
+    adversarial values — the batched k-center re-greedy compares
+    driver-rounded against oracle-rounded values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    # known HALF_UP behaviors incl. repr-boundary doubles
+    assert r4(0.00005) == 0.0001  # repr('5e-05') rounds up
+    assert r4(0.12344999999999999) == 0.1234
+    assert r4(2.5e-5) == 0.0
+    assert r4(-0.00005) == -0.0001  # away from zero, like BigDecimal HALF_UP
+    assert r4(123.456789) == 123.4568
