@@ -153,9 +153,14 @@ def main(sizes: list[int]) -> None:
             )
 
         def prefix_lcp():
+            # persist_input=False: pref is a localCheckpoint — already
+            # materialized, so re-scans are block reads and the default
+            # persist would only churn storage memory (both arms then
+            # re-scan symmetrically)
             return global_row_number_tiesafe(
                 pref, ["k"], F.col("k"), [F.col("k")], None,
                 [F.col("w"), F.col("id")], "r", tiebreak_str=F.col("w"),
+                persist_input=False,
             )
 
         time_arm(prefix_plain), time_arm(prefix_lcp)
