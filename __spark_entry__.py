@@ -77,6 +77,7 @@ _GATE_FIRST = [
     #    other entry here consumes the ranking primitives whose offset
     #    frames now persist — values identical, plans changed) --
     "emb_kcenter_batched",
+    "etl_snapshot_diff",
     "emb_kcenter_coreset",
     "text_vocabulary",
     "text_zipf_fit",

@@ -108,6 +108,7 @@ HEADLINE = [
     "curation_quality_lr_scores",
     "dedup_fuzzy_names",
     "etl_scd2_merge",
+    "etl_snapshot_diff",
     "etl_zorder_skipping",
     "events_session_window",
     "mm_video_frame_sample",

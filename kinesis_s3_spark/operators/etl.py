@@ -757,3 +757,114 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ts",
         "last_ts",
     )
+
+
+# --- snapshot reconciliation (anti-entropy table diff) ------------------------
+
+# deterministic cross-engine row selectors: pure 64-bit arithmetic
+# (orderkey <= ~6e6 even at sf1, so key * 2654435761 < 2^63 in both
+# engines — no hash function needed, md5/xxhash availability and
+# rendering differ between Spark and DuckDB)
+_DIFF_RM = 97     # every ~97th key missing from snapshot B ("removed")
+_DIFF_CH = 89     # every ~89th surviving key has o_totalprice bumped
+_DIFF_ADD = 101   # every ~101st key also appears shifted ("added")
+_DIFF_MIX = 2654435761
+_DIFF_CHK = 1000003
+
+_SNAPSHOT_DIFF_SQL = f"""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+      FROM orders
+    ),
+    b AS (
+      SELECT k,
+             CASE WHEN (k * {_DIFF_MIX}) % {_DIFF_CH} = 0
+                  THEN ROUND(price + 1.0, 2) ELSE price END AS price,
+             status
+      FROM a WHERE (k * {_DIFF_MIX}) % {_DIFF_RM} <> 0
+      UNION ALL
+      SELECT k + (SELECT MAX(k) + 1 FROM a) AS k, price, status
+      FROM a WHERE (k * {_DIFF_MIX}) % {_DIFF_ADD} = 0
+    ),
+    d AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE
+               WHEN a.k IS NULL THEN 'added'
+               WHEN b.k IS NULL THEN 'removed'
+               WHEN a.price <> b.price OR a.status <> b.status THEN 'changed'
+               ELSE 'unchanged'
+             END AS diff_type
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT diff_type,
+           COUNT(*) AS n_keys,
+           MIN(k) AS min_key,
+           MAX(k) AS max_key,
+           CAST(SUM((k * {_DIFF_MIX}) % {_DIFF_CHK}) AS BIGINT) AS key_checksum
+    FROM d GROUP BY diff_type
+"""
+
+
+@query("etl_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (anti-entropy table diff): classify every
+    key across two snapshots of a table as added / removed / changed /
+    unchanged and report per-class counts, key ranges, and a key
+    checksum — the audit a lakehouse runs daily to verify a replica,
+    a migration, or an incremental pipeline against its source (the
+    operational sibling of etl_scd2_merge: SCD2 APPLIES changes, this
+    PROVES two tables agree). Snapshot B is a deterministic
+    perturbation of orders (drops every ~97th key, bumps every ~89th
+    price, re-adds every ~101st key shifted past the key space) so
+    both engines derive the identical pair without external state.
+
+    Scale: ONE full-outer equi-join on the table key — at 100 TB both
+    snapshots are bucketed/partitioned by that key, so the join is
+    co-located (no exchange beyond the scans), the change predicate
+    runs inside the join projection, and only |classes| aggregate rows
+    cross the wire. The checksum column is the anti-entropy trick:
+    store per-class (or per-key-range) checksums from yesterday's run
+    and a replica drift shows up as one unequal number before any row
+    is re-read. Reference (snowplow/kinesis-s3) has no query surface
+    (SURVEY §2 absence category: ETL maintenance)."""
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    mix = F.col("k") * F.lit(_DIFF_MIX)
+    maxk = a.agg(F.max("k")).first()[0] + 1
+    b = a.filter(mix % _DIFF_RM != 0).select(
+        "k",
+        F.when(mix % _DIFF_CH == 0, F.round(F.col("price") + 1.0, 2))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "status",
+    ).unionByName(
+        a.filter(mix % _DIFF_ADD == 0).select(
+            (F.col("k") + F.lit(maxk)).alias("k"), "price", "status"
+        )
+    )
+    aa = a.select(
+        F.col("k").alias("ak"), F.col("price").alias("ap"), F.col("status").alias("as_")
+    )
+    bb = b.select(
+        F.col("k").alias("bk"), F.col("price").alias("bp"), F.col("status").alias("bs")
+    )
+    d = aa.join(bb, aa["ak"] == bb["bk"], "full_outer").select(
+        F.coalesce(F.col("ak"), F.col("bk")).alias("k"),
+        F.when(F.col("ak").isNull(), F.lit("added"))
+        .when(F.col("bk").isNull(), F.lit("removed"))
+        .when(
+            (F.col("ap") != F.col("bp")) | (F.col("as_") != F.col("bs")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("diff_type"),
+    )
+    return d.groupBy("diff_type").agg(
+        F.count("*").alias("n_keys"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+        F.sum((F.col("k") * _DIFF_MIX) % _DIFF_CHK).cast("long").alias("key_checksum"),
+    )
