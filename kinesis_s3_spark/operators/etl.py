@@ -761,10 +761,12 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- snapshot reconciliation (anti-entropy table diff) ------------------------
 
-# deterministic cross-engine row selectors: pure 64-bit arithmetic
-# (orderkey <= ~6e6 even at sf1, so key * 2654435761 < 2^63 in both
-# engines — no hash function needed, md5/xxhash availability and
-# rendering differ between Spark and DuckDB)
+# deterministic cross-engine row selectors: pure 64-bit MODULAR
+# arithmetic — (k*M) % p computed as ((k%p)*(M%p)) % p so the product
+# never exceeds p*M < 2^63 for ANY bigint key (the 10x replica offsets
+# keys to ~9e10, where the naive product overflows under ANSI mode);
+# no hash function needed, md5/xxhash availability and rendering
+# differ between Spark and DuckDB
 _DIFF_RM = 97     # every ~97th key missing from snapshot B ("removed")
 _DIFF_CH = 89     # every ~89th surviving key has o_totalprice bumped
 _DIFF_ADD = 101   # every ~101st key also appears shifted ("added")
@@ -778,13 +780,13 @@ _SNAPSHOT_DIFF_SQL = f"""
     ),
     b AS (
       SELECT k,
-             CASE WHEN (k * {_DIFF_MIX}) % {_DIFF_CH} = 0
+             CASE WHEN ((k % {_DIFF_CH}) * ({_DIFF_MIX} % {_DIFF_CH})) % {_DIFF_CH} = 0
                   THEN ROUND(price + 1.0, 2) ELSE price END AS price,
              status
-      FROM a WHERE (k * {_DIFF_MIX}) % {_DIFF_RM} <> 0
+      FROM a WHERE ((k % {_DIFF_RM}) * ({_DIFF_MIX} % {_DIFF_RM})) % {_DIFF_RM} <> 0
       UNION ALL
       SELECT k + (SELECT MAX(k) + 1 FROM a) AS k, price, status
-      FROM a WHERE (k * {_DIFF_MIX}) % {_DIFF_ADD} = 0
+      FROM a WHERE ((k % {_DIFF_ADD}) * ({_DIFF_MIX} % {_DIFF_ADD})) % {_DIFF_ADD} = 0
     ),
     d AS (
       SELECT COALESCE(a.k, b.k) AS k,
@@ -800,7 +802,7 @@ _SNAPSHOT_DIFF_SQL = f"""
            COUNT(*) AS n_keys,
            MIN(k) AS min_key,
            MAX(k) AS max_key,
-           CAST(SUM((k * {_DIFF_MIX}) % {_DIFF_CHK}) AS BIGINT) AS key_checksum
+           CAST(SUM(((k % {_DIFF_CHK}) * ({_DIFF_MIX} % {_DIFF_CHK})) % {_DIFF_CHK}) AS BIGINT) AS key_checksum
     FROM d GROUP BY diff_type
 """
 
@@ -832,16 +834,18 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
-    mix = F.col("k") * F.lit(_DIFF_MIX)
+    def sel(p: int):
+        return ((F.col("k") % p) * (_DIFF_MIX % p)) % p
+
     maxk = a.agg(F.max("k")).first()[0] + 1
-    b = a.filter(mix % _DIFF_RM != 0).select(
+    b = a.filter(sel(_DIFF_RM) != 0).select(
         "k",
-        F.when(mix % _DIFF_CH == 0, F.round(F.col("price") + 1.0, 2))
+        F.when(sel(_DIFF_CH) == 0, F.round(F.col("price") + 1.0, 2))
         .otherwise(F.col("price"))
         .alias("price"),
         "status",
     ).unionByName(
-        a.filter(mix % _DIFF_ADD == 0).select(
+        a.filter(sel(_DIFF_ADD) == 0).select(
             (F.col("k") + F.lit(maxk)).alias("k"), "price", "status"
         )
     )
@@ -866,5 +870,7 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_keys"),
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
-        F.sum((F.col("k") * _DIFF_MIX) % _DIFF_CHK).cast("long").alias("key_checksum"),
+        F.sum(((F.col("k") % _DIFF_CHK) * (_DIFF_MIX % _DIFF_CHK)) % _DIFF_CHK)
+        .cast("long")
+        .alias("key_checksum"),
     )
