@@ -228,7 +228,18 @@ def flag_regressions(
     limit). A real plan regression is idiosyncratic — one query,
     usually well over 2x — so it still fires after dividing out the
     suite-level drift; a uniformly slow box fires the DRIFT_ALERT
-    instead (recorded in the artifact), never 31 per-query flags."""
+    instead (recorded in the artifact), never 31 per-query flags.
+
+    Known blind spot (r9, documented after three rotating flag sets in
+    one session): host variance can be CLASS-correlated, not uniform —
+    python-worker- and driver-loop-heavy queries (Arrow UDF decode,
+    GD/Lloyd/power-iteration loops, many-small-job plans) measured
+    1.2-1.8x their pins on sessions where scan-bound controls sat at
+    1.0x, so the suite-median normalizer passes them through as flags.
+    Protocol when that happens: isolated 5-run probes with scan-bound
+    controls; re-pin only probe-confirmed values with provenance under
+    repin_* keys; tools/cross_round_check.py guards the long horizon
+    against silent ratchet-up."""
     norm = max(drift, 1.0)  # a fast box never excuses absolute slowness
     flags: dict[str, dict] = {}
     for q, t in timings.items():
