@@ -78,6 +78,7 @@ _GATE_FIRST = [
     #    frames now persist — values identical, plans changed) --
     "emb_kcenter_batched",
     "etl_snapshot_diff",
+    "events_ohlc_bars",
     "emb_kcenter_coreset",
     "text_vocabulary",
     "text_zipf_fit",

@@ -2137,3 +2137,60 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v") / F.col("local_mean"), 4).alias("ratio"),
         )
     )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bar_start,
+             value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS volume,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM r GROUP BY event_type, bar_start
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling (candlesticks): per (event_type, hour),
+    the first/highest/lowest/last value plus volume and a decimal-exact
+    sum — the canonical time-series compaction every metrics/market
+    pipeline runs before charting or modeling.
+
+    Spark-first plan: ONE hash aggregation — open/close come from
+    ``min_by``/``max_by`` over the (ts, event_id) struct (struct
+    ordering = lexicographic, so the tie-break is the same total order
+    the oracle's window uses), not from a window — so the whole bar
+    table costs a single map-side-combined shuffle keyed by
+    (type, hour); no sort, no second pass. The DuckDB oracle can
+    afford the two-window formulation. At 100 TB the group count is
+    |types| x hours (bounded), so partial aggregation collapses
+    almost everything map-side; this is the rollup-first doctrine
+    (events_rollup_cascade) applied to the OHLC shape."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "1 hour").getField("start").alias("bar_start"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("volume"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
