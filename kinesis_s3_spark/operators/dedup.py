@@ -1080,3 +1080,100 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("double") / F.count("*"), 6
         ).alias("recall"),
     )
+
+
+_NGRAM_COVERAGE_SQL = r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+4], ' ') AS g
+      FROM base, LATERAL (SELECT unnest(range(1, greatest(len(t) - 3, 1))) AS i)
+    ),
+    dupg AS (
+      SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+      WHERE nd >= 2
+    ),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT pos) AS covered_tokens
+      FROM (SELECT g2.doc_id, pos
+            FROM grams g2 JOIN dupg USING (g),
+                 LATERAL (SELECT unnest(range(g2.p, g2.p + 5)) AS pos))
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           ROUND(COALESCE(c.covered_tokens, 0) / CAST(len(b.t) AS DOUBLE), 6)
+             AS dup_frac,
+           (COALESCE(c.covered_tokens, 0) / CAST(len(b.t) AS DOUBLE)) <= 0.3
+             AS keep
+    FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@query("dedup_ngram_coverage", oracle=_NGRAM_COVERAGE_SQL)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 5-gram COVERAGE (the RefinedWeb /
+    MassiveText "fraction of text inside duplicated n-grams" filter —
+    Penedo et al. 2023 §4.2, Rae et al. 2021 §A1.2): for every doc,
+    the fraction of token POSITIONS covered by at least one 5-gram
+    that also appears in another document, and a keep verdict at the
+    0.3 threshold. Complements text_gopher_repetition (WITHIN-doc
+    repetition) and the pair-finding dedup family: this is the
+    per-doc cross-corpus contamination measure a curation pipeline
+    thresholds on directly.
+
+    Plan: posexplode 5-grams with their start positions (linear, one
+    pass); duplicated grams = two-stage agg on the gram key — the
+    (g, doc_id) DISTINCT runs map-side first so the shuffle carries
+    distinct pairs, not raw occurrences; the coverage join is an
+    equi-join of occurrences against the (bounded, dup-only) gram
+    set; covered positions = explode of the 5-wide interval per dup
+    occurrence, COUNT(DISTINCT pos) per doc (bounded by doc length).
+    At 100 TB the gram-key shuffle joins on a 128-bit gram hash
+    instead of the raw 5-word string (md5 both sides — same plan,
+    narrower shuffle); everything else is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).withColumn("n_tokens", F.size("t").cast("long"))
+    grams = base.where(F.size("t") >= 5).select(
+        "doc_id", F.posexplode(ngrams_from_tokens(F.col("t"), 5)).alias("p", "g")
+    )
+    dupg = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    cov = (
+        grams.join(dupg, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(4))).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pos").alias("covered_tokens"))
+    )
+    frac = F.col("covered_tokens") / F.col("n_tokens").cast("double")
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .withColumn(
+            "covered_tokens", F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "covered_tokens",
+            F.round(frac, 6).alias("dup_frac"),
+            (frac <= 0.3).alias("keep"),
+        )
+    )

@@ -874,3 +874,88 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("key_checksum"),
     )
+
+
+_CDC_MERGE_SQL = r"""
+    WITH mid AS (SELECT MAX(event_id) // 2 AS m FROM events),
+    base AS (
+      SELECT user_id,
+             last(event_type ORDER BY ts, event_id) AS old_type,
+             last(value ORDER BY ts, event_id) AS old_value
+      FROM events, mid WHERE event_id <= mid.m GROUP BY user_id
+    ),
+    target AS (SELECT * FROM base WHERE old_type <> 'error'),
+    src AS (
+      SELECT user_id,
+             last(event_type ORDER BY ts, event_id) AS new_type,
+             last(value ORDER BY ts, event_id) AS new_value
+      FROM events, mid WHERE event_id > mid.m GROUP BY user_id
+    )
+    SELECT s.user_id,
+           CASE WHEN s.new_type = 'error' THEN 'delete'
+                WHEN t.user_id IS NOT NULL THEN 'update'
+                ELSE 'insert' END AS action,
+           CASE WHEN s.new_type = 'error' THEN NULL ELSE s.new_type END AS new_type,
+           CASE WHEN s.new_type = 'error' THEN NULL ELSE s.new_value END
+             AS new_value,
+           t.old_type
+    FROM src s LEFT JOIN target t USING (user_id)
+    WHERE NOT (s.new_type = 'error' AND t.user_id IS NULL)
+"""
+
+
+@query("etl_cdc_merge", oracle=_CDC_MERGE_SQL)
+def etl_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (lakehouse CDC upsert) semantics: the event stream
+    is read as a keyed changelog (key = user_id, 'error' rows are
+    tombstones, everything else upserts (type, value)); the first half
+    of the log (event_id ≤ max/2) materializes the target snapshot,
+    the second half is the incoming batch, and the output is the
+    per-key MERGE action log — WHEN MATCHED AND tombstone THEN DELETE /
+    WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED AND NOT tombstone THEN
+    INSERT — with the resulting state. Completes the CDC family:
+    etl_scd2_merge keeps history versions, etl_snapshot_diff
+    reconciles two snapshots; this is the current-state apply step.
+
+    Plan: each side reduces to latest-per-key with ONE max_by hash
+    aggregate keyed by (ts, event_id) struct order — no window, no
+    sort, partial-aggregated map-side — then one key equi-join. Both
+    aggregates and the join hash on user_id, so AQE plans them over
+    one exchange lineage. The max(event_id)/2 split point is a 1-row
+    broadcast. At 100 TB this is exactly Delta/Iceberg MERGE's
+    shuffle shape (latest-wins dedup of the batch, then key join
+    against the target's matching files).
+    """
+    e = load_table(spark, sf_dir, "events")
+    mid = F.broadcast(e.agg((F.max("event_id") / 2).cast("long").alias("m")))
+
+    def latest(df: DataFrame, t: str, v: str) -> DataFrame:
+        key = F.struct("ts", "event_id")
+        return df.groupBy("user_id").agg(
+            F.max_by("event_type", key).alias(t),
+            F.max_by("value", key).alias(v),
+        )
+
+    both = e.crossJoin(mid)
+    target = latest(both.where(F.col("event_id") <= F.col("m")), "old_type", "old_value").where(
+        F.col("old_type") != "error"
+    )
+    src = latest(both.where(F.col("event_id") > F.col("m")), "new_type", "new_value")
+    tomb = F.col("new_type") == "error"
+    matched = F.col("old_type").isNotNull()
+    return (
+        src.join(target, "user_id", "left")
+        .where(~(tomb & ~matched))
+        .select(
+            "user_id",
+            F.when(tomb, F.lit("delete"))
+            .when(matched, F.lit("update"))
+            .otherwise(F.lit("insert"))
+            .alias("action"),
+            F.when(tomb, F.lit(None)).otherwise(F.col("new_type")).alias("new_type"),
+            F.when(tomb, F.lit(None).cast("double"))
+            .otherwise(F.col("new_value"))
+            .alias("new_value"),
+            "old_type",
+        )
+    )

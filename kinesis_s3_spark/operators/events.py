@@ -2194,3 +2194,91 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+_ATTRIBUTION_SQL = r"""
+    WITH marked AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER w AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+      SELECT CASE WHEN touch_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(touch_ts)
+                       > 7 * 86400 * 1000000::BIGINT
+                  THEN 'direct' ELSE touch_type END AS channel,
+             value,
+             CASE WHEN touch_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(touch_ts)
+                       > 7 * 86400 * 1000000::BIGINT
+                  THEN NULL
+                  ELSE epoch_us(ts) - epoch_us(touch_ts) END AS delay_us
+      FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value,
+           CAST(SUM(delay_us) AS BIGINT) AS sum_delay_us,
+           ROUND(CAST(SUM(delay_us) AS DOUBLE) / COUNT(delay_us), 1) AS avg_delay_us
+    FROM conv GROUP BY channel
+"""
+
+_ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000  # 7-day lookback window
+
+
+@query("events_attribution", oracle=_ATTRIBUTION_SQL)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent PRECEDING non-purchase event ("touch")
+    within a 7-day lookback; purchases with no in-window touch are
+    'direct'. Per channel: conversions, attributed revenue, and the
+    total/average click-to-convert delay — the report every
+    campaign-ROI dashboard runs.
+
+    Plan: ONE window pass per user (carry the last non-purchase
+    (type, ts) forward with last(..., ignorenulls) over an
+    unbounded-preceding/1-preceding frame — the streaming twin is a
+    keyed state cell), then a |channels|-row hash aggregate. One
+    user-keyed shuffle total; no self-join of the event table, which
+    is how attribution is usually (quadratically) written. Delays are
+    exact integer microseconds; revenue sums through DECIMAL(18,6)
+    (registry determinism rules).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    marked = (
+        e.withColumn(
+            "touch_type",
+            F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "touch_ts",
+            F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .where(F.col("event_type") == "purchase")
+    )
+    delay = F.expr("timestampdiff(MICROSECOND, touch_ts, ts)").cast("long")
+    expired = F.col("touch_ts").isNull() | (delay > F.lit(_ATTR_LOOKBACK_US))
+    conv = marked.select(
+        F.when(expired, F.lit("direct")).otherwise(F.col("touch_type")).alias("channel"),
+        "value",
+        F.when(expired, F.lit(None).cast("long")).otherwise(delay).alias("delay_us"),
+    )
+    return conv.groupBy("channel").agg(
+        F.count("*").alias("n_conversions"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("attributed_value"),
+        F.sum("delay_us").cast("long").alias("sum_delay_us"),
+        F.round(F.sum("delay_us").cast("double") / F.count("delay_us"), 1).alias(
+            "avg_delay_us"
+        ),
+    )

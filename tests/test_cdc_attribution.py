@@ -1,0 +1,68 @@
+"""Invariant tests for the r9 additions: cross-doc duplicate n-gram
+coverage, last-touch attribution, and CDC MERGE semantics. Oracle
+value equality is covered by tools/check_correctness.py; these pin the
+semantic invariants a hash compare can't express."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF_CORRECT
+
+_LOOKBACK_US = 7 * 86400 * 1_000_000
+
+
+def test_ngram_coverage_bounds_and_dups(spark):
+    df = entrymod.queries()["dedup_ngram_coverage"](spark, SF_CORRECT).cache()
+    # coverage is a position count: 0 <= covered <= n_tokens
+    assert df.filter(F.col("covered_tokens") < 0).count() == 0
+    assert df.filter(F.col("covered_tokens") > F.col("n_tokens")).count() == 0
+    # every doc appears exactly once
+    assert df.count() == df.select("doc_id").distinct().count()
+    # the testdata plants near-duplicate docs: some doc must be almost
+    # fully covered, and the keep verdict must match the 0.3 threshold
+    assert df.filter(F.col("dup_frac") >= 0.9).count() >= 1
+    assert df.filter(F.col("keep") != (F.col("dup_frac") <= 0.3)).count() == 0
+    # docs shorter than the 5-gram window can have no coverage
+    assert df.filter((F.col("n_tokens") < 5) & (F.col("covered_tokens") > 0)).count() == 0
+
+
+def test_attribution_partitions_purchases(spark):
+    q = entrymod.queries()
+    df = q["events_attribution"](spark, SF_CORRECT).cache()
+    rows = {r["channel"]: r for r in df.collect()}
+    # attribution partitions purchases: channel totals == #purchases
+    from kinesis_s3_spark.sources.tables import load_table
+
+    n_purchases = (
+        load_table(spark, SF_CORRECT, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_conversions"] for r in rows.values()) == n_purchases
+    assert set(rows) <= {"click", "view", "signup", "error", "direct"}
+    # direct = no in-window touch: carries no delay
+    if "direct" in rows:
+        assert rows["direct"]["sum_delay_us"] is None
+    # attributed delays respect the lookback bound
+    for ch, r in rows.items():
+        if ch != "direct" and r["avg_delay_us"] is not None:
+            assert 0 <= r["avg_delay_us"] <= _LOOKBACK_US
+
+
+def test_cdc_merge_action_semantics(spark):
+    df = entrymod.queries()["etl_cdc_merge"](spark, SF_CORRECT).cache()
+    # one action per key
+    assert df.count() == df.select("user_id").distinct().count()
+    assert df.filter(~F.col("action").isin("insert", "update", "delete")).count() == 0
+    # deletes are tombstones: no new state; and they must have matched
+    d = df.filter(F.col("action") == "delete")
+    assert d.filter(F.col("new_type").isNotNull() | F.col("new_value").isNotNull()).count() == 0
+    assert d.filter(F.col("old_type").isNull()).count() == 0
+    # inserts never matched; updates always did
+    assert df.filter((F.col("action") == "insert") & F.col("old_type").isNotNull()).count() == 0
+    assert df.filter((F.col("action") == "update") & F.col("old_type").isNull()).count() == 0
+    # new state rows never expose a tombstone type
+    assert df.filter(F.col("new_type") == "error").count() == 0
