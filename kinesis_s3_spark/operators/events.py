@@ -2282,3 +2282,131 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_delay_us"
         ),
     )
+
+
+_RFM_SQL = r"""
+    WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+    u AS (
+      SELECT user_id,
+             (epoch_us((SELECT mt FROM mx)) - epoch_us(MAX(ts))) // 86400000000
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    n AS (SELECT COUNT(*) AS nu FROM u),
+    r AS (SELECT user_id, ROW_NUMBER() OVER (ORDER BY recency_days, user_id) AS rn
+          FROM u),
+    f AS (SELECT user_id, ROW_NUMBER() OVER (ORDER BY frequency DESC, user_id) AS rn
+          FROM u),
+    m AS (SELECT user_id, ROW_NUMBER() OVER (ORDER BY monetary DESC, user_id) AS rn
+          FROM u)
+    SELECT u.user_id,
+           CAST(u.recency_days AS BIGINT) AS recency_days,
+           u.frequency, u.monetary,
+           CAST(1 + (5 * (r.rn - 1)) // n.nu AS BIGINT) AS r_score,
+           CAST(1 + (5 * (f.rn - 1)) // n.nu AS BIGINT) AS f_score,
+           CAST(1 + (5 * (m.rn - 1)) // n.nu AS BIGINT) AS m_score,
+           'R' || CAST(1 + (5 * (r.rn - 1)) // n.nu AS VARCHAR) ||
+           'F' || CAST(1 + (5 * (f.rn - 1)) // n.nu AS VARCHAR) ||
+           'M' || CAST(1 + (5 * (m.rn - 1)) // n.nu AS VARCHAR) AS segment
+    FROM u JOIN r USING (user_id) JOIN f USING (user_id) JOIN m USING (user_id), n
+"""
+
+
+@query("events_rfm_segments", oracle=_RFM_SQL)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the classic CRM cohorting: per user, whole days since their last
+    event (vs the corpus max), event count, and exact-decimal value
+    sum; each metric then gets a 1..5 quintile score from its GLOBAL
+    rank (score 1 = most recent / most frequent / highest value), and
+    the three concatenate into the familiar 'R1F2M3' segment.
+
+    Plan: one user-keyed hash aggregate builds the metric frame; the
+    three global ranks run on the distributed two-phase primitive —
+    recency and frequency are LOW-CARDINALITY keys (days-since and
+    Zipfian counts: the exact tie-degenerate shapes VERDICT r7 found),
+    so they go through global_row_number_tiesafe with user_id
+    sub-bucketing; monetary is a high-cardinality double, so the
+    single-level form suffices. No single-partition window anywhere;
+    the quintile arithmetic is integer floor-division against a 1-row
+    broadcast user count, identical in both engines.
+    """
+    from kinesis_s3_spark.operators.ranking import (
+        global_row_number,
+        global_row_number_tiesafe,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    mx = F.broadcast(e.agg(F.max("ts").alias("mt")))
+    u = (
+        e.crossJoin(mx)
+        .groupBy("user_id")
+        .agg(
+            (
+                F.expr("timestampdiff(MICROSECOND, max(ts), any_value(mt))")
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+        )
+    )
+    # persist the per-user metric frame: four consumers (three rank
+    # passes + the user count); chaining the ranks instead would nest
+    # each primitive's plan inside the next — measured 2147 exchanges
+    # in the audited plan vs ~40 for three independent thin ranks
+    u = u.persist()
+    r_rn = global_row_number_tiesafe(
+        u.select("user_id", "recency_days"),
+        ["recency_days"],
+        F.col("recency_days"),
+        [F.col("recency_days")],
+        F.col("user_id"),
+        [F.col("user_id")],
+        "r_rn",
+    ).select("user_id", "r_rn")
+    f_rn = global_row_number_tiesafe(
+        u.select("user_id", "frequency"),
+        ["frequency"],
+        F.lit(0) - F.col("frequency"),
+        [F.col("frequency").desc()],
+        F.col("user_id"),
+        [F.col("user_id")],
+        "f_rn",
+    ).select("user_id", "f_rn")
+    m_rn = global_row_number(
+        u.select("user_id", "monetary"),
+        F.lit(0.0) - F.col("monetary"),
+        [F.col("monetary").desc(), F.col("user_id")],
+        "m_rn",
+    ).select("user_id", "m_rn")
+    ranked = u.join(r_rn, "user_id").join(f_rn, "user_id").join(m_rn, "user_id")
+    nu = F.broadcast(u.agg(F.count("*").alias("nu")))
+
+    def score(rn: str):
+        # integer floor-division: operands are non-negative longs, so
+        # floor of the double divide equals DuckDB's // here
+        return F.lit(1) + F.floor((F.lit(5) * (F.col(rn) - 1)) / F.col("nu")).cast(
+            "long"
+        )
+
+    return ranked.crossJoin(nu).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("r_rn").alias("r_score"),
+        score("f_rn").alias("f_score"),
+        score("m_rn").alias("m_score"),
+        F.concat(
+            F.lit("R"),
+            score("r_rn").cast("string"),
+            F.lit("F"),
+            score("f_rn").cast("string"),
+            F.lit("M"),
+            score("m_rn").cast("string"),
+        ).alias("segment"),
+    )

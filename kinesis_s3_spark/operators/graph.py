@@ -275,3 +275,127 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
         )
     )
+
+
+LPA_ROUNDS = 3
+LPA_K = 4  # kNN graph degree
+
+
+def _lpa_sql(rounds: int = LPA_ROUNDS, k: int = LPA_K) -> str:
+    """Unrolled synchronous label propagation over the embedding kNN
+    graph (every round is one CTE pair — the registry's iterative-
+    oracle convention, like the Lloyd/PageRank unrolls)."""
+    parts = [
+        r"""
+    WITH pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        FROM pairs) WHERE rk <= %d
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)
+    ),
+    l0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings)"""
+        % k
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    c{r} AS (SELECT e.src AS node, l.label, COUNT(*) AS c
+            FROM edges e JOIN l{r - 1} l ON e.dst = l.node GROUP BY 1, 2),
+    l{r} AS (SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+            FROM c{r}) WHERE rk = 1)"""
+        )
+    parts.append(
+        f"""
+    SELECT l.node AS vec_id, l.label AS community, s.n_members
+    FROM l{rounds} l
+    JOIN (SELECT label, COUNT(*) AS n_members FROM l{rounds} GROUP BY label) s
+      USING (label)"""
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the embedding kNN graph: each vector
+    links to its {LPA_K} nearest neighbors by cosine (symmetrized),
+    labels start as vec_id, and for {LPA_ROUNDS} rounds every node
+    adopts its neighbors' MODE label (ties → smallest label — the
+    deterministic variant). Output: per-node community plus community
+    size. Extends the graph family (PageRank = importance, triangles =
+    cohesion, components = reachability) with the clustering step an
+    embedding-curation pipeline runs between ANN and SemDeDup.
+
+    Plan: the kNN build is the guarded quadratic anchor (same
+    contract as dedup_embedding_cosine — refuses past
+    EMBEDDING_PAIRWISE_MAX_ROWS; the 100 TB path feeds the SAME
+    rounds from ann_ivf_topk / ann_lsh_bucketed candidates instead).
+    Each LPA round is edges ⋈ labels (equi-join on the neighbor id) →
+    (node, label) count → per-node argmax via one min(struct) hash
+    aggregate — NO window in the loop, all shuffles keyed by node id,
+    |E| = 2k·n rows per round. Labels are integers; counts are exact;
+    every round is deterministic, so Spark and the unrolled-SQL
+    oracle stay bit-locked round by round.
+    """
+    from kinesis_s3_spark.operators.dedup import (
+        EMBEDDING_PAIRWISE_MAX_ROWS,
+        PairwiseScaleError,
+        cosine_sim,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > EMBEDDING_PAIRWISE_MAX_ROWS:
+        raise PairwiseScaleError(
+            f"graph_label_propagation: {n} vectors (> {EMBEDDING_PAIRWISE_MAX_ROWS}); "
+            "the exact kNN build is quadratic — feed the LPA rounds from "
+            "ann_ivf_topk candidates at corpus scale"
+        )
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, F.col("src") != F.col("dst")).select(
+        "src", "dst", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4).alias("cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    knn = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= LPA_K)
+        .select("src", "dst")
+    )
+    edges = knn.union(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # cache: consumed once per round (the plan would otherwise rebuild
+    # the quadratic kNN every round); bounded at 2k·n rows
+    edges = edges.persist()
+    labels = emb.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax by (count desc, label asc) as ONE hash aggregate:
+        # min over the (-count, label) struct — no per-node window
+        best = cnt.groupBy("src").agg(
+            F.min(F.struct((F.lit(0) - F.col("c")).alias("nc"), F.col("label").alias("l"))).alias(
+                "m"
+            )
+        )
+        labels = best.select(F.col("src").alias("node"), F.col("m.l").alias("label"))
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("n_members"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("vec_id"), F.col("label").alias("community"), "n_members"
+    )

@@ -66,3 +66,39 @@ def test_cdc_merge_action_semantics(spark):
     assert df.filter((F.col("action") == "update") & F.col("old_type").isNull()).count() == 0
     # new state rows never expose a tombstone type
     assert df.filter(F.col("new_type") == "error").count() == 0
+
+
+def test_lpa_structural_invariants(spark):
+    df = entrymod.queries()["graph_label_propagation"](spark, SF_CORRECT).cache()
+    n = df.count()
+    # every node labeled exactly once
+    assert n == df.select("vec_id").distinct().count()
+    # community ids are node ids (labels start as vec_id and only
+    # propagate — they never leave the id domain)
+    ids = {r[0] for r in df.select("vec_id").collect()}
+    assert {r[0] for r in df.select("community").distinct().collect()} <= ids
+    # n_members is the community's actual row count, and sizes sum to n
+    sizes = {r["community"]: r["cnt"] for r in
+             df.groupBy("community").count().withColumnRenamed("count", "cnt").collect()}
+    for r in df.collect():
+        assert r["n_members"] == sizes[r["community"]]
+    assert sum(sizes.values()) == n
+    # propagation actually merges: fewer communities than nodes
+    assert len(sizes) < n
+
+
+def test_rfm_quintile_invariants(spark):
+    df = entrymod.queries()["events_rfm_segments"](spark, SF_CORRECT).cache()
+    n = df.count()
+    assert n == df.select("user_id").distinct().count()
+    for c in ("r_score", "f_score", "m_score"):
+        assert df.filter((F.col(c) < 1) | (F.col(c) > 5)).count() == 0
+        # quintiles from a total-order rank are balanced to within 1
+        counts = [r["cnt"] for r in
+                  df.groupBy(c).agg(F.count("*").alias("cnt")).collect()]
+        assert max(counts) - min(counts) <= 1
+    # segment string is exactly the three scores
+    recon = F.concat(F.lit("R"), F.col("r_score").cast("string"),
+                     F.lit("F"), F.col("f_score").cast("string"),
+                     F.lit("M"), F.col("m_score").cast("string"))
+    assert df.filter(F.col("segment") != recon).count() == 0

@@ -98,6 +98,10 @@ ALLOW_NESTED_LOOP = {
     "window_rank_dense",
     "text_zipf_fit",
     "text_vocabulary",
+    "etl_cdc_merge",  # 1-row split-point broadcast crossed onto the log
+    "graph_label_propagation",  # guarded quadratic kNN anchor (graph.py)
+    # rank primitives' <=nbuckets offset joins + 1-row user-count broadcast
+    "events_rfm_segments",
 }
 
 
