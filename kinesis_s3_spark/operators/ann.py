@@ -1711,3 +1711,184 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HARD_NEG_K)
         .select("q_id", "vec_id", "label", "cosine", "rank")
     )
+
+
+K_JOIN = 3  # neighbors per vector in the kNN self-join
+
+_KNN_JOIN_SQL = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    ranked AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     c.ce::DOUBLE[]), 4) DESC,
+                        c.cid) AS rn
+      FROM embeddings e, cent c
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    vprobe AS (SELECT vec_id AS src, cid FROM ranked WHERE rn <= {N_PROBE}),
+    oneway AS (
+      SELECT vp.src, a.vec_id AS dst
+      FROM vprobe vp JOIN assign a USING (cid)
+      WHERE a.vec_id != vp.src
+    ),
+    cand AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM oneway
+        UNION ALL SELECT dst AS src, src AS dst FROM oneway)
+    ),
+    scored AS (
+      SELECT c.src, c.dst,
+             ROUND(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                          e2.embedding::DOUBLE[]), 4) AS cosine
+      FROM cand c JOIN embeddings e1 ON c.src = e1.vec_id
+                  JOIN embeddings e2 ON c.dst = e2.vec_id
+    )
+    SELECT src AS vec_id, dst AS nbr_id, cosine, rank FROM (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+      FROM scored
+    ) WHERE rank <= {K_JOIN}
+"""
+
+
+def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked, emb = _ivf_assignment(spark, sf_dir)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    vprobe = ranked.filter(F.col("rn") <= N_PROBE).select(
+        F.col("vec_id").alias("src"), "cid"
+    )
+    one_way = vprobe.join(assign, "cid").filter(
+        F.col("vec_id") != F.col("src")
+    ).select("src", F.col("vec_id").alias("dst"))
+    # symmetrize: u is a candidate of v if EITHER probes the other's
+    # list — one union on the already-shuffled frame, no extra scoring
+    # pass, and it roughly squares the per-pair miss probability
+    # (a true neighbor is lost only if BOTH directions miss)
+    cand = one_way.union(
+        one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e1 = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("se"))
+    e2 = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de"))
+    scored = (
+        cand.join(e1, "src")
+        .join(e2, "dst")
+        .select(
+            "src", "dst", F.round(cosine_sim(F.col("se"), F.col("de")), 4).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_JOIN)
+        .select(
+            F.col("src").alias("vec_id"), F.col("dst").alias("nbr_id"), "cosine", "rank"
+        )
+    )
+
+
+@query("ann_knn_join_ivf", oracle=_KNN_JOIN_SQL)
+def ann_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kNN SELF-join via IVF blocking: every vector (not a fixed
+    query set — the ann_*_topk ops' shape) gets its {K_JOIN} nearest
+    neighbors, candidates restricted to the vector's {N_PROBE}-of-
+    {N_CENTROIDS} probed centroid lists. This is the workhorse behind
+    embedding dedup, kNN-graph construction (graph_label_propagation's
+    guarded exact build swaps to this at corpus scale), and
+    hard-negative mining over the WHOLE corpus.
+
+    Scale: assignment/probe is one broadcast scoring pass (N ×
+    {N_CENTROIDS}, no data shuffle); candidates come from the
+    cid equi-join, sized N·(N·probe/cells) — tune cells ∝ √N to hold
+    the per-list quadratic at N^1.5 total candidate pairs, exactly
+    FAISS-IVF's operating point; scoring touches candidates only and
+    the per-vector top-{K_JOIN} runs under WindowGroupLimit heaps.
+    ann_recall_knn_join gates the recall against the guarded exact
+    join."""
+    return _knn_join_ivf(spark, sf_dir)
+
+
+@query(
+    "ann_recall_knn_join",
+    oracle=f"""
+    WITH truth AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                       b.embedding::DOUBLE[]), 4) DESC,
+                          b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 4 = 0
+      ) WHERE rk <= {K_JOIN}
+    ),
+    approx AS ({_KNN_JOIN_SQL}),
+    hits AS (
+      SELECT t.src, COUNT(a.nbr_id) AS n_hit
+      FROM truth t LEFT JOIN approx a
+        ON t.src = a.vec_id AND t.dst = a.nbr_id
+      GROUP BY t.src
+    )
+    SELECT COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(n_hit) AS DOUBLE) / (COUNT(*) * {K_JOIN}), 6)
+             AS mean_recall,
+           ROUND(MIN(n_hit) / CAST({K_JOIN} AS DOUBLE), 6) AS min_recall
+    FROM hits
+    """,
+)
+def ann_recall_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K_JOIN} of the IVF kNN self-join against the exact
+    (guarded quadratic) join, summarized corpus-wide: mean and
+    worst-vector recall. The truth arm refuses past the pairwise
+    guard, same contract as dedup_embedding_cosine; integer hit
+    counts sum exactly, so the 1-row summary is deterministic."""
+    from kinesis_s3_spark.operators.dedup import (
+        EMBEDDING_PAIRWISE_MAX_ROWS,
+        PairwiseScaleError,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > EMBEDDING_PAIRWISE_MAX_ROWS:
+        raise PairwiseScaleError(
+            f"ann_recall_knn_join: {n} vectors (> {EMBEDDING_PAIRWISE_MAX_ROWS}); "
+            "the exact truth arm is quadratic"
+        )
+    # truth panel = every 4th vector: the quadratic arm shrinks 4x
+    # while the recall estimate keeps a deterministic corpus-wide sample
+    a = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("e1")
+    )
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("e2"))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    truth = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4).alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_JOIN)
+        .select("src", "dst")
+    )
+    approx = _knn_join_ivf(spark, sf_dir).select(
+        F.col("vec_id").alias("a_src"), F.col("nbr_id").alias("a_dst")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (truth["src"] == approx["a_src"]) & (truth["dst"] == approx["a_dst"]),
+            "left",
+        )
+        .groupBy("src")
+        .agg(F.count("a_dst").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("n_hit").cast("double") / (F.count("*") * K_JOIN), 6).alias(
+            "mean_recall"
+        ),
+        F.round(F.min("n_hit") / F.lit(float(K_JOIN)), 6).alias("min_recall"),
+    )

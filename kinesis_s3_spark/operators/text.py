@@ -719,3 +719,127 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+_RAKE_STOPS = ("the", "and", "of", "to", "a", "in", "is", "it")
+_RAKE_MAX_PHRASE = 4
+_RAKE_TOP = 15
+_RAKE_STOPS_SQL = ",".join(f"'{w}'" for w in _RAKE_STOPS)
+
+_RAKE_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS p, t[i] AS w
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0),
+           LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+    ),
+    fl AS (
+      SELECT doc_id, p, w, w IN ({_RAKE_STOPS_SQL}) AS is_stop,
+             SUM(CASE WHEN w IN ({_RAKE_STOPS_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+               AS grp
+      FROM toks
+    ),
+    nst AS (SELECT doc_id, grp, p, w FROM fl WHERE NOT is_stop),
+    ph AS (
+      SELECT doc_id, grp, string_agg(w, ' ' ORDER BY p) AS phrase,
+             COUNT(*) AS plen
+      FROM nst GROUP BY doc_id, grp
+      HAVING COUNT(*) BETWEEN 1 AND {_RAKE_MAX_PHRASE}
+    ),
+    wp AS (SELECT n.doc_id, n.grp, n.w, p2.plen
+           FROM nst n JOIN ph p2 USING (doc_id, grp)),
+    ws AS (SELECT w,
+                  CAST(ROUND(SUM(plen) / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) AS ratio
+           FROM wp GROUP BY w),
+    psc AS (SELECT wp.doc_id, wp.grp, CAST(SUM(ws.ratio) AS DOUBLE) AS score
+            FROM wp JOIN ws USING (w) GROUP BY wp.doc_id, wp.grp),
+    agg AS (
+      SELECT ph.phrase,
+             COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT ph.doc_id) AS n_docs,
+             MAX(psc.score) AS score
+      FROM ph JOIN psc USING (doc_id, grp)
+      GROUP BY ph.phrase
+    )
+    SELECT phrase, n_occurrences, n_docs, ROUND(score, 6) AS score
+    FROM agg ORDER BY score DESC, phrase LIMIT {_RAKE_TOP}
+"""
+
+
+@query("text_rake_keywords", oracle=_RAKE_SQL)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (capped at {_RAKE_MAX_PHRASE}
+    words), each word scores deg/freq over the candidate set (deg =
+    Σ phrase-length across its occurrences — the self-inclusive
+    variant, fixed here for determinism), a phrase scores the sum of
+    its words' ratios, and the corpus's top-{_RAKE_TOP} phrases come
+    back with occurrence/document counts. Adds keyword extraction to
+    the text family (keywords are what the BM25/TF-IDF retrieval ops
+    consume as queries).
+
+    Plan: phrase segmentation is gaps-and-islands — ONE per-doc
+    running count of stopwords labels every maximal non-stop run (no
+    self-join); phrases materialize per (doc, run) with a bounded
+    sorted collect (runs are ≤ doc length, phrases capped at
+    {_RAKE_MAX_PHRASE} words); word scores and phrase scores are two
+    hash aggregates joined back on the word — all shuffles keyed by
+    (doc, run) or word. Ratios round to 6 dp then sum as
+    DECIMAL(18,6), so cross-engine addition order can't move a score;
+    final top-k is TakeOrdered (score desc, phrase)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    fl = docs.select(
+        "doc_id", F.posexplode(tokens(F.lower(F.col("text")))).alias("p", "w")
+    ).withColumn("is_stop", F.col("w").isin(*_RAKE_STOPS))
+    wgrp = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nst = (
+        fl.withColumn("grp", F.sum(F.col("is_stop").cast("long")).over(wgrp))
+        .where(~F.col("is_stop"))
+        .select("doc_id", "grp", "p", "w")
+    )
+    ph = (
+        nst.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))), lambda x: x["w"]
+                ),
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .where(F.col("plen").between(1, _RAKE_MAX_PHRASE))
+    )
+    wp = nst.join(ph.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+    ws = wp.groupBy("w").agg(
+        F.round(F.sum("plen") / F.count("*").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("ratio")
+    )
+    psc = (
+        wp.join(ws, "w")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("ratio").cast("double").alias("score"))
+    )
+    return (
+        ph.join(psc, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("score").alias("score"),
+        )
+        .select(
+            "phrase", "n_occurrences", "n_docs", F.round("score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(_RAKE_TOP)
+    )

@@ -299,3 +299,28 @@ def test_hard_negatives_are_wrong_label_and_ranked(spark):
         assert [r["rank"] for r in rs] == list(range(1, HARD_NEG_K + 1))
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_join_shape_and_recall(spark):
+    """kNN self-join: every vector gets <= K_JOIN neighbors ranked
+    1..k in non-increasing cosine, no self-loops; the IVF blocking's
+    measured recall vs the exact join stays >= 0.8 (isotropic vectors
+    are IVF's documented worst case; symmetrized candidates measured
+    ~0.85 at both sf0.01 and sf0.1)."""
+    from kinesis_s3_spark.operators.ann import K_JOIN
+
+    n = load_table(spark, SF_CORRECT, "embeddings").count()
+    rows = Q["ann_knn_join_ivf"](spark, SF_CORRECT).collect()
+    by_v = {}
+    for r in rows:
+        assert r["vec_id"] != r["nbr_id"]
+        by_v.setdefault(r["vec_id"], []).append(r)
+    assert len(by_v) == n  # every vector has at least one neighbor
+    for v, rs in by_v.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= K_JOIN
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    rec = Q["ann_recall_knn_join"](spark, SF_CORRECT).collect()[0]
+    assert rec["mean_recall"] >= 0.8

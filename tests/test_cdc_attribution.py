@@ -102,3 +102,21 @@ def test_rfm_quintile_invariants(spark):
                      F.lit("F"), F.col("f_score").cast("string"),
                      F.lit("M"), F.col("m_score").cast("string"))
     assert df.filter(F.col("segment") != recon).count() == 0
+
+
+def test_rake_phrase_invariants(spark):
+    from kinesis_s3_spark.operators.text import (
+        _RAKE_MAX_PHRASE,
+        _RAKE_STOPS,
+        _RAKE_TOP,
+    )
+
+    rows = entrymod.queries()["text_rake_keywords"](spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= _RAKE_TOP
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert 1 <= len(words) <= _RAKE_MAX_PHRASE
+        assert not set(words) & set(_RAKE_STOPS)  # stopword-free runs
+        assert r["n_docs"] <= r["n_occurrences"]

@@ -98,6 +98,8 @@ ALLOW_NESTED_LOOP = {
     "window_rank_dense",
     "text_zipf_fit",
     "text_vocabulary",
+    "ann_knn_join_ivf",  # broadcast 16-centroid assignment side (ann.py)
+    "ann_recall_knn_join",  # guarded quadratic truth arm + centroid broadcast
     "etl_cdc_merge",  # 1-row split-point broadcast crossed onto the log
     "graph_label_propagation",  # guarded quadratic kNN anchor (graph.py)
     # rank primitives' <=nbuckets offset joins + 1-row user-count broadcast
