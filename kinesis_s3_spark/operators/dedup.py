@@ -1177,3 +1177,51 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac <= 0.3).alias("keep"),
         )
     )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+    WITH pairs AS ({_MINHASH_ORACLE})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_jaccard
+    FROM pairs JOIN documents da ON pairs.d1 = da.doc_id
+               JOIN documents db ON pairs.d2 = db.doc_id
+    GROUP BY 1, 2
+"""
+
+
+@query("dedup_source_overlap", oracle=_SOURCE_OVERLAP_SQL)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: the MinHash+LSH verified
+    near-dup pairs rolled up to (source, source) cells with pair
+    counts and mean Jaccard — the report that tells a corpus owner
+    WHICH feeds duplicate each other (mirror sites, re-crawls,
+    dataset-of-datasets overlap) and so which acquisition to
+    deprioritize. Unordered source pairs normalize via
+    least/greatest so each cell appears once.
+
+    Scale: inherits minhash_pairs' band-join candidates; the rollup
+    adds two doc_id equi-joins (source lookup — at 100 TB a bounded
+    doc→source dim, broadcastable when the catalogue is) and a
+    |sources|²-bounded aggregate. Jaccards are 6-dp rounded before
+    the DECIMAL sum, so the cell means are addition-order-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(docs)
+    s1 = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
+    s2 = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.col("jaccard").cast("decimal(18,6)").alias("j"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("j").cast("double") / F.count("*"), 6).alias("mean_jaccard"),
+        )
+    )

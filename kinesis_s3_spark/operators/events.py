@@ -2410,3 +2410,180 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             score("m_rn").cast("string"),
         ).alias("segment"),
     )
+
+
+_AB_CONV_VALUE = 150.0  # conversion = any purchase above this value
+_AB_Z_CRIT = 1.96  # two-sided alpha = 0.05
+
+_AB_TEST_SQL = f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > {_AB_CONV_VALUE}
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM u GROUP BY variant
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+             MAX(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+             MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+             MAX(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+      FROM v
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE)) /
+                 sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) *
+                      (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) *
+                      (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+           abs((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE)) /
+               sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) *
+                    (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) *
+                    (1.0 / n_a + 1.0 / n_b))) > {_AB_Z_CRIT} AS significant
+    FROM w
+"""
+
+
+@query("events_ab_test", oracle=_AB_TEST_SQL)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test: users split into variants
+    by id parity (the deterministic stand-in for an assignment
+    column), conversion = any purchase above {_AB_CONV_VALUE}, and the
+    pooled two-proportion z-test with the 1.96 two-sided decision —
+    the analysis every experimentation platform runs nightly.
+
+    Plan: one user-keyed aggregate (conversion flags fold map-side),
+    one 2-row variant aggregate, one conditional pivot to a single
+    row. All z-test arithmetic happens on exact integer counts, so
+    both engines derive the same doubles; sqrt/division are
+    IEEE-identical on identical inputs."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > _AB_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    v = u.withColumn("variant", F.col("user_id") % 2).groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("converted").cast("long").alias("n_conv")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a").cast("double")
+    rb = F.col("conv_b") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    z = (ra - rb) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > _AB_Z_CRIT).alias("significant"),
+    )
+
+
+_SESSION_PATHS_TOP = 10
+_SESSION_PATHS_LEN = 3
+
+_SESSION_PATHS_SQL = f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > {SESSION_GAP_SEC} * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ),
+    r AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_SESSION_PATHS_LEN} GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {_SESSION_PATHS_TOP}
+"""
+
+
+@query("events_session_paths", oracle=_SESSION_PATHS_SQL)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: every session's first {_SESSION_PATHS_LEN}
+    event types joined 'a>b>c', ranked by session count (with distinct
+    users carrying each path) — the path-analysis report product teams
+    read next to the funnel (events_funnel_steps gives ONE prescribed
+    path a conversion rate; this SURFACES the paths).
+
+    Plan: the gap-sessionize window (same lag→flag→running-sum as
+    events_sessionize — one user-keyed shuffle), a per-session rank
+    reusing the SAME partitioning (ReuseExchange: user_id ⊇
+    (user_id, session_id) ordering), a bounded sorted collect (≤
+    {_SESSION_PATHS_LEN} structs per session), and a path-keyed count;
+    top-10 is TakeOrdered. No step holds more than a session's prefix
+    in memory."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    x = e.withColumn(
+        "new_sess",
+        F.when(
+            gap.isNull() | (gap > F.expr(f"INTERVAL {SESSION_GAP_SEC} SECONDS")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = x.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    rw = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(rw)).where(
+        F.col("rn") <= _SESSION_PATHS_LEN
+    )
+    p = r.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda t: t["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_SESSION_PATHS_TOP)
+    )

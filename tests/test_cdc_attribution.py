@@ -120,3 +120,40 @@ def test_rake_phrase_invariants(spark):
         assert 1 <= len(words) <= _RAKE_MAX_PHRASE
         assert not set(words) & set(_RAKE_STOPS)  # stopword-free runs
         assert r["n_docs"] <= r["n_occurrences"]
+
+
+def test_source_overlap_cells(spark):
+    rows = entrymod.queries()["dedup_source_overlap"](spark, SF_CORRECT).collect()
+    assert rows  # the testdata plants cross-source near-dups
+    seen = set()
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]  # unordered cell, one row
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert r["n_pairs"] >= 1
+        # verified pairs all pass the 0.7 Jaccard gate
+        assert 0.7 <= r["mean_jaccard"] <= 1.0
+
+
+def test_ab_test_consistency(spark):
+    from kinesis_s3_spark.sources.tables import load_table
+
+    r = entrymod.queries()["events_ab_test"](spark, SF_CORRECT).collect()[0]
+    n_users = load_table(spark, SF_CORRECT, "events").select("user_id").distinct().count()
+    assert r["n_a"] + r["n_b"] == n_users
+    assert 0 <= r["conv_a"] <= r["n_a"] and 0 <= r["conv_b"] <= r["n_b"]
+    assert r["significant"] == (abs(r["z_score"]) > 1.96)
+    assert (r["z_score"] > 0) == (r["rate_a"] > r["rate_b"])
+
+
+def test_session_paths_shape(spark):
+    rows = entrymod.queries()["events_session_paths"](spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= 10
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    types = {"click", "view", "signup", "error", "purchase"}
+    for r in rows:
+        segs = r["path"].split(">")
+        assert 1 <= len(segs) <= 3
+        assert set(segs) <= types
+        assert 1 <= r["n_users"] <= r["n_sessions"]
