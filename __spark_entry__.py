@@ -70,7 +70,24 @@ for _m in _OPTIONAL_MODULES:
 # sketch_countmin*, per VERDICT r8 next #7); subsequent rounds keep
 # rotating by regenerating this list from the artifacts.
 _GATE_FIRST = [
-    # -- (0) added or semantically changed in round 9, never gated
+    # -- (0) added in round 9, never gated: the thirteen new operators
+    #    (dedup coverage/source-overlap, attribution/RFM/AB/paths/
+    #    cohort-LTV, CDC merge, LPA communities, RAKE, kNN self-join +
+    #    recall, embedding outlier report) --
+    "events_cohort_ltv",
+    "emb_outlier_report",
+    "dedup_ngram_coverage",
+    "events_attribution",
+    "etl_cdc_merge",
+    "graph_label_propagation",
+    "events_rfm_segments",
+    "text_rake_keywords",
+    "ann_knn_join_ivf",
+    "ann_recall_knn_join",
+    "dedup_source_overlap",
+    "events_ab_test",
+    "events_session_paths",
+    # -- (0b) semantically changed in round 9, never gated
     #    since the change (batched k-center is NEW; the greedy twin was
     #    refactored onto the shared core; the three rank-by-count
     #    surfaces switched to the LCP-stripped tiebreak_str path; every

@@ -164,6 +164,20 @@ HEADLINE = [
     "curation_decontaminate",
     "window_rank_dense",
     "text_vocabulary",
+    # r9 additions (this session)
+    "dedup_ngram_coverage",
+    "dedup_source_overlap",
+    "events_attribution",
+    "events_rfm_segments",
+    "events_ab_test",
+    "events_session_paths",
+    "etl_cdc_merge",
+    "graph_label_propagation",
+    "text_rake_keywords",
+    "ann_knn_join_ivf",
+    "ann_recall_knn_join",
+    "events_cohort_ltv",
+    "emb_outlier_report",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -952,3 +952,114 @@ def emb_kcenter_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vv = emb.select("vec_id", _vec_d(F.col("embedding")).alias("e")).cache()
     return kcenter_batched_frame(spark, vv)
+
+
+_OUTLIER_SQL = r"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding::DOUBLE[]) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+               AS c
+      FROM flat GROUP BY label, pos
+    ),
+    cn AS (
+      SELECT label,
+             CAST(SUM(CAST(ROUND(c * c, 10) AS DECIMAL(28,10))) AS DOUBLE) AS nc
+      FROM cent GROUP BY label
+    ),
+    vd AS (
+      SELECT f.vec_id, f.label,
+             CAST(SUM(CAST(ROUND(f.x * ct.c, 10) AS DECIMAL(28,10))) AS DOUBLE)
+               AS dot,
+             CAST(SUM(CAST(ROUND(f.x * f.x, 10) AS DECIMAL(28,10))) AS DOUBLE)
+               AS nx
+      FROM flat f JOIN cent ct ON f.label = ct.label AND f.pos = ct.pos
+      GROUP BY f.vec_id, f.label
+    ),
+    cos AS (
+      SELECT vd.vec_id, vd.label,
+             ROUND(vd.dot / (sqrt(vd.nx) * sqrt(cn.nc)), 4) AS centroid_cos
+      FROM vd JOIN cn USING (label)
+    ),
+    st AS (
+      SELECT label, COUNT(*) AS n,
+             CAST(SUM(CAST(centroid_cos AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*)
+               AS m,
+             CAST(SUM(CAST(centroid_cos * centroid_cos AS DECIMAL(24,8)))
+                  AS DOUBLE) / COUNT(*) AS m2
+      FROM cos GROUP BY label
+    )
+    SELECT cos.vec_id, cos.label, cos.centroid_cos,
+           ROUND((cos.centroid_cos - st.m) / sqrt(st.m2 - st.m * st.m), 4)
+             AS z_score,
+           abs((cos.centroid_cos - st.m) / sqrt(st.m2 - st.m * st.m)) > 2
+             AS is_outlier
+    FROM cos JOIN st USING (label)
+"""
+
+
+@query("emb_outlier_report", oracle=_OUTLIER_SQL)
+def emb_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: every vector's cosine to its OWN label centroid,
+    z-scored within the label, outliers flagged at |z| > 2 — the
+    mislabeled-example / embedding-drift detector that runs between
+    ingestion and training (emb_prototype_prune flags a fixed farthest
+    quantile; this standardizes, so thresholds transfer across labels
+    with different spreads).
+
+    Plan: centroids are the emb_label_centroids aggregate (decimal
+    sums, 6-dp rounding — |labels|×dim rows, broadcastable); the
+    per-vector dot/norm reductions run on the exploded (vec, pos)
+    frame joined to that broadcast, one groupBy(vec_id) with
+    DECIMAL(28,10) sums of 10-dp-rounded products so no result
+    depends on addition order; label mean/variance reduce the
+    PER-VECTOR cosines (n-sized, not n×dim) with the same decimal
+    discipline, and z-scores join back via the bounded label frame.
+    Three shuffles total (label×pos, vec, label), all hash aggregates,
+    no window anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode(_vec_d(F.col("embedding"))).alias("pos", "x")
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast(_DEC)).cast("double") / F.count("*"), 6
+        ).alias("c")
+    )
+    d10 = "decimal(28,10)"
+    cn = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("c") * F.col("c"), 10).cast(d10)).cast("double").alias("nc")
+    )
+    vd = (
+        flat.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("c"), 10).cast(d10)).cast("double").alias("dot"),
+            F.sum(F.round(F.col("x") * F.col("x"), 10).cast(d10)).cast("double").alias("nx"),
+        )
+    )
+    cos = vd.join(F.broadcast(cn), "label").select(
+        "vec_id",
+        "label",
+        F.round(F.col("dot") / (F.sqrt("nx") * F.sqrt("nc")), 4).alias("centroid_cos"),
+    )
+    st = cos.groupBy("label").agg(
+        (F.sum(F.col("centroid_cos").cast("decimal(14,4)")).cast("double") / F.count("*")).alias("m"),
+        (
+            F.sum((F.col("centroid_cos") * F.col("centroid_cos")).cast("decimal(24,8)")).cast("double")
+            / F.count("*")
+        ).alias("m2"),
+    )
+    z = (F.col("centroid_cos") - F.col("m")) / F.sqrt(F.col("m2") - F.col("m") * F.col("m"))
+    return cos.join(F.broadcast(st), "label").select(
+        "vec_id",
+        "label",
+        "centroid_cos",
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 2).alias("is_outlier"),
+    )

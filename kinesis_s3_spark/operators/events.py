@@ -2587,3 +2587,91 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_SESSION_PATHS_TOP)
     )
+
+
+_COHORT_LTV_SQL = f"""
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS conv_ts,
+             date_trunc('week', MIN(ts)) AS cw
+      FROM events
+      WHERE event_type = 'purchase' AND value > {_AB_CONV_VALUE}
+      GROUP BY user_id
+    ),
+    cs AS (SELECT cw, COUNT(*) AS cohort_size FROM f GROUP BY cw),
+    e AS (
+      SELECT ev.user_id, f.cw,
+             CAST(date_diff('day', CAST(f.cw AS DATE),
+                            CAST(date_trunc('week', ev.ts) AS DATE)) // 7
+                  AS BIGINT) AS age_weeks,
+             ev.value
+      FROM events ev JOIN f USING (user_id)
+      WHERE ev.ts >= f.conv_ts
+    ),
+    a AS (
+      SELECT cw, age_weeks, COUNT(DISTINCT user_id) AS n_active_users,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM e GROUP BY cw, age_weeks
+    ),
+    c AS (
+      SELECT cw, age_weeks, n_active_users,
+             SUM(v) OVER (PARTITION BY cw ORDER BY age_weeks) AS cum_v
+      FROM a
+    )
+    SELECT c.cw AS cohort_week, age_weeks, n_active_users,
+           cs.cohort_size,
+           ROUND(CAST(cum_v AS DOUBLE) / cs.cohort_size, 6) AS cum_value_per_user
+    FROM c JOIN cs USING (cw)
+"""
+
+
+@query("events_cohort_ltv", oracle=_COHORT_LTV_SQL)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohort by the WEEK of their
+    first high-value purchase (> {_AB_CONV_VALUE} — the conversion
+    event; first-EVENT weeks all collapse into week one in this data,
+    conversion weeks spread), and each cohort accumulates its members'
+    post-conversion event value week over week, normalized per cohort
+    member — the LTV-by-cohort-age matrix every growth dashboard
+    draws next to retention (events_retention_cohorts counts users;
+    this follows the money).
+
+    Plan: first-conversion per user is one filtered min aggregate;
+    the value stream joins it on user_id (co-partitioned with the
+    aggregate — one exchange lineage under AQE); the weekly rollup is
+    a (cohort, age) hash aggregate with decimal sums; the cumulative
+    sum runs over the AGGREGATED |cohorts|×|ages| frame partitioned
+    by cohort — bounded by the calendar, never data-sized."""
+    e = load_table(spark, sf_dir, "events")
+    f = (
+        e.where((F.col("event_type") == "purchase") & (F.col("value") > _AB_CONV_VALUE))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("conv_ts"),
+            F.date_trunc("week", F.min("ts")).alias("cw"),
+        )
+    )
+    cs = f.groupBy("cw").agg(F.count("*").alias("cohort_size"))
+    age = (
+        F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cw").cast("date"))
+        / 7
+    ).cast("long")
+    ev = (
+        e.join(f, "user_id")
+        .where(F.col("ts") >= F.col("conv_ts"))
+        .select("user_id", "cw", age.alias("age_weeks"), "value")
+    )
+    a = ev.groupBy("cw", "age_weeks").agg(
+        F.countDistinct("user_id").alias("n_active_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    wc = Window.partitionBy("cw").orderBy("age_weeks")
+    c = a.withColumn("cum_v", F.sum("v").over(wc))
+    return c.join(cs, "cw").select(
+        F.col("cw").alias("cohort_week"),
+        "age_weeks",
+        "n_active_users",
+        "cohort_size",
+        F.round(F.col("cum_v").cast("double") / F.col("cohort_size"), 6).alias(
+            "cum_value_per_user"
+        ),
+    )

@@ -157,3 +157,37 @@ def test_session_paths_shape(spark):
         assert 1 <= len(segs) <= 3
         assert set(segs) <= types
         assert 1 <= r["n_users"] <= r["n_sessions"]
+
+
+def test_cohort_ltv_monotone(spark):
+    rows = entrymod.queries()["events_cohort_ltv"](spark, SF_CORRECT).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert 1 <= r["n_active_users"] <= r["cohort_size"]
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    assert len(by_cohort) >= 2  # conversion weeks actually spread
+    for _, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_weeks"])
+        # cumulative value per member never decreases with age
+        vals = [r["cum_value_per_user"] for r in rs]
+        assert vals == sorted(vals)
+        # ages start at the conversion week
+        assert rs[0]["age_weeks"] == 0
+
+
+def test_outlier_report_standardized(spark):
+    df = entrymod.queries()["emb_outlier_report"](spark, SF_CORRECT).cache()
+    n = df.count()
+    assert n == df.select("vec_id").distinct().count()
+    # z-scores standardize within label: per-label mean ~ 0, and the
+    # outlier flag is exactly the |z| > 2 rule
+    stats = df.groupBy("label").agg(
+        F.avg("z_score").alias("mz"), F.count("*").alias("cnt")
+    ).collect()
+    for r in stats:
+        assert abs(r["mz"]) < 0.01
+    assert df.filter(df.is_outlier != (F.abs(df.z_score) > 2)).count() == 0
+    # flags exist but are rare (|z|>2 on roughly-normal cosines)
+    n_out = df.filter("is_outlier").count()
+    assert 0 < n_out < 0.15 * n

@@ -722,3 +722,57 @@ def test_streaming_misra_gries_matches_batch_heavy_hitters(spark, tmp_path):
     before = dict(acc2.counters)
     acc2.update(spark.createDataFrame([("x x x",)], "value string"), acc2.last_batch_id)
     assert acc2.counters == before
+
+
+def test_stateful_attribution_matches_batch(spark, tmp_path):
+    """Streaming last-touch attribution, run over the real sf0.001
+    events split into two micro-batches with a query restart between
+    them, must aggregate to exactly the batch operator's per-channel
+    report (conversions, value sums, delay sums)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from kinesis_s3_spark.sources.tables import load_table
+    from kinesis_s3_spark.streaming.attribution import attribute_stream
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    split = len(ev) // 2
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    for batch in (ev[:split], ev[split:]):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(inp)
+        q = (
+            attribute_stream(spark.readStream.schema(schema).parquet(inp))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("attributed_value"),
+            F.sum("delay_us").cast("long").alias("sum_delay_us"),
+        )
+        .collect()
+    )
+    want = {
+        r["channel"]: (r["n_conversions"], r["attributed_value"], r["sum_delay_us"])
+        for r in entrymod.queries()["events_attribution"](spark, SF_SMOKE).collect()
+    }
+    assert {
+        r["channel"]: (r["n_conversions"], r["attributed_value"], r["sum_delay_us"])
+        for r in got
+    } == want
