@@ -178,6 +178,7 @@ HEADLINE = [
     "ann_recall_knn_join",
     "events_cohort_ltv",
     "emb_outlier_report",
+    "graph_link_prediction",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median
@@ -335,6 +336,7 @@ SKIP_SF1 = {
     # 10x point is skipped rather than re-parameterized dishonestly.
     "ann_knn_join_ivf": "fixed-16-cell toy parameterization; cells∝sqrt(N) is the scale path",
     "ann_recall_knn_join": "exact truth arm quadratic past the guard scale",
+    "graph_link_prediction": "edge set feeds off the fixed-16-cell kNN join (same toy parameterization)",
     # recursion = one frontier shuffle join PER DEPTH level; 10x data
     # makes sessions ~10x longer, so depth x frontier costs ~55 s while
     # the window twin (events_sessionize) stays sub-second — the

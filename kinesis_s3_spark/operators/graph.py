@@ -399,3 +399,95 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "label").select(
         F.col("node").alias("vec_id"), F.col("label").alias("community"), "n_members"
     )
+
+
+LINK_PRED_TOP = 20
+
+
+def _link_pred_sql() -> str:
+    from kinesis_s3_spark.operators.ann import _KNN_JOIN_SQL
+
+    return f"""
+    WITH knn AS ({_KNN_JOIN_SQL}),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT vec_id AS src, nbr_id AS dst FROM knn
+        UNION ALL SELECT nbr_id AS src, vec_id AS dst FROM knn)
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    wedge AS (
+      SELECT e1.src AS u, e2.dst AS v, COUNT(*) AS cn
+      FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      WHERE e1.src < e2.dst
+      GROUP BY e1.src, e2.dst
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.cn FROM wedge w
+      ANTI JOIN edges e ON w.u = e.src AND w.v = e.dst
+    )
+    SELECT u, v, cn AS common_neighbors,
+           ROUND(cn / CAST(du.d + dv.d - cn AS DOUBLE), 6) AS jaccard
+    FROM cand JOIN deg du ON cand.u = du.node JOIN deg dv ON cand.v = dv.node
+    ORDER BY jaccard DESC, u, v LIMIT {LINK_PRED_TOP}
+    """
+
+
+@query("graph_link_prediction", oracle=_link_pred_sql())
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003,
+    the Jaccard variant) over the IVF kNN graph: for every
+    non-adjacent pair two hops apart, score |N(u)∩N(v)| / |N(u)∪N(v)|
+    and return the top-{LINK_PRED_TOP} predicted links — "these two
+    items are probably near-dups / should be connected" from graph
+    structure alone, complementing the geometric similarity ops.
+
+    Unlike graph_label_propagation's guarded exact kNN anchor, the
+    edge set here comes from the GATED approximate join
+    (ann_knn_join_ivf) — this query runs at any corpus size the kNN
+    join runs at. The wedge join is edges ⋈ edges on the shared
+    middle node: with degree bounded by the kNN construction
+    (≤ 2k per node), wedges are O(n·k²) — linear in the corpus. The
+    anti-join drops existing edges; degrees broadcast (node-count
+    frame); top-k is TakeOrdered. Integer counts divide exactly, so
+    both engines emit identical Jaccards."""
+    from kinesis_s3_spark.operators.ann import _knn_join_ivf
+
+    knn = _knn_join_ivf(spark, sf_dir).select("vec_id", "nbr_id")
+    edges = (
+        knn.select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .union(knn.select(F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")))
+        .distinct()
+        # consumed three times (two wedge legs + anti-join) — without
+        # the cache each consumer rebuilds the whole IVF join
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    e2 = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedge = (
+        e1.join(e2, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = wedge.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    cand = (
+        cand.join(deg.select(F.col("src").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("src").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    return (
+        cand.select(
+            "u",
+            "v",
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(LINK_PRED_TOP)
+    )

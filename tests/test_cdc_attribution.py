@@ -191,3 +191,22 @@ def test_outlier_report_standardized(spark):
     # flags exist but are rare (|z|>2 on roughly-normal cosines)
     n_out = df.filter("is_outlier").count()
     assert 0 < n_out < 0.15 * n
+
+
+def test_link_prediction_invariants(spark):
+    from kinesis_s3_spark.operators.ann import _knn_join_ivf
+    from kinesis_s3_spark.operators.graph import LINK_PRED_TOP
+
+    rows = entrymod.queries()["graph_link_prediction"](spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= LINK_PRED_TOP
+    js = [r["jaccard"] for r in rows]
+    assert js == sorted(js, reverse=True)
+    # predicted links are non-adjacent pairs: none may be a kNN edge
+    knn = _knn_join_ivf(spark, SF_CORRECT).select("vec_id", "nbr_id").collect()
+    edges = {(r["vec_id"], r["nbr_id"]) for r in knn}
+    edges |= {(b, a) for a, b in edges}
+    for r in rows:
+        assert r["u"] < r["v"]
+        assert (r["u"], r["v"]) not in edges
+        assert 0 < r["jaccard"] <= 1
+        assert r["common_neighbors"] >= 1
