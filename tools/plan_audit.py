@@ -99,6 +99,7 @@ ALLOW_NESTED_LOOP = {
     "text_zipf_fit",
     "text_vocabulary",
     "ann_knn_join_ivf",  # broadcast 16-centroid assignment side (ann.py)
+    "graph_link_prediction",  # inherits the kNN join's centroid broadcast ×3 consumers
     "ann_recall_knn_join",  # guarded quadratic truth arm + centroid broadcast
     "etl_cdc_merge",  # 1-row split-point broadcast crossed onto the log
     "graph_label_propagation",  # guarded quadratic kNN anchor (graph.py)
