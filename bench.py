@@ -179,6 +179,7 @@ HEADLINE = [
     "events_cohort_ltv",
     "emb_outlier_report",
     "graph_link_prediction",
+    "text_tfidf_simjoin",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -843,3 +843,103 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+_SIMJOIN_DF_MIN, _SIMJOIN_DF_MAX = 2, 50
+_SIMJOIN_TOP = 20
+
+_TFIDF_SIMJOIN_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    post AS (
+      SELECT tf.doc_id, tf.w,
+             CAST(ROUND(tf.tf * ln(n.nd / CAST(df.df AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS wt
+      FROM tf JOIN df USING (w), n
+      WHERE df.df BETWEEN {_SIMJOIN_DF_MIN} AND {_SIMJOIN_DF_MAX}
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt(CAST(SUM(wt * wt) AS DOUBLE)) AS nn
+      FROM post GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(SUM(a.wt * b.wt) AS DOUBLE) AS dot
+      FROM post a JOIN post b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2, ROUND(dot / (n1.nn * n2.nn), 6) AS cosine
+    FROM dots JOIN nrm n1 ON dots.d1 = n1.doc_id
+              JOIN nrm n2 ON dots.d2 = n2.doc_id
+    ORDER BY cosine DESC, d1, d2 LIMIT {_SIMJOIN_TOP}
+"""
+
+
+@query("text_tfidf_simjoin", oracle=_TFIDF_SIMJOIN_SQL)
+def text_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE similarity join: top-{_SIMJOIN_TOP} document pairs by
+    TF-IDF cosine, the dot products computed through the inverted
+    index (posting-list self-join on the shared word) — the classic
+    sparse complement to the dense-embedding ANN family: no vectors,
+    no LSH, exact cosine over the pruned term space.
+
+    Scale: the word self-join is the textbook sparse-simjoin plan —
+    pairs are generated ONLY for co-occurring terms, and the df-band
+    prune (df ∈ [{_SIMJOIN_DF_MIN}, {_SIMJOIN_DF_MAX}]) is the lever
+    that bounds it: df=1 terms cannot pair, ultra-common terms would
+    contribute quadratic fan-out for near-zero IDF weight (the
+    standard prefix/df-filtering argument, Bayardo et al. 2007).
+    Per-word pair fan-out is ≤ df_max², so candidates are
+    Σ_w df_w² — corpus-tunable, never all-pairs. Weights round to
+    6 dp then live as DECIMAL(18,6); dots and norms are exact decimal
+    sums (order-free), divided once in doubles."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    nd = F.broadcast(tf.agg(F.countDistinct("doc_id").alias("nd")))
+    dfc = tf.groupBy("w").agg(F.count("*").alias("df")).where(
+        F.col("df").between(_SIMJOIN_DF_MIN, _SIMJOIN_DF_MAX)
+    )
+    post = (
+        tf.join(dfc, "w")
+        .crossJoin(nd)
+        .select(
+            "doc_id",
+            "w",
+            F.round(F.col("tf") * F.log(F.col("nd") / F.col("df").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("wt"),
+        )
+        # consumed by both the norm aggregate and both join legs
+        .persist()
+    )
+    nrm = post.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt")).cast("double")).alias("nn")
+    )
+    a = post.select(F.col("doc_id").alias("d1"), "w", F.col("wt").alias("w1"))
+    b = post.select(F.col("doc_id").alias("d2"), "w", F.col("wt").alias("w2"))
+    dots = (
+        a.join(b, "w")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).cast("double").alias("dot"))
+    )
+    n1 = nrm.select(F.col("doc_id").alias("d1"), F.col("nn").alias("n1"))
+    n2 = nrm.select(F.col("doc_id").alias("d2"), F.col("nn").alias("n2"))
+    return (
+        dots.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "d1", "d2")
+        .limit(_SIMJOIN_TOP)
+    )

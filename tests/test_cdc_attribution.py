@@ -210,3 +210,18 @@ def test_link_prediction_invariants(spark):
         assert (r["u"], r["v"]) not in edges
         assert 0 < r["jaccard"] <= 1
         assert r["common_neighbors"] >= 1
+
+
+def test_tfidf_simjoin_finds_planted_dups(spark):
+    from kinesis_s3_spark.operators.text import _SIMJOIN_TOP
+
+    rows = entrymod.queries()["text_tfidf_simjoin"](spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= _SIMJOIN_TOP
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    for r in rows:
+        assert r["d1"] < r["d2"]
+        assert 0 < r["cosine"] <= 1.000001
+    # the corpus plants exact near-dups: sparse cosine must surface
+    # some at ~1.0
+    assert cos[0] >= 0.99
