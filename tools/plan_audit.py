@@ -66,6 +66,7 @@ ALLOW_NESTED_LOOP = {
     "join_range_bands",  # banded range join, bounded bands
     "text_unigram_surprisal",  # broadcast 1-row total
     "text_tfidf_topk",  # broadcast 1-row n_docs
+    "text_tfidf_simjoin",  # same 1-row n_docs broadcast (×4 persist consumers)
     "join_self_correlation",  # bounded self-join on keys
     "q11_important_parts",  # scalar subquery (1-row threshold broadcast)
     "q22_global_balance",  # scalar subquery (1-row avg-balance broadcast)
