@@ -70,10 +70,12 @@ for _m in _OPTIONAL_MODULES:
 # sketch_countmin*, per VERDICT r8 next #7); subsequent rounds keep
 # rotating by regenerating this list from the artifacts.
 _GATE_FIRST = [
-    # -- (0) added in round 9, never gated: the fifteen new operators
+    # -- (0) added in round 9, never gated: the seventeen new operators
     #    (dedup coverage/source-overlap, attribution/RFM/AB/paths/
     #    cohort-LTV, CDC merge, LPA communities, RAKE, kNN self-join +
     #    recall, embedding outlier report) --
+    "events_seasonal_naive_mape",
+    "events_dau_mau_stickiness",
     "text_tfidf_simjoin",
     "graph_link_prediction",
     "events_cohort_ltv",

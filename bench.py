@@ -180,6 +180,8 @@ HEADLINE = [
     "emb_outlier_report",
     "graph_link_prediction",
     "text_tfidf_simjoin",
+    "events_seasonal_naive_mape",
+    "events_dau_mau_stickiness",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

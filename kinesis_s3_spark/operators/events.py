@@ -2675,3 +2675,130 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_value_per_user"
         ),
     )
+
+
+_SNAIVE_SQL = r"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.v AS actual, b.v AS forecast
+      FROM h a JOIN h b ON a.event_type = b.event_type
+                       AND b.hr = a.hr - INTERVAL 24 HOURS
+    )
+    SELECT event_type, COUNT(*) AS n_hours,
+           ROUND(CAST(SUM(CAST(ROUND(abs(actual - forecast), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mae,
+           ROUND(CAST(SUM(CAST(ROUND(abs(actual - forecast) / abs(actual), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mape
+    FROM j WHERE actual <> 0 GROUP BY event_type
+"""
+
+
+@query("events_seasonal_naive_mape", oracle=_SNAIVE_SQL)
+def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error: predict each hour's per-type
+    value sum with the value 24 hours earlier and report MAE/MAPE per
+    type — the baseline every forecasting effort must beat (Hyndman &
+    Athanasopoulos, FPP §5.2), and the denominator in MASE. Completes
+    the time-series suite's eval side (events_seasonal_decompose
+    models; this scores).
+
+    Plan: one hourly rollup (map-side combined), then a self equi-join
+    of the BOUNDED (type, hour) frame on the 24-hour-shifted key — the
+    joined frame is |types|×|hours|, never event-sized. Absolute
+    errors round to 6 dp and sum as DECIMAL(18,6), so both engines'
+    means are addition-order-free."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    a = h.select("event_type", "hr", F.col("v").alias("actual"))
+    b = h.select(
+        "event_type",
+        (F.col("hr") + F.expr("INTERVAL 24 HOURS")).alias("hr"),
+        F.col("v").alias("forecast"),
+    )
+    j = a.join(b, ["event_type", "hr"]).where(F.col("actual") != 0)
+    ae = F.abs(F.col("actual") - F.col("forecast"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(
+            F.sum(F.round(ae, 6).cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("mae"),
+        F.round(
+            F.sum(F.round(ae / F.abs(F.col("actual")), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("mape"),
+    )
+
+
+_STICKINESS_SQL = r"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    mau AS (
+      SELECT days.d, COUNT(DISTINCT ud.user_id) AS mau
+      FROM days JOIN ud
+        ON ud.d BETWEEN days.d - INTERVAL 27 DAYS AND days.d
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, mau.mau,
+           ROUND(dau.dau / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+"""
+
+
+@query("events_dau_mau_stickiness", oracle=_STICKINESS_SQL)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily actives over trailing-28-day
+    actives — the engagement ratio product dashboards track beside
+    retention (events_retention_cohorts) and WAU (sketch_hll_sliding's
+    approximate sibling; this is the exact small-window form).
+
+    Plan: events first dedupe to the (user, day) frame — the ONLY
+    data-sized step, one hash aggregate; DAU is a day-keyed count of
+    that frame; MAU range-joins the bounded day spine against the
+    (user, day) frame (|days| × active-days rows, calendar-bounded
+    fan-out of ≤ 28 per row) and distinct-counts per day. At 100 TB
+    the exact form holds while |days|×|users| stays join-able;
+    past that the HLL register merge (sketch_hll_sliding) is the
+    documented swap, same contract."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    # each active (user, day) counts toward the NEXT 27 days' MAU:
+    # explode the bounded 28-day window and the range join becomes a
+    # plain day-keyed equi-aggregate (no nested-loop range join);
+    # days past the corpus end drop in the inner join against dau
+    counting = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 27 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    mau = counting.groupBy("day").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, dau["d"] == mau["day"])
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias("stickiness"),
+        )
+    )

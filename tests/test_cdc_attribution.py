@@ -225,3 +225,21 @@ def test_tfidf_simjoin_finds_planted_dups(spark):
     # the corpus plants exact near-dups: sparse cosine must surface
     # some at ~1.0
     assert cos[0] >= 0.99
+
+
+def test_seasonal_naive_error_bounds(spark):
+    rows = entrymod.queries()["events_seasonal_naive_mape"](spark, SF_CORRECT).collect()
+    assert {r["event_type"] for r in rows} == {"click", "view", "signup", "error", "purchase"}
+    for r in rows:
+        assert r["n_hours"] > 0
+        assert r["mae"] >= 0 and r["mape"] >= 0
+
+
+def test_stickiness_bounds(spark):
+    rows = entrymod.queries()["events_dau_mau_stickiness"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        # DAU is a subset of the trailing-28-day actives by definition
+        assert 1 <= r["dau"] <= r["mau"]
+        assert 0 < r["stickiness"] <= 1
+        assert abs(r["stickiness"] - r["dau"] / r["mau"]) < 1e-5
