@@ -499,6 +499,24 @@ def main() -> None:
         sf1_regressions = flag_sf1_regressions(sf1_times, sf1_baseline, sf1_drift)
 
     total = round(sum(timings.values()), 3)
+    # flag-closure discipline (VERDICT r9 next #3): every flag carries
+    # its triage provenance string INSIDE the artifact when one exists
+    # (tools/bench_provenance.json), so a committed detail file is
+    # self-documenting; flags WITHOUT provenance are listed in
+    # untriaged_flags and turn the exit code nonzero — a final driver
+    # bench that ships new unprobed flags is loud, not silent.
+    from tools.flag_closure_check import load_provenance, untriaged_flags
+
+    provenance = load_provenance()
+    for flag_map, prov_key in (
+        (regressions, "warm"),
+        (sf1_regressions, "sf1"),
+        (xround_flags, "cross_round"),
+    ):
+        for q, entry in flag_map.items():
+            note = (provenance.get(prov_key) or {}).get(q)
+            if note:
+                entry["provenance"] = note
     # Full detail (cold timings, warm spread) goes to a sidecar file:
     # round 3's final line carried all three 41-entry maps and outgrew
     # the driver's stdout tail capture (BENCH_r03 "parsed": null). The
@@ -529,6 +547,8 @@ def main() -> None:
             fh,
             indent=1,
         )
+    with open(detail_path) as fh:
+        open_flags = untriaged_flags(json.load(fh), provenance)
     line = {
         "metric": "headline_suite_wall_sec",
         "value": total,
@@ -562,7 +582,13 @@ def main() -> None:
                 sf1_times.get(n) for n in HEADLINE if n in sf1_times or n in sf1_errors
             ],
         }
+    line["untriaged_flags"] = open_flags
     print(json.dumps(line))
+    if open_flags:
+        # nonzero exit (VERDICT r9 next #3): the artifact above is
+        # complete — the rc only marks that its flag sets need the
+        # solo-probe protocol + provenance before the detail is shipped
+        sys.exit(1)
 
 
 if __name__ == "__main__":

