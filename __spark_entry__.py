@@ -63,75 +63,27 @@ for _m in _OPTIONAL_MODULES:
 # semantically changed THIS round (never driver-gated = infinitely
 # stale); after that, every registry query ordered by the round of its
 # most recent green driver-gate row (ascending, name-tiebreak),
-# computed from CORRECTNESS_r01..r08.json (tools snippet in git
-# history; regenerate each round). The r9 artifact therefore refreshes
-# band 0 (this round's ranking/k-center changes) plus the stalest
-# round-3/round-4 residue (ann_*, etl_*, mm_*, q10-q22,
-# sketch_countmin*, per VERDICT r8 next #7); subsequent rounds keep
-# rotating by regenerating this list from the artifacts.
+# computed from CORRECTNESS_r01..r09.json (regenerated each round —
+# r10 generator in git history). The r10 artifact therefore refreshes
+# band 0 (this round's weighted-median/kNN-family/outlier/CDC/RFM
+# changes) plus the stalest round-4 residue and the oldest round-5
+# entries (VERDICT r9 next #4); subsequent rounds keep rotating by
+# regenerating this list from the artifacts.
 _GATE_FIRST = [
-    # -- (0) added in round 9, never gated: the seventeen new operators
-    #    (dedup coverage/source-overlap, attribution/RFM/AB/paths/
-    #    cohort-LTV, CDC merge, LPA communities, RAKE, kNN self-join +
-    #    recall, embedding outlier report) --
-    "events_seasonal_naive_mape",
-    "events_dau_mau_stickiness",
-    "text_tfidf_simjoin",
-    "graph_link_prediction",
-    "events_cohort_ltv",
-    "emb_outlier_report",
-    "dedup_ngram_coverage",
-    "events_attribution",
-    "etl_cdc_merge",
-    "graph_label_propagation",
-    "events_rfm_segments",
-    "text_rake_keywords",
+    # -- (0) semantically changed in round 10, must re-gate:
+    #    histogram-refinement weighted median; trained corpus-sized
+    #    IVF kNN join + its recall arm; LPA/link-pred on the new
+    #    feed; z-guarded outlier report; integer-div CDC split and
+    #    RFM recency --
+    "agg_weighted_median",
     "ann_knn_join_ivf",
     "ann_recall_knn_join",
-    "dedup_source_overlap",
-    "events_ab_test",
-    "events_session_paths",
-    # -- (0b) semantically changed in round 9, never gated
-    #    since the change (batched k-center is NEW; the greedy twin was
-    #    refactored onto the shared core; the three rank-by-count
-    #    surfaces switched to the LCP-stripped tiebreak_str path; every
-    #    other entry here consumes the ranking primitives whose offset
-    #    frames now persist — values identical, plans changed) --
-    "emb_kcenter_batched",
-    "etl_snapshot_diff",
-    "events_ohlc_bars",
-    "emb_kcenter_coreset",
-    "text_vocabulary",
-    "text_zipf_fit",
-    "diag_key_skew",
-    "window_rank_dense",
-    "events_drift_ks",
-    "sketch_quantile_histogram",
-    "curation_epoch_shuffle",
-    "curation_dsir_weights",
-    "curation_quality_lr_auc",
-    "sketch_countmin_estimate",
-    # -- last driver-gated in round 3 --
-    "q8_market_share",
-    "q9_product_profit",
-    "text_bigram_surprisal",
-    "text_gopher_repetition",
-    "text_pii_mask",
-    "text_tfidf_topk",
-    "text_unigram_surprisal",
-    "window_first_last_nth",
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "emb_outlier_report",
+    "events_rfm_segments",
+    "etl_cdc_merge",
     # -- last driver-gated in round 4 --
-    "ann_bruteforce_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_multi_query_topk",
-    "ann_recall_ivf_kmeans",
-    "dedup_contamination",
-    "dedup_embedding_lsh_strict",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
     "etl_bad_row_archive",
     "etl_bad_row_roundtrip",
     "etl_buffer_flush_bytes",
@@ -223,7 +175,6 @@ _GATE_FIRST = [
     "agg_rollup",
     "agg_skew_salted",
     "agg_stats_suite",
-    "agg_weighted_median",
     "ann_matryoshka_recall",
     "ann_mips_topk",
     "etl_bad_row_envelope",
@@ -349,6 +300,50 @@ _GATE_FIRST = [
     "q7_volume_shipping",
     "text_phrase_search",
     "window_topk_per_group",
+    # -- last driver-gated in round 9 --
+    "ann_bruteforce_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_multi_query_topk",
+    "ann_recall_ivf_kmeans",
+    "curation_dsir_weights",
+    "curation_epoch_shuffle",
+    "curation_quality_lr_auc",
+    "dedup_contamination",
+    "dedup_embedding_lsh_strict",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash_lsh",
+    "dedup_ngram_coverage",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_source_overlap",
+    "diag_key_skew",
+    "emb_kcenter_batched",
+    "emb_kcenter_coreset",
+    "etl_snapshot_diff",
+    "events_ab_test",
+    "events_attribution",
+    "events_cohort_ltv",
+    "events_dau_mau_stickiness",
+    "events_drift_ks",
+    "events_ohlc_bars",
+    "events_seasonal_naive_mape",
+    "events_session_paths",
+    "q8_market_share",
+    "q9_product_profit",
+    "sketch_countmin_estimate",
+    "sketch_quantile_histogram",
+    "text_bigram_surprisal",
+    "text_gopher_repetition",
+    "text_pii_mask",
+    "text_rake_keywords",
+    "text_tfidf_simjoin",
+    "text_tfidf_topk",
+    "text_unigram_surprisal",
+    "text_vocabulary",
+    "text_zipf_fit",
+    "window_first_last_nth",
+    "window_rank_dense",
 ]
 
 

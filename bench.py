@@ -327,19 +327,11 @@ def ensure_scale10(spark) -> bool:
 # representative instead of anchor-dominated.
 SKIP_SF1 = {
     "dedup_embedding_lsh": "noise-floor oracle anchor, pair-bound at 10x",
-    # the exact kNN build is the guarded quadratic anchor (4e8 pairs at
-    # 10x = 20k vectors; a measured r9 attempt ran 40+ min); the scale
-    # path feeds the SAME LPA rounds from IVF candidates
-    "graph_label_propagation": "guarded quadratic kNN anchor; IVF-candidate feed is the scale path",
-    # toy parameterization pins cells=16 so both engines derive the
-    # same buckets; per-cell lists grow linearly with N, so the
-    # self-join candidate set is N^2*probe/cells at fixed cells.
-    # Production tunes cells ∝ sqrt(N) (docstring); on this isotropic
-    # worst-case data that would collapse the measured recall, so the
-    # 10x point is skipped rather than re-parameterized dishonestly.
-    "ann_knn_join_ivf": "fixed-16-cell toy parameterization; cells∝sqrt(N) is the scale path",
+    # r10: ann_knn_join_ivf / graph_label_propagation /
+    # graph_link_prediction now ride the corpus-sized trained-IVF
+    # join (cells ∝ sqrt(N), per-cell blocked Arrow scoring) and run
+    # at sf1; only the exact truth arm stays guarded
     "ann_recall_knn_join": "exact truth arm quadratic past the guard scale",
-    "graph_link_prediction": "edge set feeds off the fixed-16-cell kNN join (same toy parameterization)",
     # recursion = one frontier shuffle join PER DEPTH level; 10x data
     # makes sessions ~10x longer, so depth x frontier costs ~55 s while
     # the window twin (events_sessionize) stays sub-second — the

@@ -135,6 +135,16 @@ class MonitoringConfig:
     heartbeat_interval_ms: int = 300_000  # SnowplowTracking.scala:55
     snowplow_collector: str | None = None  # e.g. "http://snplow.acme.ru:80"
     snowplow_app_id: str = "kinesis-s3-spark"
+    # Config.scala:187 Metrics(cloudWatch, ...): in the reference this
+    # toggles KCL's CWMetricsFactory (S3Loader.scala:57) and, when
+    # false, strips the AWS request-metric collector off the bad-stream
+    # Kinesis client (KinesisSink.scala:121). Here it is the
+    # SOURCE-CONNECTOR metrics toggle: a documented no-op on the
+    # file/rate dev sources (no AWS in the harness), honored as
+    # "emit per-request connector metrics" when a real kinesis source/
+    # sink client is configured. Default mirrors the reference's
+    # .getOrElse(false).
+    cloudwatch_metrics: bool = False
 
 
 @dataclass(frozen=True)
@@ -252,6 +262,7 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
                 snowplow_app_id=(mon.get("snowplow") or {}).get(
                     "app_id", (mon.get("snowplow") or {}).get("appId", "kinesis-s3-spark")
                 ),
+                cloudwatch_metrics=bool(mon.get("cloudwatch_metrics", False)),
             ),
             checkpoint_location=d.get("checkpoint_location"),
         )

@@ -303,6 +303,11 @@ def reference_dict_to_native(d: dict) -> dict:
                 "statsd_tags": statsd.get("tags", {}),
             }
         )
+    # Config.scala:187 metrics.cloudWatch → the connector-metrics
+    # toggle (MonitoringConfig.cloudwatch_metrics; reference default
+    # .getOrElse(false))
+    if "cloudWatch" in (mon.get("metrics") or {}):
+        monitoring["cloudwatch_metrics"] = bool(mon["metrics"]["cloudWatch"])
     if monitoring:
         native["monitoring"] = monitoring
     return native

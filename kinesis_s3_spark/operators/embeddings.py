@@ -244,20 +244,29 @@ def _km_assign(vv: DataFrame, cents: list[tuple[int, list[float]]], with_dist: b
 
 
 def lloyd_centroids(
-    vv: DataFrame, k: int, iters: int
+    vv: DataFrame, k: int, iters: int, assign_fn=None
 ) -> list[tuple[int, list[float]]]:
     """Run ``iters`` Lloyd rounds from deterministic seeds
     (vec_id < k) and return the refined centroid list. Each round is
     one assignment scan + one |k|×dim decimal-mean shuffle collected to
     the driver (k×d doubles — legitimately driver-sized) and
     re-broadcast as the next round's literal. Empty clusters drop out
-    of the list, identically in the DuckDB unrolled oracle."""
+    of the list, identically in the DuckDB unrolled oracle.
+
+    ``assign_fn(vv, cents) -> DataFrame[cid, e]`` overrides the
+    assignment pass (default: the catalyst ranker _km_assign); the
+    kNN self-join passes its blocked Arrow ranker (ann.py) — same
+    argmin semantics, ~10× cheaper per pair at corpus-sized k."""
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["e"]])
         for r in vv.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
     ]
     for _ in range(iters):
-        assigned = _km_assign(vv, cents, with_dist=False)
+        assigned = (
+            _km_assign(vv, cents, with_dist=False)
+            if assign_fn is None
+            else assign_fn(vv, cents)
+        )
         flat = assigned.select(
             "cid", F.posexplode("e").alias("pos", "xd")
         ).select("cid", "pos", F.col("xd").cast(_DEC).alias("x"))
@@ -995,10 +1004,14 @@ _OUTLIER_SQL = r"""
       FROM cos GROUP BY label
     )
     SELECT cos.vec_id, cos.label, cos.centroid_cos,
-           ROUND((cos.centroid_cos - st.m) / sqrt(st.m2 - st.m * st.m), 4)
-             AS z_score,
-           abs((cos.centroid_cos - st.m) / sqrt(st.m2 - st.m * st.m)) > 2
-             AS is_outlier
+           ROUND(CASE WHEN st.m2 - st.m * st.m > 0
+                      THEN (cos.centroid_cos - st.m)
+                           / sqrt(st.m2 - st.m * st.m)
+                      ELSE 0 END, 4) AS z_score,
+           CASE WHEN st.m2 - st.m * st.m > 0
+                THEN abs((cos.centroid_cos - st.m)
+                         / sqrt(st.m2 - st.m * st.m)) > 2
+                ELSE false END AS is_outlier
     FROM cos JOIN st USING (label)
 """
 
@@ -1055,7 +1068,14 @@ def emb_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("m2"),
     )
-    z = (F.col("centroid_cos") - F.col("m")) / F.sqrt(F.col("m2") - F.col("m") * F.col("m"))
+    # degenerate-label guard (ADVICE r9): a zero-variance label (a
+    # singleton, or every 4-dp cosine equal) makes m2 − m² ≤ 0 — the
+    # raw z would be NaN/Inf and NaN-ordered comparisons can diverge
+    # between engines. Emit z=0 / not-outlier, same CASE in the oracle.
+    var = F.col("m2") - F.col("m") * F.col("m")
+    z = F.when(
+        var > 0, (F.col("centroid_cos") - F.col("m")) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
     return cos.join(F.broadcast(st), "label").select(
         "vec_id",
         "label",

@@ -927,7 +927,9 @@ def etl_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the target's matching files).
     """
     e = load_table(spark, sf_dir, "events")
-    mid = F.broadcast(e.agg((F.max("event_id") / 2).cast("long").alias("m")))
+    # integer division (not /2 + cast): double division is exact only
+    # below 2^53 — long event ids at 100 TB can exceed that
+    mid = F.broadcast(e.agg(F.expr("max(event_id) div 2").alias("m")))
 
     def latest(df: DataFrame, t: str, v: str) -> DataFrame:
         key = F.struct("ts", "event_id")

@@ -2344,12 +2344,10 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(mx)
         .groupBy("user_id")
         .agg(
-            (
-                F.expr("timestampdiff(MICROSECOND, max(ts), any_value(mt))")
-                / F.lit(86_400_000_000)
-            )
-            .cast("long")
-            .alias("recency_days"),
+            # integer div (not /86.4e9 + cast): exact past 2^53 µs
+            F.expr(
+                "timestampdiff(MICROSECOND, max(ts), any_value(mt)) div 86400000000"
+            ).alias("recency_days"),
             F.count("*").alias("frequency"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
         )
@@ -2357,7 +2355,12 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the per-user metric frame: four consumers (three rank
     # passes + the user count); chaining the ranks instead would nest
     # each primitive's plan inside the next — measured 2147 exchanges
-    # in the audited plan vs ~40 for three independent thin ranks
+    # in the audited plan vs ~40 for three independent thin ranks.
+    # Lifetime (ADVICE r9): the operator returns a LAZY frame, so it
+    # cannot unpersist after its consumer materializes — the |users|-
+    # row block stays cached until Spark's LRU storage eviction or
+    # session end (bounded, aggregation-sized; documented not leaked-
+    # by-accident).
     u = u.persist()
     r_rn = global_row_number_tiesafe(
         u.select("user_id", "recency_days"),

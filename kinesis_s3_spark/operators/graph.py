@@ -278,33 +278,28 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LPA_ROUNDS = 3
-LPA_K = 4  # kNN graph degree
+# (graph degree now comes from ann.K_JOIN via the IVF kNN join feed)
 
 
-def _lpa_sql(rounds: int = LPA_ROUNDS, k: int = LPA_K) -> str:
-    """Unrolled synchronous label propagation over the embedding kNN
-    graph (every round is one CTE pair — the registry's iterative-
-    oracle convention, like the Lloyd/PageRank unrolls)."""
+def _lpa_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled synchronous label propagation over the TRAINED-IVF kNN
+    join's graph (every round is one CTE pair — the registry's
+    iterative-oracle convention, like the Lloyd/PageRank unrolls).
+    Since r10 the edge feed is ann_knn_join_ivf's gated approximate
+    join — the corpus-sized path — instead of the quadratic exact
+    build, so LPA runs (and benches) at every scale the kNN join
+    does."""
+    from kinesis_s3_spark.operators.ann import _KNN_JOIN_SQL
+
     parts = [
-        r"""
-    WITH pairs AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                          b.embedding::DOUBLE[]), 4) AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-    ),
-    knn AS (
-      SELECT src, dst FROM (
-        SELECT src, dst,
-               ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-        FROM pairs) WHERE rk <= %d
-    ),
+        f"""
+    WITH knn AS ({_KNN_JOIN_SQL}),
     edges AS (
       SELECT DISTINCT src, dst FROM (
-        SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)
+        SELECT vec_id AS src, nbr_id AS dst FROM knn
+        UNION ALL SELECT nbr_id AS src, vec_id AS dst FROM knn)
     ),
     l0 AS (SELECT vec_id AS node, vec_id AS label FROM embeddings)"""
-        % k
     ]
     for r in range(1, rounds + 1):
         parts.append(
@@ -330,55 +325,40 @@ def _lpa_sql(rounds: int = LPA_ROUNDS, k: int = LPA_K) -> str:
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (LPA,
     Raghavan et al. 2007) over the embedding kNN graph: each vector
-    links to its {LPA_K} nearest neighbors by cosine (symmetrized),
-    labels start as vec_id, and for {LPA_ROUNDS} rounds every node
-    adopts its neighbors' MODE label (ties → smallest label — the
-    deterministic variant). Output: per-node community plus community
-    size. Extends the graph family (PageRank = importance, triangles =
-    cohesion, components = reachability) with the clustering step an
-    embedding-curation pipeline runs between ANN and SemDeDup.
+    links to its nearest neighbors from the gated trained-IVF kNN
+    self-join (ann_knn_join_ivf, symmetrized), labels start as vec_id,
+    and for {LPA_ROUNDS} rounds every node adopts its neighbors' MODE
+    label (ties → smallest label — the deterministic variant).
+    Output: per-node community plus community size. Extends the graph
+    family (PageRank = importance, triangles = cohesion, components =
+    reachability) with the clustering step an embedding-curation
+    pipeline runs between ANN and SemDeDup.
 
-    Plan: the kNN build is the guarded quadratic anchor (same
-    contract as dedup_embedding_cosine — refuses past
-    EMBEDDING_PAIRWISE_MAX_ROWS; the 100 TB path feeds the SAME
-    rounds from ann_ivf_topk / ann_lsh_bucketed candidates instead).
-    Each LPA round is edges ⋈ labels (equi-join on the neighbor id) →
-    (node, label) count → per-node argmax via one min(struct) hash
-    aggregate — NO window in the loop, all shuffles keyed by node id,
-    |E| = 2k·n rows per round. Labels are integers; counts are exact;
-    every round is deterministic, so Spark and the unrolled-SQL
-    oracle stay bit-locked round by round.
+    Plan (r10, VERDICT r9 next #2): the edge feed is the
+    corpus-sized IVF join — cells ∝ √N, per-cell blocked Arrow
+    scoring — so LPA itself runs at any scale (the pre-r10 quadratic
+    exact build and its PairwiseScaleError guard are gone; the exact
+    arm survives as ann_recall_knn_join's truth side). Each LPA round
+    is edges ⋈ labels (equi-join on the neighbor id) → (node, label)
+    count → per-node argmax via one min(struct) hash aggregate — NO
+    window in the loop, all shuffles keyed by node id, |E| ≤ 2k·n
+    rows per round. Labels are integers; counts are exact; every
+    round is deterministic, so Spark and the unrolled-SQL oracle stay
+    bit-locked round by round.
     """
-    from kinesis_s3_spark.operators.dedup import (
-        EMBEDDING_PAIRWISE_MAX_ROWS,
-        PairwiseScaleError,
-        cosine_sim,
-    )
+    from kinesis_s3_spark.operators.ann import _knn_join_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    if n > EMBEDDING_PAIRWISE_MAX_ROWS:
-        raise PairwiseScaleError(
-            f"graph_label_propagation: {n} vectors (> {EMBEDDING_PAIRWISE_MAX_ROWS}); "
-            "the exact kNN build is quadratic — feed the LPA rounds from "
-            "ann_ivf_topk candidates at corpus scale"
-        )
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("e2"))
-    pairs = a.join(b, F.col("src") != F.col("dst")).select(
-        "src", "dst", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4).alias("cos")
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
-    knn = (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= LPA_K)
-        .select("src", "dst")
+    knn = _knn_join_ivf(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst")
     )
     edges = knn.union(
         knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     # cache: consumed once per round (the plan would otherwise rebuild
-    # the quadratic kNN every round); bounded at 2k·n rows
+    # the whole IVF join every round); bounded at 2k·n rows. Lifetime
+    # (ADVICE r9): lazy return → no in-operator unpersist point; LRU
+    # storage eviction bounds the residency
     edges = edges.persist()
     labels = emb.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
     for _ in range(LPA_ROUNDS):
@@ -458,7 +438,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(knn.select(F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")))
         .distinct()
         # consumed three times (two wedge legs + anti-join) — without
-        # the cache each consumer rebuilds the whole IVF join
+        # the cache each consumer rebuilds the whole IVF join.
+        # Lifetime (ADVICE r9): lazy return → no in-operator unpersist
+        # point; bounded at 2k·n rows until LRU eviction / session end
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))

@@ -920,7 +920,10 @@ def text_tfidf_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,6)")
             .alias("wt"),
         )
-        # consumed by both the norm aggregate and both join legs
+        # consumed by both the norm aggregate and both join legs.
+        # Lifetime (ADVICE r9): returned frame is lazy → no in-operator
+        # unpersist point; the posting-list block stays cached until
+        # LRU eviction / session end (df-band-pruned, bounded)
         .persist()
     )
     nrm = post.groupBy("doc_id").agg(

@@ -43,7 +43,13 @@ def _attribute_group(
 
     rows: list[tuple[int, int, str, float]] = []
     for pdf in pdfs:
-        ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+        # normalize to ns before the int cast: pandas 2.x may hand the
+        # Arrow column over as datetime64[us], and a us-resolution
+        # series through astype(int64)//1000 would yield MILLIseconds —
+        # silently scaling every delay and the 7-day lookback 1000×
+        ts_us = (
+            pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").astype("int64") // 1000
+        ).tolist()
         rows.extend(
             zip(ts_us, pdf["event_id"].astype("int64"), pdf["event_type"], pdf["value"])
         )

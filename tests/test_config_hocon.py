@@ -157,6 +157,24 @@ def test_sample_style_quirks_parse(tmp_path, monkeypatch):
     assert cfg.monitoring.statsd_prefix == "snowplow.monitoring"
     assert cfg.monitoring.statsd_tags == {"worker": "worker-7"}
     assert cfg.monitoring.snowplow_collector == "http://snplow.acme.ru:80"
+    # Config.scala:187 metrics.cloudWatch — the sample ships false
+    assert cfg.monitoring.cloudwatch_metrics is False
+
+
+def test_cloudwatch_metrics_round_trips(tmp_path):
+    """O21 field parity (VERDICT r9 next #6): monitoring.metrics.
+    cloudWatch (Config.scala:187, wired at S3Loader.scala:57 /
+    KinesisSink.scala:121) maps to MonitoringConfig.cloudwatch_metrics
+    and survives HOCON → dataclass for both values; absent ⇒ the
+    reference's .getOrElse(false)."""
+    f = tmp_path / "config.hocon"
+    f.write_text(SAMPLE_STYLE.replace('"cloudWatch": false', '"cloudWatch": true'))
+    assert load(f).monitoring.cloudwatch_metrics is True
+    f.write_text(SAMPLE_STYLE)
+    assert load(f).monitoring.cloudwatch_metrics is False
+    # absent entirely (SPEC_STRING has no metrics block) → default false
+    f.write_text(SPEC_STRING)
+    assert load(f).monitoring.cloudwatch_metrics is False
 
 
 def test_missing_stream_name_is_human_readable(tmp_path):

@@ -356,3 +356,110 @@ def test_ks_against_matches_bruteforce():
     acc.bins = {}
     d, crit = acc.ks_against({1: 5})
     assert d == 0.0 and crit == float("inf")
+
+
+def test_streaming_ks_twin_matches_batch_drift_ks(spark, tmp_path):
+    """VERDICT r9 next #7: tie the streaming value-KS arm to the BATCH
+    events_drift_ks operator the way the minhash/attribution twins are
+    tied. A value stream replays in three tranches over ONE shared
+    histogram state; after each flush the batch operator runs on an
+    events table holding exactly (reference rows as weekdays) ∪
+    (stream-so-far as weekend rows). Asserts per tranche: the
+    streaming D equals the batch ks_stat (same mass, mid-bin values →
+    binned and exact CDFs coincide), the critical lines match, and
+    the STREAMING alert datagram fires precisely on the tranche where
+    the BATCH statistic first crosses its critical line."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from kinesis_s3_spark.streaming.histogram import SizeHistogramAccumulator
+    from kinesis_s3_spark.streaming.monitoring import ValueDriftReporter
+
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    port = recv.getsockname()[1]
+    statsd = StatsDClient(
+        MonitoringConfig(
+            statsd_host="127.0.0.1", statsd_port=port, statsd_prefix="snowplow.s3loader"
+        )
+    )
+    value_col = F.try_element_at(F.split(F.col("value"), "\t"), F.lit(2)).try_cast(
+        "double"
+    )
+    # mid-bin values (k + 0.5, bin_width 1.0): the binned step CDF and
+    # the exact per-value CDF have identical gaps, so streaming D ==
+    # batch D by construction, not approximately
+    ref_vals = [2.5] * 200 + [3.5] * 200  # "weekday" reference mass
+    ref_bins = {2: 200, 3: 200}
+    tranches = [
+        [2.5] * 50 + [3.5] * 50,  # same shape — no drift
+        [2.5] * 50 + [3.5] * 50,  # still same — no drift
+        [40.5] * 300,  # shape jump — crosses the critical line
+    ]
+    thursday = datetime.datetime(1970, 1, 1, 12, 0, 0)  # epoch day 0 → weekday arm
+    saturday = datetime.datetime(1970, 1, 3, 12, 0, 0)  # epoch day 2 → weekend arm
+
+    state_dir = str(tmp_path / "ks-twin-state")
+    # ONE input dir + ONE checkpoint lineage: each tranche appends
+    # files and restarts the query, so micro-batch ids keep advancing
+    # and the accumulator's replay-skip (batch_id ≤ last applied)
+    # guards re-delivery instead of eating fresh tranches
+    inp = str(tmp_path / "ks-twin-in")
+    streamed: list[float] = []
+    first_alert_tranche = None
+    batch_first_drift = None
+    for t, vals in enumerate(tranches):
+        hist = SizeHistogramAccumulator(
+            state_dir, value_col=value_col, bin_width=1.0, state_file="vh.json"
+        )
+        vdrift = ValueDriftReporter(statsd, hist, ref_bins)
+        _write_input(spark, inp, [f"r{t}-{i}\t{v}" for i, v in enumerate(vals)])
+        cfg = from_dict(
+            {
+                "purpose": "RAW",
+                "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+                "output": {"s3": {"path": str(tmp_path / "ks-twin-out"), "compression": "GZIP"}},
+                "buffer": {"time_limit_ms": 250},
+                "checkpoint_location": str(tmp_path / "ks-twin-ckpt"),
+            }
+        )
+        q = run_loader(
+            spark, cfg, accumulators=(hist,), on_flush=vdrift, query_name=f"ks-twin-{t}"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        streamed.extend(vals)
+        # drain this tranche's datagrams: gauge always, alert iff fired
+        recv.settimeout(1)
+        pkts = []
+        try:
+            while True:
+                pkts.append(recv.recvfrom(4096)[0].decode())
+        except socket.timeout:
+            pass
+        assert pkts and pkts[0].startswith("snowplow.s3loader.value_ks:")
+        alerted = any(p.startswith("snowplow.s3loader.value_ks_alert:") for p in pkts)
+        if alerted and first_alert_tranche is None:
+            first_alert_tranche = t
+
+        # batch arm: the SAME two samples as an events table
+        sf_dir = str(tmp_path / f"ks-twin-sf-{t}")
+        rows = [(thursday, float(v)) for v in ref_vals] + [
+            (saturday, float(v)) for v in streamed
+        ]
+        spark.createDataFrame(rows, "ts timestamp_ntz, value double").write.mode(
+            "overwrite"
+        ).parquet(f"{sf_dir}/events.parquet")
+        b = em.queries()["events_drift_ks"](spark, sf_dir).collect()[0]
+        if b["drifted"] and batch_first_drift is None:
+            batch_first_drift = t
+        assert alerted == b["drifted"], (t, vdrift.last_d, b)
+        assert abs(vdrift.last_d - b["ks_stat"]) < 1e-5, (t, vdrift.last_d, b)
+        assert abs(vdrift.last_crit - b["ks_critical"]) < 1e-5, (t, vdrift.last_crit, b)
+    recv.close()
+    # the two arms cross on the SAME tranche — the drifted one
+    assert first_alert_tranche == batch_first_drift == 2
