@@ -330,10 +330,16 @@ def main(names: list[str]) -> None:
         return
     build(spark)
     for name in names or DEFAULT_QUERIES:
-        q[name](spark, OUT).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time()
-        q[name](spark, OUT).write.format("noop").mode("overwrite").save()
-        print(json.dumps({"query": name, "sec_100x": round(time.time() - t0, 2)}))
+        # warm-then-measure at BOTH scales (r10: the sparse-text axis
+        # wants ratios, not bare 100× seconds — same shape as ev_mode)
+        row = {"query": name}
+        for sf_dir, col in ((BASE, "sec_1x"), (OUT, "sec_100x")):
+            q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            row[col] = round(time.time() - t0, 2)
+        row["ratio"] = round(row["sec_100x"] / max(row["sec_1x"], 1e-9), 1)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
