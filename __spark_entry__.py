@@ -75,6 +75,7 @@ _GATE_FIRST = [
     #    IVF kNN join + its recall arm; LPA/link-pred on the new
     #    feed; z-guarded outlier report; integer-div CDC split and
     #    RFM recency --
+    "ann_knn_classify",  # NEW r10, never gated
     "agg_weighted_median",
     "ann_knn_join_ivf",
     "ann_recall_knn_join",

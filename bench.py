@@ -182,6 +182,8 @@ HEADLINE = [
     "text_tfidf_simjoin",
     "events_seasonal_naive_mape",
     "events_dau_mau_stickiness",
+    # -- added in round 10 --
+    "ann_knn_classify",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

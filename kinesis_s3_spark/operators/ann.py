@@ -2091,3 +2091,69 @@ def ann_recall_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.min("n_hit") / F.lit(float(K_JOIN)), 6).alias("min_recall"),
     )
+
+
+_KNN_CLASSIFY_SQL = f"""
+    WITH knn AS ({{knn}}),
+    nbr AS (
+      SELECT k.vec_id, e.label AS nbr_label
+      FROM knn k JOIN embeddings e ON k.nbr_id = e.vec_id
+    ),
+    cnt AS (
+      SELECT vec_id, nbr_label, COUNT(*) AS c FROM nbr GROUP BY vec_id, nbr_label
+    ),
+    pred AS (
+      SELECT vec_id, nbr_label AS pred_label FROM (
+        SELECT vec_id, nbr_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY c DESC, nbr_label) AS rk
+        FROM cnt) WHERE rk = 1
+    )
+    SELECT e.vec_id, e.label, p.pred_label,
+           e.label = p.pred_label AS agree
+    FROM embeddings e JOIN pred p ON e.vec_id = p.vec_id
+"""
+
+
+@query("ann_knn_classify", oracle=_KNN_CLASSIFY_SQL.format(knn=_KNN_JOIN_SQL))
+def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label agreement over the trained-IVF self-join: every
+    vector's predicted label = majority label of its {K_JOIN} nearest
+    neighbors (ties → smallest label), compared against its own. The
+    disagreeing rows are the label-noise candidates a curation
+    pipeline sends to review — the neighborhood-consistency check
+    (cleanlab/confident-learning's intuition, Northcutt et al. 2021)
+    that complements emb_outlier_report's geometric z-score: the
+    z-score flags vectors FAR from their own label's centroid; this
+    flags vectors whose LOCAL neighborhood votes for a different
+    label, which catches boundary noise centroids can't see.
+
+    Scale: rides ann_knn_join_ivf (cells ∝ √N, blocked Arrow
+    scoring); everything after the join is one neighbor-label
+    equi-join plus |V|-keyed count/argmax aggregates — the argmax is
+    the LPA min-struct trick, no window over data. Integer counts,
+    string-free label compare: both engines emit identical rows."""
+    knn = _knn_join_ivf(spark, sf_dir).select("vec_id", "nbr_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nbr = knn.join(
+        emb.select(F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")),
+        "nbr_id",
+    ).select("vec_id", "nbr_label")
+    cnt = nbr.groupBy("vec_id", "nbr_label").agg(F.count("*").alias("c"))
+    # argmax by (count desc, label asc) as ONE hash aggregate — the
+    # graph_label_propagation min-struct pattern, no per-vector window
+    pred = cnt.groupBy("vec_id").agg(
+        F.min(
+            F.struct((F.lit(0) - F.col("c")).alias("nc"), F.col("nbr_label").alias("l"))
+        ).alias("m")
+    ).select("vec_id", F.col("m.l").alias("pred_label"))
+    return (
+        emb.select("vec_id", "label")
+        .join(pred, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "pred_label",
+            (F.col("label") == F.col("pred_label")).alias("agree"),
+        )
+    )

