@@ -76,6 +76,8 @@ _GATE_FIRST = [
     #    feed; z-guarded outlier report; integer-div CDC split and
     #    RFM recency --
     "ann_knn_classify",  # NEW r10, never gated
+    "ann_mmr_diversify",  # NEW r10, never gated
+    "emb_drift_mmd",  # NEW r10, never gated
     "agg_weighted_median",
     "ann_knn_join_ivf",
     "ann_recall_knn_join",

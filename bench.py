@@ -184,6 +184,8 @@ HEADLINE = [
     "events_dau_mau_stickiness",
     # -- added in round 10 --
     "ann_knn_classify",
+    "ann_mmr_diversify",
+    "emb_drift_mmd",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -47,6 +47,7 @@ from kinesis_s3_spark.operators.embeddings import (
     _KM_UPDATE_SQL,
     _dot,
     _km_rank,
+    _vec_d,
     kmeans_vv,
     lloyd_centroids,
 )
@@ -2157,3 +2158,136 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("pred_label")).alias("agree"),
         )
     )
+
+
+MMR_POOL = 20  # candidate pool (distributed top-k by relevance)
+MMR_K = 5  # diversified picks
+MMR_LAMBDA = 0.7
+
+
+def _mmr_sql() -> str:
+    """Greedy MMR unrolled: sel1 = max-relevance pick; each later round
+    re-scores the remaining pool by λ·rel − (1−λ)·max-sim-to-selected
+    and takes the argmax (ties → smallest vec_id) — one CTE pair per
+    round, the registry's iterative-oracle convention."""
+    parts = [
+        f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, e, rel FROM (
+        SELECT emb.vec_id, emb.embedding::DOUBLE[] AS e,
+               ROUND(list_cosine_similarity(emb.embedding::DOUBLE[], q.qe), 4) AS rel,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(emb.embedding::DOUBLE[],
+                                                       q.qe), 4) DESC,
+                          emb.vec_id) AS rk
+        FROM embeddings emb, q WHERE emb.vec_id != 0
+      ) WHERE rk <= {MMR_POOL}
+    ),
+    pick1 AS (
+      SELECT vec_id, rel, 0.0 AS ms, ROUND({MMR_LAMBDA} * rel, 4) AS mmr
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    sel1 AS (SELECT vec_id FROM pick1)"""
+    ]
+    for r in range(2, MMR_K + 1):
+        parts.append(
+            f""",
+    ms{r} AS (
+      SELECT c.vec_id, c.rel,
+             MAX(ROUND(list_cosine_similarity(c.e, s.e), 4)) AS ms
+      FROM cand c
+      JOIN cand s ON s.vec_id IN (SELECT vec_id FROM sel{r - 1})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+      GROUP BY c.vec_id, c.rel
+    ),
+    pick{r} AS (
+      SELECT vec_id, rel, ms,
+             ROUND({MMR_LAMBDA} * rel - {round(1 - MMR_LAMBDA, 10)} * ms, 4) AS mmr
+      FROM ms{r}
+      ORDER BY ROUND({MMR_LAMBDA} * rel - {round(1 - MMR_LAMBDA, 10)} * ms, 4) DESC,
+               vec_id
+      LIMIT 1
+    ),
+    sel{r} AS (SELECT vec_id FROM sel{r - 1} UNION ALL SELECT vec_id FROM pick{r})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, rel, mmr FROM pick{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    parts.append(f"\n    {selects}")
+    return "".join(parts)
+
+
+def _py_round4(x: float) -> float:
+    """HALF_UP at 4 dp — java BigDecimal HALF_UP / DuckDB ROUND twin
+    (same trunc+copysign form the blocked Arrow kernels use)."""
+    import math
+
+    return math.trunc(x * 1e4 + math.copysign(0.5, x)) / 1e4
+
+
+@query("ann_mmr_diversify", oracle=_mmr_sql())
+def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the query's top-{MMR_POOL} cosine candidates, greedily
+    pick {MMR_K} results maximizing λ·relevance − (1−λ)·max-similarity-
+    to-already-picked (λ={MMR_LAMBDA}) — the diversity re-ranker a RAG
+    retrieval stage runs on its head so near-duplicate passages don't
+    crowd the context window. First pick = pure relevance (ms = 0 by
+    convention); ties break on vec_id; every score 4-dp-rounded before
+    each argmax so both engines pick identical items.
+
+    Scale split, by design: the DATA-SIZED work — scoring every corpus
+    vector against the broadcast query and taking the global top-k —
+    is distributed (TakeOrderedAndProject, no global sort, no window);
+    the greedy loop then runs DRIVER-SIDE on the ≤{MMR_POOL}-row head
+    with left-to-right float sums (the cosine_sim/DuckDB fold order).
+    That is the production reranker shape: sequential-by-nature head
+    re-ranking never touches the corpus. Driver bytes: pool×dim
+    doubles, result-sized — the k-center/Lloyd collect bound."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(_vec_d(F.col("embedding")).alias("qe"))
+    )
+    top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q0)
+        .select(
+            "vec_id",
+            _vec_d(F.col("embedding")).alias("e"),
+            F.round(cosine_sim(F.col("embedding"), F.col("qe")), 4).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    pool = top.collect()  # ≤ MMR_POOL rows — result-sized by construction
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):  # left-to-right — the shared fold order
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return _py_round4(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+    vecs = {int(r["vec_id"]): r["e"] for r in pool}
+    rels = {int(r["vec_id"]): float(r["rel"]) for r in pool}
+    picked: list[tuple[int, int, float, float]] = []
+    sel_ids: list[int] = []
+    remaining = sorted(vecs)
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vid in remaining:
+            ms = max((cos(vecs[vid], vecs[s]) for s in sel_ids), default=0.0)
+            mmr = _py_round4(MMR_LAMBDA * rels[vid] - (1 - MMR_LAMBDA) * ms)
+            key = (-mmr, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rels[vid], mmr)
+        _, vid, rel, mmr = best
+        picked.append((rank, vid, rel, mmr))
+        sel_ids.append(vid)
+        remaining.remove(vid)
+    return spark.createDataFrame(picked, "rank int, vec_id long, rel double, mmr double")

@@ -1083,3 +1083,103 @@ def emb_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_score"),
         (F.abs(z) > 2).alias("is_outlier"),
     )
+
+
+_MMD_SQL = """
+    WITH f AS (
+      SELECT vec_id % 2 AS grp,
+             generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
+             CAST(unnest(embedding::DOUBLE[]) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    m AS (
+      SELECT grp, pos,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+               AS mu,
+             CAST(SUM(CAST(ROUND(x * x, 10) AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS m2,
+             COUNT(*) AS cnt
+      FROM f GROUP BY grp, pos
+    ),
+    d AS (
+      SELECT a.pos,
+             ROUND((a.mu - b.mu) * (a.mu - b.mu), 10) AS dd,
+             ROUND(a.m2 - a.mu * a.mu, 10) AS va,
+             ROUND(b.m2 - b.mu * b.mu, 10) AS vb,
+             a.cnt AS na, b.cnt AS nb
+      FROM m a JOIN m b ON a.pos = b.pos AND a.grp = 0 AND b.grp = 1
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+           ROUND(CAST(SUM(CAST(dd AS DECIMAL(28,10))) AS DOUBLE), 8) AS mmd2,
+           ROUND(CAST(SUM(CAST(ROUND(va / na + vb / nb, 10) AS DECIMAL(28,10)))
+                 AS DOUBLE), 8) AS null_scale,
+           ROUND(CAST(SUM(CAST(dd AS DECIMAL(28,10))) AS DOUBLE)
+                 / CAST(SUM(CAST(ROUND(va / na + vb / nb, 10) AS DECIMAL(28,10)))
+                        AS DOUBLE), 4) AS drift_ratio,
+           CAST(SUM(CAST(dd AS DECIMAL(28,10))) AS DOUBLE)
+             > 2 * CAST(SUM(CAST(ROUND(va / na + vb / nb, 10) AS DECIMAL(28,10)))
+                        AS DOUBLE) AS drifted
+    FROM d
+"""
+
+
+@query("emb_drift_mmd", oracle=_MMD_SQL)
+def emb_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample EMBEDDING drift: linear-kernel MMD² = ‖μ_A − μ_B‖²
+    between two corpus slices (demo split: even/odd vec_id; in
+    production the slices are yesterday's vs today's partitions),
+    compared against its null expectation E‖μ̂_A − μ̂_B‖² =
+    Σ_d (σ²_d/n_A + σ²_d/n_B) — drifted when the statistic exceeds
+    2× that scale. This is the VECTOR-space leg of the drift suite:
+    events_drift_{psi,chi2,ks} see scalar/categorical shift and the
+    streaming value-KS gauge sees payload shape, but an embedding
+    model swap, an encoder version bump, or a domain shift moves the
+    MEAN EMBEDDING first — the one-pass statistic production monitors
+    alert on (linear-time MMD, Gretton et al. 2012, the linear-kernel
+    special case).
+
+    Plan: one posexplode pass → (grp, pos) decimal means/second
+    moments (map-side combined, 2·dim output rows) → a dim-sized join
+    and one global aggregate. No window, no driver loop; at 100 TB
+    the only data-sized work is the single explode scan, and the
+    decimal discipline makes both engines' sums order-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d10 = "decimal(28,10)"
+    f = emb.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(_vec_d(F.col("embedding"))).alias("pos", "x"),
+    )
+    m = f.groupBy("grp", "pos").agg(
+        F.round(F.sum(F.col("x").cast(_DEC)).cast("double") / F.count("*"), 6).alias("mu"),
+        (
+            F.sum(F.round(F.col("x") * F.col("x"), 10).cast(d10)).cast("double")
+            / F.count("*")
+        ).alias("m2"),
+        F.count("*").alias("cnt"),
+    )
+    a = m.filter(F.col("grp") == 0).select(
+        "pos", F.col("mu").alias("mu_a"), F.col("m2").alias("m2_a"), F.col("cnt").alias("na")
+    )
+    b = m.filter(F.col("grp") == 1).select(
+        "pos", F.col("mu").alias("mu_b"), F.col("m2").alias("m2_b"), F.col("cnt").alias("nb")
+    )
+    d = a.join(b, "pos").select(
+        "pos",
+        F.round((F.col("mu_a") - F.col("mu_b")) * (F.col("mu_a") - F.col("mu_b")), 10).alias("dd"),
+        F.round(F.col("m2_a") - F.col("mu_a") * F.col("mu_a"), 10).alias("va"),
+        F.round(F.col("m2_b") - F.col("mu_b") * F.col("mu_b"), 10).alias("vb"),
+        "na",
+        "nb",
+    )
+    mmd2 = F.sum(F.col("dd").cast(d10)).cast("double")
+    nulls = F.sum(
+        F.round(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"), 10).cast(d10)
+    ).cast("double")
+    return d.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(mmd2, 8).alias("mmd2"),
+        F.round(nulls, 8).alias("null_scale"),
+        F.round(mmd2 / nulls, 4).alias("drift_ratio"),
+        (mmd2 > 2 * nulls).alias("drifted"),
+    )

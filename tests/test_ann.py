@@ -353,3 +353,21 @@ def test_knn_classify_agreement(spark):
     # deterministic re-run
     again = {r["vec_id"]: r["pred_label"] for r in Q["ann_knn_classify"](spark, SF_CORRECT).collect()}
     assert all(again[v] == r["pred_label"] for v, r in by_id.items())
+
+
+def test_mmr_diversify_properties(spark):
+    """ann_mmr_diversify: 5 distinct picks; rank 1 is the pure-
+    relevance argmax (ms = 0 convention); later mmr scores can only
+    be penalized (mmr <= lambda*rel + eps); deterministic re-run."""
+    rows = Q["ann_mmr_diversify"](spark, SF_CORRECT).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 5 and 0 not in ids  # query excluded
+    by_rank = {r["rank"]: r for r in rows}
+    assert abs(by_rank[1]["mmr"] - round(0.7 * by_rank[1]["rel"], 4)) < 5e-4
+    for r in rows:
+        # mmr = 0.7*rel - 0.3*ms with ms in [-1, 1] (isotropic data
+        # gives NEGATIVE similarities too, which can raise mmr)
+        assert abs(r["mmr"] - 0.7 * r["rel"]) <= 0.3 + 1e-9
+    again = Q["ann_mmr_diversify"](spark, SF_CORRECT).collect()
+    assert [(r["rank"], r["vec_id"]) for r in again] == [(r["rank"], r["vec_id"]) for r in rows]

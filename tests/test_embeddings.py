@@ -224,3 +224,17 @@ def test_kcenter_driver_round_matches_spark_round():
     assert r4(2.5e-5) == 0.0
     assert r4(-0.00005) == -0.0001  # away from zero, like BigDecimal HALF_UP
     assert r4(123.456789) == 123.4568
+
+
+def test_emb_drift_mmd_null_split(spark):
+    """emb_drift_mmd on the even/odd vec_id split of ONE corpus: the
+    two slices are draws from the same distribution, so the linear-
+    kernel MMD^2 must sit at its null scale — not flagged as drifted."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["emb_drift_mmd"](spark, SF_SMOKE).collect()[0]
+    assert row["n_a"] + row["n_b"] > 0
+    assert abs(row["n_a"] - row["n_b"]) <= 1
+    assert row["mmd2"] >= 0
+    assert row["drifted"] is False
+    assert row["drift_ratio"] < 2.0
