@@ -305,6 +305,37 @@ def flag_sf1_regressions(
             }
     return flags
 
+def flag_loader_regression(
+    loader: dict[str, float], baseline: dict[str, float], drift: float = 1.0
+) -> dict[str, dict]:
+    """Loader-throughput ratchet (VERDICT r10 next #2: the rows/sec
+    number dropped 27% round-over-round and nothing watched it). Same
+    shape as the query ratchets but direction-reversed — throughput
+    regresses DOWN — and normalized by the suite drift factor: a box
+    running queries at 1.3x their pins delivers proportionally fewer
+    rows/sec, so the in-suite number is multiplied back up before the
+    compare. Flags when drift-adjusted rows/sec falls below
+    pin − max(2·spread, 25% of pin); pure for injection tests."""
+    pin = (baseline or {}).get("rows_per_sec")
+    if not pin or not loader.get("rows_per_sec"):
+        return {}
+    spread = (baseline or {}).get("spread", 0)
+    norm = max(drift, 1.0)  # a fast box never excuses absolute slowness
+    adj = round(loader["rows_per_sec"] * norm)
+    limit = round(pin - max(2 * spread, 0.25 * pin))
+    if adj < limit:
+        return {
+            "loader": {
+                "sec": loader["rows_per_sec"],  # flag-entry convention
+                "rows_per_sec": loader["rows_per_sec"],
+                "drift_adj_rows_per_sec": adj,
+                "baseline_rows_per_sec": pin,
+                "limit_rows_per_sec": limit,
+            }
+        }
+    return {}
+
+
 SF1_DIR = "/tmp/scale10"  # tools/scale_experiment.py's 10x corpus
 
 
@@ -369,6 +400,125 @@ def run_sf1(spark, queries) -> tuple[dict[str, float], dict[str, str]]:
         except Exception as e:
             errors[name] = str(e).split("\n")[0][:120]
     return times, errors
+
+
+PROBE_CONTROL = "q1_pricing_summary"  # scan-bound control for solo probes
+
+
+def auto_triage(detail: dict, provenance: dict, sf_dir: str) -> None:
+    """Self-triaging final bench (VERDICT r10 next #1): every flag with
+    no matching provenance entry is immediately re-measured SOLO — a
+    subprocess ``tools/probe.py`` run (fresh JVM, fresh session) with
+    the scan-bound q1 control — and the isolated number + verdict are
+    embedded in the flag entry itself. Flags whose control-adjusted
+    isolated time sits within their limit are churn: a provenance entry
+    (keyed by the flag's baseline, per the stale-closure fix) is
+    appended to tools/bench_provenance.json so driver-final artifacts
+    arrive self-triaged and rc returns to 0. A flag that REPRODUCES in
+    isolation stays untriaged (nonzero rc): the pin-commit worktree
+    comparison that separates host class drift from a code regression
+    is a human step by design. Mutates ``detail``'s flag maps and
+    ``provenance`` in place."""
+    import subprocess
+
+    from tools.flag_closure_check import (
+        KEY_FIELD,
+        PROVENANCE_PATH,
+        SECTIONS,
+        covering_note,
+    )
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    jobs: dict[str, set[str]] = {}
+    fresh: list[tuple[str, str, dict]] = []
+    for det_key, prov_key in SECTIONS.items():
+        for q, entry in (detail.get(det_key) or {}).items():
+            if covering_note(provenance, prov_key, q, entry) is None:
+                d = SF1_DIR if prov_key == "sf1" else sf_dir
+                # the loader flag probes via the __loader__ pseudo-query
+                jobs.setdefault(d, set()).add("__loader__" if prov_key == "loader" else q)
+                fresh.append((prov_key, q, entry))
+    if not fresh:
+        return
+    results: dict[tuple[str, str], dict] = {}
+    controls: dict[str, float] = {}
+    for d, names in sorted(jobs.items()):
+        cmd = [
+            sys.executable,
+            os.path.join(repo, "tools", "probe.py"),
+            d,
+            ",".join([PROBE_CONTROL] + sorted(names)),
+            "--warm",
+            "3",
+        ]
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800, cwd=repo
+            )
+            parsed = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as exc:  # a failed probe leaves its flags untriaged (loud)
+            for n in names:
+                results[(d, n)] = {"error": f"{type(exc).__name__}: {exc}"}
+            continue
+        pin = load_baseline("sf1" if d == SF1_DIR else "queries").get(
+            PROBE_CONTROL, {}
+        ).get("median")
+        ctl = parsed.get(PROBE_CONTROL, {}).get("median")
+        controls[d] = round(ctl / pin, 3) if pin and ctl else 1.0
+        for n in names:
+            if n in parsed:
+                results[(d, n)] = parsed[n]
+    stamp = time.strftime("%Y-%m-%d", time.gmtime())
+    changed = False
+    for prov_key, q, entry in fresh:
+        d = SF1_DIR if prov_key == "sf1" else sf_dir
+        probe_name = "__loader__" if prov_key == "loader" else q
+        r = results.get((d, probe_name), {"error": "probe returned no result"})
+        if "error" in r:
+            entry["auto_probe"] = r
+            continue
+        ctl = max(controls.get(d, 1.0), 1.0)  # a fast box never excuses slowness
+        if prov_key == "loader":
+            # throughput: direction reversed — a slow box UNDERSTATES
+            # rows/sec, so multiply back up before comparing to the pin
+            adj = round(r["median"] * ctl)
+            churn = adj >= entry["limit_rows_per_sec"]
+            limit_txt = f"limit {entry['limit_rows_per_sec']} rows/s"
+            unit = " rows/s"
+        elif prov_key == "cross_round":
+            # mirror tools/cross_round_check: a flag needs ratio > 1.5
+            # AND +0.2 s absolute — churn when either fails in isolation
+            adj = round(r["median"] / ctl, 3)
+            prev = entry["prev_sec"]
+            churn = adj / prev <= 1.5 or adj - prev <= 0.2
+            limit_txt = f"cross-round limit {round(prev * 1.5, 3)}s (1.5x r_prev {prev})"
+            unit = "s"
+        else:
+            adj = round(r["median"] / ctl, 3)
+            churn = adj <= entry["limit_sec"]
+            limit_txt = f"limit {entry['limit_sec']}s"
+            unit = "s"
+        verdict = "churn" if churn else "reproduces"
+        entry["auto_probe"] = {
+            "isolated_median": r["median"],
+            "control_ratio": controls.get(d, 1.0),
+            "drift_adjusted": adj,
+            "verdict": verdict,
+        }
+        if churn:
+            field = KEY_FIELD[prov_key]
+            note = (
+                f"auto-probe (bench.py self-triage, {stamp}): flagged "
+                f"{entry['sec']}{unit} in-suite; isolated probe {r['median']}{unit} "
+                f"(control {controls.get(d, 1.0)}x its pin) -> {adj}{unit} adjusted "
+                f"vs {limit_txt} — within limit; churn, no re-pin."
+            )
+            provenance.setdefault(prov_key, {})[q] = {"note": note, field: entry[field]}
+            entry["provenance"] = note
+            changed = True
+    if changed:
+        with open(PROVENANCE_PATH, "w") as fh:
+            json.dump(provenance, fh, indent=1)
 
 
 def materialize(df) -> None:
@@ -483,6 +633,7 @@ def main() -> None:
     xround_flags, xround_drift = cross_round_regressions(timings, prev_medians)
 
     loader = loader_throughput(spark, sf_dir)
+    loader_flags = flag_loader_regression(loader, load_baseline("loader"), drift)
 
     sf1_times: dict[str, float] = {}
     sf1_errors: dict[str, str] = {}
@@ -501,16 +652,17 @@ def main() -> None:
     # self-documenting; flags WITHOUT provenance are listed in
     # untriaged_flags and turn the exit code nonzero — a final driver
     # bench that ships new unprobed flags is loud, not silent.
-    from tools.flag_closure_check import load_provenance, untriaged_flags
+    from tools.flag_closure_check import covering_note, load_provenance, untriaged_flags
 
     provenance = load_provenance()
     for flag_map, prov_key in (
         (regressions, "warm"),
         (sf1_regressions, "sf1"),
         (xround_flags, "cross_round"),
+        (loader_flags, "loader"),
     ):
         for q, entry in flag_map.items():
-            note = (provenance.get(prov_key) or {}).get(q)
+            note = covering_note(provenance, prov_key, q, entry)
             if note:
                 entry["provenance"] = note
     # Full detail (cold timings, warm spread) goes to a sidecar file:
@@ -518,33 +670,36 @@ def main() -> None:
     # the driver's stdout tail capture (BENCH_r03 "parsed": null). The
     # final stdout line stays compact — the driver parses the LAST line.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail = {
+        "sf": float(sf),
+        "warm_runs": WARM_RUNS,
+        "warm_median_sec": timings,
+        "cold_sec": cold,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "warm_spread_sec": spread,
+        "regressions_vs_baseline": regressions,
+        "suite_drift": drift,
+        "drift_alert": drift > DRIFT_ALERT,
+        "cross_round_vs": prev_label,
+        "cross_round_drift": xround_drift,
+        "cross_round_regressions": xround_flags,
+        "loader": loader,
+        "loader_regression": loader_flags,
+        "sf1_single_run_sec": sf1_times,
+        "sf1_errors": sf1_errors,
+        "sf1_total_sec": round(sum(sf1_times.values()), 2),
+        "sf1_regressions_vs_baseline": sf1_regressions,
+        "sf1_suite_drift": sf1_drift,
+    }
+    open_flags = untriaged_flags(detail, provenance)
+    if open_flags and os.environ.get("SPARK_GRAFT_BENCH_AUTOPROBE", "1") != "0":
+        # free the bench JVM before the solo sessions — overlapping
+        # Spark runs are exactly the contention the probes must escape
+        spark.stop()
+        auto_triage(detail, provenance, sf_dir)
+        open_flags = untriaged_flags(detail, provenance)
     with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "sf": float(sf),
-                "warm_runs": WARM_RUNS,
-                "warm_median_sec": timings,
-                "cold_sec": cold,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "warm_spread_sec": spread,
-                "regressions_vs_baseline": regressions,
-                "suite_drift": drift,
-                "drift_alert": drift > DRIFT_ALERT,
-                "cross_round_vs": prev_label,
-                "cross_round_drift": xround_drift,
-                "cross_round_regressions": xround_flags,
-                "loader": loader,
-                "sf1_single_run_sec": sf1_times,
-                "sf1_errors": sf1_errors,
-                "sf1_total_sec": round(sum(sf1_times.values()), 2),
-                "sf1_regressions_vs_baseline": sf1_regressions,
-                "sf1_suite_drift": sf1_drift,
-            },
-            fh,
-            indent=1,
-        )
-    with open(detail_path) as fh:
-        open_flags = untriaged_flags(json.load(fh), provenance)
+        json.dump(detail, fh, indent=1)
     line = {
         "metric": "headline_suite_wall_sec",
         "value": total,

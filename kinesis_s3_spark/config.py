@@ -70,6 +70,10 @@ class InputConfig:
     position: InitialPosition = InitialPosition.LATEST
     position_timestamp: str | None = None
     max_records: int = 10_000  # input.maxRecords, S3Loader.scala:118
+    # input.customEndpoint (Config.scala:108): a non-AWS Kinesis
+    # endpoint (localstack / VPC endpoint), wired by the reference at
+    # S3Loader.scala:83 (PROP_KINESIS_ENDPOINT) and KinesisSink.scala:113
+    custom_endpoint: str | None = None
     path: str | None = None  # file source input directory
     format: str = "parquet"  # file source format
 
@@ -82,6 +86,10 @@ class S3OutputConfig:
     compression: Compression = Compression.GZIP
     date_format: str | None = None  # {YYYY}/{MM}-style template (O12)
     filename_prefix: str | None = None
+    # output.s3.customEndpoint (Config.scala:137): non-AWS S3 endpoint
+    # (minio/localstack), buildS3Client at KinesisS3Pipeline.scala:54-62;
+    # Spark-side this is the fs.s3a.endpoint Hadoop conf (s3a_options)
+    custom_endpoint: str | None = None
     partition_for_purpose: bool = True  # partition SDJ batches by row_type
     max_timeout_ms: int = 120_000  # retry window; maps to query restart
     # writer tasks per partition value: 1 = one object per row_type per
@@ -230,6 +238,7 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
                 position=InitialPosition[position],
                 position_timestamp=inp.get("position_timestamp"),
                 max_records=int(inp.get("max_records", 10_000)),
+                custom_endpoint=inp.get("custom_endpoint"),
                 path=inp.get("path"),
                 format=inp.get("format", "parquet"),
             ),
@@ -239,6 +248,7 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
                     compression=Compression[compression],
                     date_format=s3.get("date_format"),
                     filename_prefix=s3.get("filename_prefix"),
+                    custom_endpoint=s3.get("custom_endpoint"),
                     partition_for_purpose=bool(s3.get("partition_for_purpose", True)),
                     max_timeout_ms=int(s3.get("max_timeout_ms", 120_000)),
                     writers_per_partition=int(s3.get("writers_per_partition", 4)),

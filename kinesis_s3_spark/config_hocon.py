@@ -256,6 +256,7 @@ def reference_dict_to_native(d: dict) -> dict:
                 "position": inp.get("position", "LATEST"),
                 "position_timestamp": inp.get("timestamp"),
                 "max_records": inp.get("maxRecords", 10_000),
+                "custom_endpoint": inp.get("customEndpoint"),
             }.items()
             if v is not None
         },
@@ -268,6 +269,7 @@ def reference_dict_to_native(d: dict) -> dict:
                     "date_format": s3.get("dateFormat"),
                     "filename_prefix": s3.get("filenamePrefix"),
                     "max_timeout_ms": s3.get("maxTimeout"),
+                    "custom_endpoint": s3.get("customEndpoint"),
                 }.items()
                 if v is not None
             },

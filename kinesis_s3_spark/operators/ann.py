@@ -2218,6 +2218,11 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_POOL = 20  # candidate pool (distributed top-k by relevance)
 MMR_K = 5  # diversified picks
 MMR_LAMBDA = 0.7
+# The diversity weight (1-λ) must be the SAME double in both engines:
+# the raw Python expression 1 - 0.7 = 0.30000000000000004 while the SQL
+# literal embeds 0.3 — with 4-dp rel/ms inputs the exact mmr lands on the
+# HALF_UP boundary often enough (~2% of the 4-dp grid) to flip picks.
+MMR_MU = round(1 - MMR_LAMBDA, 10)
 
 
 def _mmr_sql() -> str:
@@ -2258,9 +2263,9 @@ def _mmr_sql() -> str:
     ),
     pick{r} AS (
       SELECT vec_id, rel, ms,
-             ROUND({MMR_LAMBDA} * rel - {round(1 - MMR_LAMBDA, 10)} * ms, 4) AS mmr
+             ROUND({MMR_LAMBDA} * rel - {MMR_MU} * ms, 4) AS mmr
       FROM ms{r}
-      ORDER BY ROUND({MMR_LAMBDA} * rel - {round(1 - MMR_LAMBDA, 10)} * ms, 4) DESC,
+      ORDER BY ROUND({MMR_LAMBDA} * rel - {MMR_MU} * ms, 4) DESC,
                vec_id
       LIMIT 1
     ),
@@ -2337,8 +2342,11 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = None
         for vid in remaining:
             ms = max((cos(vecs[vid], vecs[s]) for s in sel_ids), default=0.0)
-            mmr = _py_round4(MMR_LAMBDA * rels[vid] - (1 - MMR_LAMBDA) * ms)
-            key = (-mmr, vid)
+            mmr = _py_round4(MMR_LAMBDA * rels[vid] - MMR_MU * ms)
+            # Rank 1 mirrors the SQL pick1: pure-relevance argmax (rel is
+            # already 4-dp on both sides) — NOT the rounded λ·rel, which
+            # collapses rels 1e-4 apart and can flip the first pick.
+            key = (-rels[vid], vid) if rank == 1 else (-mmr, vid)
             if best is None or key < best[0]:
                 best = (key, vid, rels[vid], mmr)
         _, vid, rel, mmr = best

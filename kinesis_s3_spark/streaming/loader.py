@@ -92,7 +92,25 @@ def kinesis_options(inp) -> dict[str, str]:
     }
     if inp.position is InitialPosition.AT_TIMESTAMP and inp.position_timestamp:
         opts["kinesis.startingTimestamp"] = inp.position_timestamp
+    if inp.custom_endpoint:
+        # input.customEndpoint (Config.scala:108; PROP_KINESIS_ENDPOINT
+        # at S3Loader.scala:83): localstack / VPC-endpoint deployments
+        opts["kinesis.endpointUrl"] = inp.custom_endpoint
     return opts
+
+
+def s3a_options(s3_cfg) -> dict[str, str]:
+    """Hadoop-conf map for output.s3.customEndpoint (Config.scala:137;
+    buildS3Client at KinesisS3Pipeline.scala:54-62): a minio/localstack
+    S3 endpoint means path-style access on the s3a connector. Pure so
+    tests pin the mapping without an S3 filesystem on the classpath;
+    run_loader applies it to the session's hadoopConfiguration."""
+    if not getattr(s3_cfg, "custom_endpoint", None):
+        return {}
+    return {
+        "fs.s3a.endpoint": s3_cfg.custom_endpoint,
+        "fs.s3a.path.style.access": "true",
+    }
 
 
 def run_loader(
@@ -132,6 +150,11 @@ def run_loader(
     ``update(batch_df, batch_id)`` replay-safe contract (e.g.
     streaming/histogram.py:SizeHistogramAccumulator), applied in
     order after countmin."""
+    # output.s3.customEndpoint → s3a endpoint conf, applied before the
+    # sink writes its first object (the buildS3Client analogue)
+    hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in s3a_options(cfg.output.s3).items():
+        hadoop_conf.set(k, v)
     stream = build_stream(spark, cfg)
     if dedupe_watermark is not None:
         from kinesis_s3_spark.streaming.dedup import with_incremental_dedup

@@ -152,9 +152,9 @@ from tools.flag_closure_check import SECTIONS, load_provenance, untriaged_flags
 
 def test_untriaged_flags_pure():
     detail = {
-        "regressions_vs_baseline": {"qa": {"sec": 2.0}},
-        "sf1_regressions_vs_baseline": {"qb": {"sec": 3.0}},
-        "cross_round_regressions": {"qa": {"ratio": 2.0}},
+        "regressions_vs_baseline": {"qa": {"sec": 2.0, "baseline_sec": 1.0}},
+        "sf1_regressions_vs_baseline": {"qb": {"sec": 3.0, "baseline_sec": 1.5}},
+        "cross_round_regressions": {"qa": {"ratio": 2.0, "prev_sec": 1.0}},
     }
     # nothing covered
     assert untriaged_flags(detail, {}) == [
@@ -162,12 +162,78 @@ def test_untriaged_flags_pure():
         "sf1:qb",
         "cross_round:qa",
     ]
-    # fully covered
-    prov = {"warm": {"qa": "probe ..."}, "sf1": {"qb": "probe ..."},
-            "cross_round": {"qa": "probe ..."}}
+    # fully covered: entries keyed by the flag's own baseline/prev value
+    prov = {
+        "warm": {"qa": {"note": "probe ...", "baseline_sec": 1.0}},
+        "sf1": {"qb": {"note": "probe ...", "baseline_sec": 1.5}},
+        "cross_round": {"qa": {"note": "probe ...", "prev_sec": 1.0}},
+    }
     assert untriaged_flags(detail, prov) == []
     # empty flag sets need no provenance
     assert untriaged_flags({}, {}) == []
+
+
+def test_stale_provenance_does_not_cover_new_regression():
+    """ADVICE r10: a note recorded against an OLD pin must not close a
+    NEW regression of the same query (different baseline regime), and
+    legacy string entries carry no regime key so they never cover."""
+    detail = {"regressions_vs_baseline": {"qa": {"sec": 4.0, "baseline_sec": 2.0}}}
+    stale = {"warm": {"qa": {"note": "closed last round", "baseline_sec": 1.0}}}
+    assert untriaged_flags(detail, stale) == ["warm:qa"]
+    legacy = {"warm": {"qa": "closed as a bare string last round"}}
+    assert untriaged_flags(detail, legacy) == ["warm:qa"]
+    # the same note re-keyed to the current pin covers
+    fresh = {"warm": {"qa": {"note": "probed this regime", "baseline_sec": 2.0}}}
+    assert untriaged_flags(detail, fresh) == []
+
+
+def test_auto_triage_closes_churn_and_keeps_reproductions(tmp_path, monkeypatch):
+    """bench.auto_triage: a flag whose isolated probe lands within its
+    limit is closed with an embedded note + provenance entry; one that
+    reproduces keeps its untriaged status (nonzero rc upstream)."""
+    import json as _json
+
+    import tools.flag_closure_check as fcc
+
+    detail = {
+        "regressions_vs_baseline": {
+            "q_churn": {"sec": 2.0, "baseline_sec": 0.5, "limit_sec": 0.75},
+            "q_real": {"sec": 3.0, "baseline_sec": 0.5, "limit_sec": 0.75},
+        },
+        "cross_round_regressions": {
+            "q_churn": {"sec": 2.0, "prev_sec": 0.5, "ratio": 4.0},
+        },
+    }
+    probe_out = {
+        "q1_pricing_summary": {"median": 2.2, "spread": 0.1},  # pin ~1.934 -> 1.14x
+        "q_churn": {"median": 0.7, "spread": 0.05},  # adjusted ~0.62 < 0.75
+        "q_real": {"median": 2.9, "spread": 0.05},  # adjusted ~2.55 >> 0.75
+    }
+
+    class FakeProc:
+        stdout = _json.dumps(probe_out) + "\n"
+        returncode = 0
+
+    import subprocess as _sp
+
+    monkeypatch.setattr(_sp, "run", lambda *a, **k: FakeProc())
+    monkeypatch.setattr(fcc, "PROVENANCE_PATH", str(tmp_path / "prov.json"))
+    provenance: dict = {}
+    bench.auto_triage(detail, provenance, "/root/testdata/sf0.1")
+
+    warm = detail["regressions_vs_baseline"]
+    assert warm["q_churn"]["auto_probe"]["verdict"] == "churn"
+    assert "provenance" in warm["q_churn"]
+    assert warm["q_real"]["auto_probe"]["verdict"] == "reproduces"
+    assert "provenance" not in warm["q_real"]
+    # cross-round churn rule: 0.62/0.5 = 1.23x < 1.5x alert
+    assert detail["cross_round_regressions"]["q_churn"]["auto_probe"]["verdict"] == "churn"
+    # the provenance file was appended with keyed entries
+    saved = _json.loads((tmp_path / "prov.json").read_text())
+    assert saved["warm"]["q_churn"]["baseline_sec"] == 0.5
+    assert "q_real" not in saved.get("warm", {})
+    # and the closed detail now gates clean while the real one stays loud
+    assert untriaged_flags(detail, provenance) == ["warm:q_real"]
 
 
 def test_committed_provenance_covers_committed_detail():
@@ -191,4 +257,32 @@ def test_sections_map_matches_bench_detail_keys():
         "regressions_vs_baseline",
         "sf1_regressions_vs_baseline",
         "cross_round_regressions",
+        "loader_regression",
     }
+
+
+# ---- loader-throughput ratchet (VERDICT r10 next #2) ----
+
+
+def test_loader_regression_flagged_and_drift_normalized():
+    pin = {"rows_per_sec": 400_000, "spread": 20_000}
+    # limit = 400k - max(40k, 100k) = 300k
+    assert bench.flag_loader_regression({"rows_per_sec": 310_000}, pin) == {}
+    flagged = bench.flag_loader_regression({"rows_per_sec": 250_000}, pin)
+    assert flagged["loader"]["limit_rows_per_sec"] == 300_000
+    assert flagged["loader"]["baseline_rows_per_sec"] == 400_000
+    # a uniformly slow box (drift 1.3) understates throughput — the
+    # same 250k multiplies back to 325k and passes
+    assert bench.flag_loader_regression({"rows_per_sec": 250_000}, pin, drift=1.3) == {}
+    # a FAST box never loosens the limit (norm floors at 1.0)
+    assert "loader" in bench.flag_loader_regression(
+        {"rows_per_sec": 250_000}, pin, drift=0.8
+    )
+    # no pin / no measurement -> no flag
+    assert bench.flag_loader_regression({"rows_per_sec": 0}, pin) == {}
+    assert bench.flag_loader_regression({"rows_per_sec": 250_000}, {}) == {}
+
+
+def test_shipped_loader_pin_exists():
+    pin = bench.load_baseline("loader")
+    assert pin.get("rows_per_sec", 0) > 0 and "spread" in pin

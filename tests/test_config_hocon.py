@@ -177,6 +177,32 @@ def test_cloudwatch_metrics_round_trips(tmp_path):
     assert load(f).monitoring.cloudwatch_metrics is False
 
 
+def test_custom_endpoint_round_trips(tmp_path):
+    """O21 field parity (VERDICT r10 what's-missing #1): input.
+    customEndpoint (Config.scala:108) and output.s3.customEndpoint
+    (Config.scala:137) survive reference HOCON → dataclass instead of
+    being silently dropped; absent ⇒ None, like the reference's
+    Option[String]."""
+    f = tmp_path / "config.hocon"
+    f.write_text(
+        SAMPLE_STYLE.replace(
+            '"streamName": "raw-events",',
+            '"streamName": "raw-events",\n    "customEndpoint": "http://localhost:4566",',
+        ).replace(
+            '"maxTimeout": 2000,',
+            '"maxTimeout": 2000,\n      "customEndpoint": "http://localhost:9000",',
+        )
+    )
+    cfg = load(f)
+    assert cfg.input.custom_endpoint == "http://localhost:4566"
+    assert cfg.output.s3.custom_endpoint == "http://localhost:9000"
+    # and the shipped sample (no customEndpoint) still loads with None
+    f.write_text(SAMPLE_STYLE)
+    cfg = load(f)
+    assert cfg.input.custom_endpoint is None
+    assert cfg.output.s3.custom_endpoint is None
+
+
 def test_missing_stream_name_is_human_readable(tmp_path):
     """ConfigSpec.scala:128-137: decode failures name the field."""
     f = tmp_path / "config.hocon"

@@ -40,10 +40,24 @@ SECTIONS = {
     "regressions_vs_baseline": "warm",
     "sf1_regressions_vs_baseline": "sf1",
     "cross_round_regressions": "cross_round",
+    "loader_regression": "loader",
+}
+
+# Provenance entries are keyed by query PLUS the baseline the flag was
+# raised against (ADVICE r10): a name-only key let a stale entry from a
+# previous round silently "close" a NEW, unrelated regression of the
+# same query — bench.py copied the old string into the fresh flag and
+# exited 0. Each entry is {"note": str, <key_field>: float}; it covers
+# a flag only when the recorded value equals the flag's own.
+KEY_FIELD = {
+    "warm": "baseline_sec",
+    "sf1": "baseline_sec",
+    "cross_round": "prev_sec",
+    "loader": "baseline_rows_per_sec",
 }
 
 
-def load_provenance() -> dict[str, dict[str, str]]:
+def load_provenance() -> dict[str, dict[str, dict]]:
     try:
         with open(PROVENANCE_PATH) as fh:
             return json.load(fh)
@@ -51,16 +65,35 @@ def load_provenance() -> dict[str, dict[str, str]]:
         return {}
 
 
+def covering_note(provenance: dict, prov_key: str, q: str, flag_entry: dict) -> str | None:
+    """The provenance note covering this flag, or None. Requires an
+    object entry whose key field matches the flag's value — legacy
+    string entries never cover (they carry no regime key)."""
+    entry = (provenance.get(prov_key) or {}).get(q)
+    if not isinstance(entry, dict):
+        return None
+    field = KEY_FIELD[prov_key]
+    want = flag_entry.get(field) if isinstance(flag_entry, dict) else None
+    have = entry.get(field)
+    if want is None or have is None:
+        return None
+    try:
+        if abs(float(want) - float(have)) > 1e-9:
+            return None
+    except (TypeError, ValueError):
+        return None
+    return entry.get("note")
+
+
 def untriaged_flags(detail: dict, provenance: dict | None = None) -> list[str]:
-    """Pure: flags present in ``detail`` without a provenance string.
-    Returns ``["<section>:<query>"]`` labels, empty when closed."""
+    """Pure: flags present in ``detail`` without a matching provenance
+    entry. Returns ``["<section>:<query>"]`` labels, empty when closed."""
     prov = load_provenance() if provenance is None else provenance
     missing: list[str] = []
     for det_key, prov_key in SECTIONS.items():
         flags = detail.get(det_key) or {}
-        covered = prov.get(prov_key) or {}
         for q in sorted(flags):
-            if q not in covered:
+            if covering_note(prov, prov_key, q, flags[q]) is None:
                 missing.append(f"{prov_key}:{q}")
     return missing
 
@@ -101,7 +134,8 @@ def main() -> None:
         print(
             f"flag_closure_check: {label} BENCH_DETAIL.json carries "
             f"{len(missing)} UNTRIAGED flag(s) — run the solo-probe protocol "
-            f"(see .claude/skills/verify/SKILL.md) and record provenance in "
+            f"(isolated tools/probe.py run + scan-bound control; worktree at "
+            f"the pin commit when it reproduces) and record provenance in "
             f"tools/bench_provenance.json:"
         )
         for m in missing:

@@ -42,6 +42,23 @@ def probe(spark, fn, sf_dir: str, warm: int) -> dict:
     }
 
 
+def probe_loader(spark, sf_dir: str, warm: int) -> dict:
+    """Solo loader-throughput probe (VERDICT r10 next #2): the emit-path
+    rows/sec number, measured in this fresh session so the pin is
+    protocol-consistent with query pins. Each bench.loader_throughput
+    call already medians 3 emits; ``warm`` outer runs give a spread."""
+    import bench
+
+    runs = [bench.loader_throughput(spark, sf_dir)["rows_per_sec"] for _ in range(warm)]
+    return {
+        "cold": runs[0],
+        "median": statistics.median(runs),
+        "spread": max(runs) - min(runs),
+        "runs": runs,
+        "unit": "rows_per_sec",
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1]
     names = sys.argv[2].split(",")
@@ -49,7 +66,11 @@ def main() -> None:
     spark = get_spark("probe")
     spark.sparkContext.setLogLevel("ERROR")
     q = entrymod.queries()
-    out = {n: probe(spark, q[n], sf_dir, warm) for n in names}
+    out = {
+        n: probe_loader(spark, sf_dir, warm) if n == "__loader__"
+        else probe(spark, q[n], sf_dir, warm)
+        for n in names
+    }
     print(json.dumps(out))
 
 
