@@ -1719,18 +1719,28 @@ K_JOIN = 3  # neighbors per vector in the kNN self-join
 # Scale parameterization (r10, VERDICT r9 next #2): the kNN SELF-join
 # sizes its IVF cell count from the corpus — cells = max(N_CENTROIDS,
 # round(sqrt(N))) — so per-list membership is ~sqrt(N) and total
-# candidate volume stays at N_PROBE·N^1.5 (FAISS-IVF's nlist ∝ sqrt(N)
+# candidate volume stays at probes·N^1.5 (FAISS-IVF's nlist ∝ sqrt(N)
 # operating point) instead of the fixed-16-cell toy setting whose
-# lists grow linearly. N_PROBE stays fixed: scaling it with cells
-# would push candidates back toward N². The finer grid costs recall on
-# this quasi-uniform synthetic corpus (the FAISS-documented trade), so
-# the quantizer is TRAINED — {{KNN_KM_ITERS}} Lloyd rounds from the
+# lists grow linearly. The finer grid costs recall on this
+# quasi-uniform synthetic corpus (the FAISS-documented trade), so the
+# quantizer is TRAINED — {{KNN_KM_ITERS}} Lloyd rounds from the
 # deterministic vec_id<cells seeds, the same emb_kmeans machinery
 # ann_ivf_kmeans_topk composes — which buys back most of it (measured
 # r10: untrained 0.776 → trained 0.845 mean recall@3 at sf0.01).
-# Both engines compute the same cell formula (DuckDB via the scalar
-# subquery below; Spark via a parquet metadata count), so the oracle
-# compare stays bit-exact at every sf.
+#
+# Probe count scales ∝ log N (r11, VERDICT r10 next #3): a FIXED probe
+# count visits a shrinking cell fraction as cells grow with √N, so
+# recall decayed 0.845 (sf0.01) → 0.675 (sf0.1). probes = max(6,
+# round(1.45·ln N)) restores it — measured sweep at sf0.1 (N=5000,
+# 71 cells): probe 6 → 0.675, 10 → 0.831, 12 → 0.878, 14 → 0.912;
+# at sf0.01 (N=500, 22 cells): probe 6 → 0.845, 8 → 0.915,
+# 10 → 0.976. The formula lands on 9 (sf0.01) and 12 (sf0.1), both
+# comfortably over the 0.8 gate, while candidate volume grows as
+# 1.45·ln N·N^1.5 — still decisively sub-quadratic (probing a fixed
+# CELL FRACTION instead would be probes ∝ √N ⇒ N² candidates).
+# Both engines compute the same cell and probe formulas (DuckDB via
+# the scalar subqueries below; Spark via a metadata count), so the
+# oracle compare stays bit-exact at every sf.
 _KNN_CELLS_SQL = (
     f"(SELECT GREATEST({N_CENTROIDS}, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT))"
     " FROM embeddings)"
@@ -1738,10 +1748,27 @@ _KNN_CELLS_SQL = (
 
 KNN_KM_ITERS = 2  # quantizer training rounds (= IVF_KM_ITERS precedent)
 
+# recall-vs-scale coefficient for the probe-count formula; DuckDB ROUND
+# is half-away-from-zero, so the Python twin uses floor(x + 0.5)
+KNN_PROBE_COEF = 1.45
+_KNN_PROBES_SQL = (
+    f"(SELECT GREATEST({N_PROBE}, CAST(ROUND({KNN_PROBE_COEF} * LN(COUNT(*)))"
+    " AS BIGINT)) FROM embeddings)"
+)
+
 
 def knn_cells(n: int) -> int:
     """IVF cell count for the kNN self-join at corpus size ``n``."""
     return max(N_CENTROIDS, int(round(n**0.5)))
+
+
+def knn_probes(n: int) -> int:
+    """Probed-list count at corpus size ``n`` — the HALF_UP twin of
+    ``_KNN_PROBES_SQL`` (positive domain, so floor(x+0.5) = DuckDB
+    ROUND; Python's round() would bank to even)."""
+    import math
+
+    return max(N_PROBE, int(math.floor(KNN_PROBE_COEF * math.log(n) + 0.5)))
 
 
 def _knn_join_cent_sql() -> str:
@@ -1784,7 +1811,7 @@ def _knn_join_sql() -> str:
       FROM vv, c2 c
     ),
     assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
-    vprobe AS (SELECT vec_id AS src, cid FROM ranked WHERE rn <= {N_PROBE}),
+    vprobe AS (SELECT vec_id AS src, cid FROM ranked WHERE rn <= {_KNN_PROBES_SQL}),
     oneway AS (
       SELECT vp.src, a.vec_id AS dst
       FROM vprobe vp JOIN assign a USING (cid)
@@ -1821,8 +1848,8 @@ def _knn_cell_topk(probers, members):
     in-cell top-{K_JOIN} — for BOTH roles (prober side = its candidates
     in this probed list; member side = the symmetrized reverse). The
     global top-k per vector is the top-k of these per-cell winners, so
-    the shuffled volume collapses from |candidate pairs| (N_PROBE·N^1.5)
-    to ≤ (N_PROBE+1)·K_JOIN·N skinny rows.
+    the shuffled volume collapses from |candidate pairs|
+    (1.45·ln N·N^1.5) to ≤ (probes+1)·K_JOIN·N skinny rows.
 
     Float parity with the oracle: dot and both norms accumulate in
     ASCENDING dim order (numpy has no FMA contraction), the exact
@@ -1952,7 +1979,9 @@ def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_s3_spark.operators.embeddings import kmeans_vv, lloyd_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = knn_cells(emb.count())
+    n = emb.count()
+    cells = knn_cells(n)
+    probes = knn_probes(n)
     vv = kmeans_vv(spark, sf_dir)
     cents = lloyd_centroids(
         vv,
@@ -1960,8 +1989,8 @@ def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         KNN_KM_ITERS,
         assign_fn=lambda f, c: _knn_rank_arrow(f, c, 1).select("cid", "e"),
     )
-    ranked = _knn_rank_arrow(vv, cents, N_PROBE)
-    # (cid, vec_id, e): one row per member; N_PROBE rows per prober.
+    ranked = _knn_rank_arrow(vv, cents, probes)
+    # (cid, vec_id, e): one row per member; probes rows per prober.
     # localCheckpoint the ≤(probe+1)·N-row ranked projection — both
     # role frames and their cogroup shuffle re-derive from it, and the
     # upstream is a full Arrow scoring pass over the corpus
@@ -1993,22 +2022,24 @@ def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kNN SELF-join via IVF blocking: every vector (not a fixed
     query set — the ann_*_topk ops' shape) gets its {K_JOIN} nearest
-    neighbors, candidates restricted to the vector's {N_PROBE} probed
-    centroid lists out of max(16, √N) corpus-sized cells. This is the
-    workhorse behind embedding dedup, kNN-graph construction
-    (graph_label_propagation's guarded exact build swaps to this at
-    corpus scale), and hard-negative mining over the WHOLE corpus.
+    neighbors, candidates restricted to the vector's max(6,
+    round(1.45·ln N)) probed centroid lists out of max(16, √N)
+    corpus-sized cells. This is the workhorse behind embedding dedup,
+    kNN-graph construction (graph_label_propagation's guarded exact
+    build swaps to this at corpus scale), and hard-negative mining
+    over the WHOLE corpus.
 
-    Scale (cells ∝ √N since r10 — VERDICT r9 next #2): assignment/
-    probe is one broadcast scoring pass (N × √N comparisons, no data
-    shuffle); candidates come from the cid equi-join, sized
-    N·probe·(N/cells) = {N_PROBE}·N^1.5 total candidate pairs —
-    exactly FAISS-IVF's nlist ∝ √N operating point; scoring touches
-    candidates only and the per-vector top-{K_JOIN} runs under
-    WindowGroupLimit heaps. ann_recall_knn_join gates the recall
-    against the guarded exact join at the anchor scales; at sf1 the
-    IVF arm benches ungated (the exact truth arm stays
-    quadratic-guarded)."""
+    Scale (cells ∝ √N since r10; probes ∝ ln N since r11 — VERDICT
+    r10 next #3): assignment/probe is one broadcast scoring pass
+    (N × √N comparisons, no data shuffle); candidates come from the
+    cid equi-join, sized N·probes·(N/cells) = 1.45·ln N·N^1.5 total
+    candidate pairs — FAISS-IVF's nlist ∝ √N operating point with a
+    log-growing nprobe, still decisively sub-quadratic; scoring
+    touches candidates only and the per-vector top-{K_JOIN} runs
+    under WindowGroupLimit heaps. ann_recall_knn_join gates recall
+    ≥ 0.8 at BOTH anchor scales (measured 0.951 at sf0.01 / 0.878 at
+    sf0.1 under the log formula); at sf1 the IVF arm benches ungated
+    (the exact truth arm stays quadratic-guarded)."""
     return _knn_join_ivf(spark, sf_dir)
 
 

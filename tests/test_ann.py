@@ -305,8 +305,8 @@ def test_knn_join_shape_and_recall(spark):
     """kNN self-join: every vector gets <= K_JOIN neighbors ranked
     1..k in non-increasing cosine, no self-loops; the IVF blocking's
     measured recall vs the exact join stays >= 0.8 (isotropic vectors
-    are IVF's documented worst case; symmetrized candidates measured
-    ~0.85 at both sf0.01 and sf0.1)."""
+    are IVF's documented worst case; the log-scaled probe count
+    measured 0.951 at sf0.01 / 0.878 at sf0.1)."""
     from kinesis_s3_spark.operators.ann import K_JOIN
 
     n = load_table(spark, SF_CORRECT, "embeddings").count()
@@ -324,6 +324,34 @@ def test_knn_join_shape_and_recall(spark):
         assert cosines == sorted(cosines, reverse=True)
     rec = Q["ann_recall_knn_join"](spark, SF_CORRECT).collect()[0]
     assert rec["mean_recall"] >= 0.8
+
+
+def test_knn_join_recall_holds_at_sf01(spark):
+    """VERDICT r10 next #3: the ≥0.8 recall floor enforced at BOTH
+    anchor scales — fixed probes decayed 0.845 → 0.675 going
+    sf0.01 → sf0.1; the probes = max(6, round(1.45·ln N)) formula must
+    keep the larger scale above the floor too (truth arm is cheap
+    since the blocked-Arrow port)."""
+    rec = Q["ann_recall_knn_join"](spark, "/root/testdata/sf0.1").collect()[0]
+    assert rec["mean_recall"] >= 0.8
+
+
+def test_knn_probe_count_scales_with_corpus():
+    """The probe formula's Python/SQL twins agree at the gated scales
+    and grow ~logarithmically (never below the floor, never anywhere
+    near the √N cell count that would re-quadratize candidates)."""
+    import duckdb
+
+    from kinesis_s3_spark.operators.ann import knn_cells, knn_probes
+
+    assert knn_probes(500) == 9 and knn_probes(5000) == 12
+    assert knn_probes(50) == 6  # floor
+    for n in (50, 500, 5000, 50_000, 5_000_000):
+        sql = duckdb.sql(
+            f"SELECT GREATEST(6, CAST(ROUND(1.45 * LN({n})) AS BIGINT))"
+        ).fetchone()[0]
+        assert knn_probes(n) == sql
+        assert knn_probes(n) <= max(6, knn_cells(n))  # probes never exceed cells
 
 
 def test_knn_classify_agreement(spark):
