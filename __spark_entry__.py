@@ -63,70 +63,24 @@ for _m in _OPTIONAL_MODULES:
 # semantically changed THIS round (never driver-gated = infinitely
 # stale); after that, every registry query ordered by the round of its
 # most recent green driver-gate row (ascending, name-tiebreak),
-# computed from CORRECTNESS_r01..r09.json (regenerated each round —
-# r10 generator in git history). The r10 artifact therefore refreshes
-# band 0 (this round's weighted-median/kNN-family/outlier/CDC/RFM
-# changes) plus the stalest round-4 residue and the oldest round-5
-# entries (VERDICT r9 next #4); subsequent rounds keep rotating by
-# regenerating this list from the artifacts.
+# computed from CORRECTNESS_r01..r10.json (regenerated each round).
+# The r11 artifact therefore refreshes band 0 (the probe-scaled kNN
+# family + the MMR determinism fixes) plus the stalest round-5 band —
+# the round-4 residue was fully re-gated in r10 (VERDICT r10 next #5);
+# subsequent rounds keep rotating by regenerating this list from the
+# artifacts.
 _GATE_FIRST = [
-    # -- (0) semantically changed in round 10, must re-gate:
-    #    histogram-refinement weighted median; trained corpus-sized
-    #    IVF kNN join + its recall arm; LPA/link-pred on the new
-    #    feed; z-guarded outlier report; integer-div CDC split and
-    #    RFM recency --
-    "ann_knn_classify",  # NEW r10, never gated
-    "ann_mmr_diversify",  # NEW r10, never gated
-    "emb_drift_mmd",  # NEW r10, never gated
-    "agg_weighted_median",
+    # -- (0) semantically changed in round 11, must re-gate:
+    #    log-scaled probe count changes the kNN join's neighbor
+    #    sets and everything fed by them; MMR constant/ordering
+    #    fixes change its pick sequence --
     "ann_knn_join_ivf",
     "ann_recall_knn_join",
+    "ann_knn_classify",
     "graph_label_propagation",
     "graph_link_prediction",
-    "emb_outlier_report",
-    "events_rfm_segments",
-    "etl_cdc_merge",
-    # -- last driver-gated in round 4 --
-    "etl_bad_row_archive",
-    "etl_bad_row_roundtrip",
-    "etl_buffer_flush_bytes",
-    "etl_enriched_parse",
-    "fn_map_suite",
-    "fn_regex_suite",
-    "fn_url_suite",
-    "mm_audio_decode_real",
-    "mm_binary_meta",
-    "mm_frame_offsets",
-    "mm_image_decode_real",
-    "mm_image_decode_stub",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q22_global_balance",
-    "q4_order_priority",
-    "reshape_unpivot",
-    "setop_intersect_all",
-    "sketch_countmin",
-    "text_bpe_tokenize",
-    "text_bpe_train",
-    "text_chunking",
-    "text_fingerprint",
-    "text_langid",
-    "text_ngram_top",
-    "text_quality",
-    "text_token_bpe_regex",
-    "text_token_stats",
-    "window_distribution",
-    "window_range_frame",
+    "ann_mmr_diversify",
     # -- last driver-gated in round 5 --
-    "ann_pq_topk",
-    "ann_recall_pq",
-    "approx_distinct_users",
-    "approx_percentile_price",
     "curation_ccnet_buckets",
     "curation_quality_lr",
     "curation_quality_lr_scores",
@@ -347,6 +301,51 @@ _GATE_FIRST = [
     "text_zipf_fit",
     "window_first_last_nth",
     "window_rank_dense",
+    # -- last driver-gated in round 10 --
+    "agg_weighted_median",
+    "ann_pq_topk",
+    "ann_recall_pq",
+    "approx_distinct_users",
+    "approx_percentile_price",
+    "emb_drift_mmd",
+    "emb_outlier_report",
+    "etl_bad_row_archive",
+    "etl_bad_row_roundtrip",
+    "etl_buffer_flush_bytes",
+    "etl_cdc_merge",
+    "etl_enriched_parse",
+    "events_rfm_segments",
+    "fn_map_suite",
+    "fn_regex_suite",
+    "fn_url_suite",
+    "mm_audio_decode_real",
+    "mm_binary_meta",
+    "mm_frame_offsets",
+    "mm_image_decode_real",
+    "mm_image_decode_stub",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q22_global_balance",
+    "q4_order_priority",
+    "reshape_unpivot",
+    "setop_intersect_all",
+    "sketch_countmin",
+    "text_bpe_tokenize",
+    "text_bpe_train",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid",
+    "text_ngram_top",
+    "text_quality",
+    "text_token_bpe_regex",
+    "text_token_stats",
+    "window_distribution",
+    "window_range_frame",
 ]
 
 
