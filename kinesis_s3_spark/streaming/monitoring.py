@@ -149,6 +149,47 @@ class ValueDriftReporter:
             self.statsd.send(self.ALERT_METRIC, "1", "c")
 
 
+class EmbeddingDriftReporter:
+    """Embedding-space drift on the StatsD surface (VERDICT r10 next
+    #7): after each flush, report the accumulated linear-kernel MMD²
+    of the loader-maintained per-dimension embedding moments
+    (streaming/mmd.py) against pinned reference moments — and, ONLY
+    when MMD² crosses the batch ``emb_drift_mmd`` operator's 2×-null
+    line, an alert counter. PSI sees size mix, value-KS sees payload
+    shape; an encoder version bump or domain shift moves the MEAN
+    EMBEDDING first, and this gauge is where it lands.
+
+    Compose exactly like ValueDriftReporter:
+
+        acc = EmbeddingMomentAccumulator(state_dir)
+        edrift = EmbeddingDriftReporter(statsd, acc, ref_moments)
+        run_loader(..., accumulators=(acc,),
+                   on_flush=lambda m: (statsd.report(m), edrift(m)))
+
+    Driver-held dim-sized arithmetic per flush — no extra Spark work."""
+
+    MMD_METRIC = "embedding_mmd2"  # gauge: the MMD² statistic
+    RATIO_METRIC = "embedding_mmd_ratio"  # gauge: MMD² / null scale
+    ALERT_METRIC = "embedding_mmd_alert"  # count: only past 2× null
+
+    def __init__(self, statsd: StatsDClient, acc, ref_moments) -> None:
+        self.statsd = statsd
+        self.acc = acc
+        self.ref = ref_moments
+        self.last_mmd2: float | None = None  # test/inspection trail
+        self.last_null: float | None = None
+        self.last_drifted: bool | None = None
+
+    def __call__(self, meta: BatchMeta) -> None:  # noqa: ARG002 - on_flush shape
+        mmd2, null_scale, drifted = self.acc.mmd2_against(self.ref)
+        self.last_mmd2, self.last_null, self.last_drifted = mmd2, null_scale, drifted
+        self.statsd.send(self.MMD_METRIC, f"{mmd2:.8f}", "g")
+        if null_scale not in (0.0, float("inf")):
+            self.statsd.send(self.RATIO_METRIC, f"{mmd2 / null_scale:.4f}", "g")
+        if drifted:
+            self.statsd.send(self.ALERT_METRIC, "1", "c")
+
+
 def capture_error(error: BaseException) -> None:
     """O20 (Monitoring.captureError, Monitoring.scala:62-65)."""
     if sentry_sdk is not None:  # pragma: no cover

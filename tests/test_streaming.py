@@ -507,3 +507,118 @@ def test_streaming_ks_twin_matches_batch_drift_ks(spark, tmp_path):
     recv.close()
     # the two arms cross on the SAME tranche — the drifted one
     assert first_alert_tranche == batch_first_drift == 2
+
+
+def test_streaming_mmd_twin_matches_batch_emb_drift(spark, tmp_path):
+    """VERDICT r10 next #7: tie the streaming EMBEDDING-drift arm to
+    the BATCH emb_drift_mmd operator the way the KS twin is tied. An
+    embedding stream replays in three tranches over ONE shared
+    per-dimension moment state (restart per tranche, one checkpoint
+    lineage — replay-skip guards re-delivery); after each flush the
+    batch operator runs on an embeddings table holding exactly
+    (reference vectors as even vec_ids) ∪ (stream-so-far as odd
+    vec_ids). Asserts per tranche: the streaming MMD²/null equal the
+    batch mmd2/null_scale (identical decimal sums → identical doubles),
+    and the STREAMING alert datagram fires precisely on the tranche
+    where the BATCH statistic first crosses its 2×-null line."""
+    import __spark_entry__ as em
+    from kinesis_s3_spark.streaming.mmd import EmbeddingMomentAccumulator
+    from kinesis_s3_spark.streaming.monitoring import EmbeddingDriftReporter
+
+    dim = 8
+
+    def vec(i: int, shift: float = 0.0) -> list[float]:
+        # uniform residue grid: over any 100·k consecutive i the per-dim
+        # mean is exactly 0.495 + shift, so unshifted tranches carry no
+        # mean gap and the +5 tranche moves every dimension's mean
+        return [((i * 7 + d * 13) % 100) / 100.0 + shift for d in range(dim)]
+
+    ref_vecs = [vec(i) for i in range(200)]
+    tranches = [
+        [vec(1000 + i) for i in range(100)],  # same distribution — no drift
+        [vec(2000 + i) for i in range(100)],  # still same — no drift
+        [vec(3000 + i, shift=5.0) for i in range(300)],  # mean jump — drift
+    ]
+
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    port = recv.getsockname()[1]
+    statsd = StatsDClient(
+        MonitoringConfig(
+            statsd_host="127.0.0.1", statsd_port=port, statsd_prefix="snowplow.s3loader"
+        )
+    )
+
+    # reference moments: a SEPARATE accumulator fed the reference
+    # vectors as one static batch (exercises the same update path)
+    ref_dir = str(tmp_path / "mmd-ref-state")
+    ref_acc = EmbeddingMomentAccumulator(ref_dir)
+    ref_df = spark.createDataFrame(
+        [(f"ref-{i}\t" + ",".join(repr(x) for x in v),) for i, v in enumerate(ref_vecs)],
+        "value string",
+    )
+    ref_acc.update(ref_df, 0)
+    ref_moments = ref_acc.snapshot()
+
+    state_dir = str(tmp_path / "mmd-state")
+    inp = str(tmp_path / "mmd-in")
+    streamed: list[list[float]] = []
+    first_alert_tranche = None
+    batch_first_drift = None
+    for t, vecs in enumerate(tranches):
+        acc = EmbeddingMomentAccumulator(state_dir)
+        edrift = EmbeddingDriftReporter(statsd, acc, ref_moments)
+        _write_input(
+            spark,
+            inp,
+            [f"r{t}-{i}\t" + ",".join(repr(x) for x in v) for i, v in enumerate(vecs)],
+        )
+        cfg = from_dict(
+            {
+                "purpose": "RAW",
+                "input": {"stream_name": "t", "kind": "file", "path": inp, "format": "parquet"},
+                "output": {"s3": {"path": str(tmp_path / "mmd-out"), "compression": "GZIP"}},
+                "buffer": {"time_limit_ms": 250},
+                "checkpoint_location": str(tmp_path / "mmd-ckpt"),
+            }
+        )
+        q = run_loader(
+            spark, cfg, accumulators=(acc,), on_flush=edrift, query_name=f"mmd-twin-{t}"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        streamed.extend(vecs)
+        # drain this tranche's datagrams: gauge always, alert iff fired
+        recv.settimeout(1)
+        pkts = []
+        try:
+            while True:
+                pkts.append(recv.recvfrom(4096)[0].decode())
+        except socket.timeout:
+            pass
+        assert pkts and pkts[0].startswith("snowplow.s3loader.embedding_mmd2:")
+        alerted = any(p.startswith("snowplow.s3loader.embedding_mmd_alert:") for p in pkts)
+        if alerted and first_alert_tranche is None:
+            first_alert_tranche = t
+
+        # batch arm: the SAME two samples as an embeddings table
+        # (reference = even vec_ids = grp 0; stream-so-far = odd = grp 1)
+        sf_dir = str(tmp_path / f"mmd-sf-{t}")
+        rows = [(2 * i, v, 0) for i, v in enumerate(ref_vecs)] + [
+            (2 * i + 1, v, 0) for i, v in enumerate(streamed)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+        b = em.queries()["emb_drift_mmd"](spark, sf_dir).collect()[0]
+        if b["drifted"] and batch_first_drift is None:
+            batch_first_drift = t
+        assert alerted == b["drifted"], (t, edrift.last_mmd2, b)
+        assert abs(edrift.last_mmd2 - b["mmd2"]) < 1e-8, (t, edrift.last_mmd2, b)
+        assert abs(edrift.last_null - b["null_scale"]) < 1e-8, (t, edrift.last_null, b)
+        assert edrift.last_drifted == b["drifted"]
+    recv.close()
+    # the two arms cross on the SAME tranche — the shifted one
+    assert first_alert_tranche == batch_first_drift == 2
