@@ -99,6 +99,97 @@ EMB_QUERIES = [
     "dedup_semantic_hier",
 ]
 
+# --knn (VERDICT r10 next #6): the trained-IVF kNN family on the FRESH
+# 100× vectors — time ratios AND recall-at-scale (the r8 embeddings
+# axis predates the trained join; the √N-cells/log-probes claims were
+# measured only at 10×)
+KNN_QUERIES = ["ann_knn_join_ivf", "ann_knn_classify"]
+
+
+def panel_recall(spark, sf_dir: str, panel_mod: int) -> dict:
+    """Mean recall@K_JOIN of the trained-IVF kNN join against an exact
+    panel truth (every ``panel_mod``-th vector), at corpora where the
+    full quadratic truth is impossible: the panel×corpus scoring runs
+    as the recall query's blocked Arrow kernel (sequential-dim fold,
+    HALF_UP rounding), so panel truth stays exact while costing
+    |panel|·N instead of N². Driver holds |panel|·dim doubles."""
+    import numpy as np
+
+    from kinesis_s3_spark.operators.ann import K_JOIN, _knn_join_ivf
+    from kinesis_s3_spark.operators.embeddings import kmeans_vv
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel_rows = (
+        emb.filter(F.col("vec_id") % panel_mod == 0).select("vec_id", "embedding").collect()
+    )
+    panel = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in panel_rows]
+
+    def gen(batches):
+        import pandas as pd
+
+        P = np.asarray([v for _, v in panel], dtype=np.float64)
+        pids = np.asarray([i for i, _ in panel], dtype=np.int64)
+        pn = np.zeros(len(pids))
+        for j in range(P.shape[1]):
+            pn += P[:, j] * P[:, j]
+        pn = np.sqrt(pn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            dids = pdf["vec_id"].to_numpy()
+            dot = np.zeros((len(pids), len(B)))
+            bn = np.zeros(len(B))
+            for j in range(P.shape[1]):
+                dot += np.outer(P[:, j], B[:, j])
+                bn += B[:, j] * B[:, j]
+            cos = dot / np.outer(pn, np.sqrt(bn))
+            cos = np.trunc(cos * 1e4 + np.copysign(0.5, cos)) / 1e4
+            o_src, o_dst, o_cos = [], [], []
+            for i in range(len(pids)):
+                order = np.lexsort((dids, -cos[i]))[: K_JOIN + 1]
+                kept = 0
+                for ix in order:
+                    if int(dids[ix]) == int(pids[i]) or kept >= K_JOIN:
+                        continue
+                    o_src.append(int(pids[i]))
+                    o_dst.append(int(dids[ix]))
+                    o_cos.append(cos[i, ix])
+                    kept += 1
+            yield pd.DataFrame({
+                "src": np.asarray(o_src, dtype=np.int64),
+                "dst": np.asarray(o_dst, dtype=np.int64),
+                "cos": np.asarray(o_cos, dtype=np.float64),
+            })
+
+    from pyspark.sql import Window
+
+    vv = kmeans_vv(spark, sf_dir)
+    batch_top = vv.select("vec_id", "e").mapInPandas(gen, "src long, dst long, cos double")
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    truth = (
+        batch_top.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K_JOIN)
+        .select("src", "dst")
+    )
+    approx = _knn_join_ivf(spark, sf_dir).select(
+        F.col("vec_id").alias("a_src"), F.col("nbr_id").alias("a_dst")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (truth["src"] == approx["a_src"]) & (truth["dst"] == approx["a_dst"]),
+            "left",
+        )
+        .groupBy("src")
+        .agg(F.count("a_dst").alias("n_hit"))
+    )
+    row = hits.agg(
+        F.count("*").alias("n_panel"),
+        F.round(F.sum("n_hit").cast("double") / (F.count("*") * K_JOIN), 4).alias("mean"),
+    ).collect()[0]
+    return {"n_panel": int(row["n_panel"]), "mean_recall": float(row["mean"])}
+
 
 def build_embeddings(spark) -> None:
     """100× embeddings corpus-growth axis (VERDICT r7 task #4): copy 0
@@ -296,10 +387,34 @@ def main(names: list[str]) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     emb_mode = "--embeddings" in names
     ev_mode = "--events" in names
+    knn_mode = "--knn" in names
     names = [a for a in names if not a.startswith("--")]
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()
+    if knn_mode:
+        from kinesis_s3_spark.operators.ann import knn_cells, knn_probes
+
+        build_embeddings(spark)
+        for name in names or KNN_QUERIES:
+            row = {"query": name}
+            for sf_dir, col in ((BASE, "sec_1x"), (OUT_EMB, "sec_100x")):
+                q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t0 = time.time()
+                q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                row[col] = round(time.time() - t0, 2)
+            row["ratio"] = round(row["sec_100x"] / max(row["sec_1x"], 1e-9), 1)
+            print(json.dumps(row), flush=True)
+        for sf_dir, tag, mod in ((BASE, "1x", 4), (OUT_EMB, "100x", 1000)):
+            n = load_table(spark, sf_dir, "embeddings").count()
+            t0 = time.time()
+            rec = panel_recall(spark, sf_dir, mod)
+            print(json.dumps({
+                "recall_at_scale": tag, "n": n,
+                "cells": knn_cells(n), "probes": knn_probes(n),
+                **rec, "sec": round(time.time() - t0, 2),
+            }), flush=True)
+        return
     if ev_mode:
         build_events(spark)
         for name in names or EV_QUERIES:
