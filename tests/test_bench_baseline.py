@@ -286,3 +286,47 @@ def test_loader_regression_flagged_and_drift_normalized():
 def test_shipped_loader_pin_exists():
     pin = bench.load_baseline("loader")
     assert pin.get("rows_per_sec", 0) > 0 and "spread" in pin
+
+
+def test_auto_triage_loader_branch_is_direction_reversed(tmp_path, monkeypatch):
+    """The loader flag probes via the __loader__ pseudo-query and its
+    isolated rows/sec is multiplied UP by the control ratio (a slow box
+    understates throughput): an isolated number that clears the limit
+    after adjustment closes as churn."""
+    import json as _json
+
+    import tools.flag_closure_check as fcc
+
+    detail = {
+        "loader_regression": {
+            "loader": {
+                "sec": 250_000,
+                "rows_per_sec": 250_000,
+                "baseline_rows_per_sec": 400_000,
+                "limit_rows_per_sec": 300_000,
+            }
+        }
+    }
+    probe_out = {
+        "q1_pricing_summary": {"median": 2.2},  # pin 1.934 -> control 1.138x
+        "__loader__": {"median": 280_000},  # * 1.138 = 318k >= 300k limit
+    }
+
+    class FakeProc:
+        stdout = _json.dumps(probe_out) + "\n"
+        returncode = 0
+
+    import subprocess as _sp
+
+    monkeypatch.setattr(_sp, "run", lambda *a, **k: FakeProc())
+    monkeypatch.setattr(fcc, "PROVENANCE_PATH", str(tmp_path / "prov.json"))
+    provenance: dict = {}
+    bench.auto_triage(detail, provenance, "/root/testdata/sf0.1")
+    entry = detail["loader_regression"]["loader"]
+    assert entry["auto_probe"]["verdict"] == "churn"
+    assert entry["auto_probe"]["drift_adjusted"] >= 300_000
+    saved = _json.loads((tmp_path / "prov.json").read_text())
+    assert saved["loader"]["loader"]["baseline_rows_per_sec"] == 400_000
+    from tools.flag_closure_check import untriaged_flags
+
+    assert untriaged_flags(detail, provenance) == []
