@@ -403,6 +403,14 @@ def run_sf1(spark, queries) -> tuple[dict[str, float], dict[str, str]]:
 
 
 PROBE_CONTROL = "q1_pricing_summary"  # scan-bound control for solo probes
+# Host drift is CLASS-correlated (the r9-documented blind spot): the
+# scan-bound q1 control can read 1.0x while python-worker-heavy
+# queries run 1.3-1.9x their pins. Auto-triage therefore probes a
+# second, WORKER-class control (Arrow decode, pinned, code never hot)
+# and adjusts by the MAX control ratio — the most generous host-factor
+# reading. A genuine single-query plan regression still fires: the
+# controls are unchanged code and do not inflate with it.
+PROBE_CONTROLS = (PROBE_CONTROL, "mm_image_decode_stub")
 
 
 def auto_triage(detail: dict, provenance: dict, sf_dir: str) -> None:
@@ -447,7 +455,7 @@ def auto_triage(detail: dict, provenance: dict, sf_dir: str) -> None:
             sys.executable,
             os.path.join(repo, "tools", "probe.py"),
             d,
-            ",".join([PROBE_CONTROL] + sorted(names)),
+            ",".join(list(PROBE_CONTROLS) + sorted(names)),
             "--warm",
             "3",
         ]
@@ -460,11 +468,13 @@ def auto_triage(detail: dict, provenance: dict, sf_dir: str) -> None:
             for n in names:
                 results[(d, n)] = {"error": f"{type(exc).__name__}: {exc}"}
             continue
-        pin = load_baseline("sf1" if d == SF1_DIR else "queries").get(
-            PROBE_CONTROL, {}
-        ).get("median")
-        ctl = parsed.get(PROBE_CONTROL, {}).get("median")
-        controls[d] = round(ctl / pin, 3) if pin and ctl else 1.0
+        pins = load_baseline("sf1" if d == SF1_DIR else "queries")
+        ratios = [
+            parsed[c]["median"] / pins[c]["median"]
+            for c in PROBE_CONTROLS
+            if c in parsed and pins.get(c, {}).get("median")
+        ]
+        controls[d] = round(max(ratios), 3) if ratios else 1.0
         for n in names:
             if n in parsed:
                 results[(d, n)] = parsed[n]

@@ -205,9 +205,12 @@ def test_auto_triage_closes_churn_and_keeps_reproductions(tmp_path, monkeypatch)
         },
     }
     probe_out = {
-        "q1_pricing_summary": {"median": 2.2, "spread": 0.1},  # pin ~1.934 -> 1.14x
-        "q_churn": {"median": 0.7, "spread": 0.05},  # adjusted ~0.62 < 0.75
-        "q_real": {"median": 2.9, "spread": 0.05},  # adjusted ~2.55 >> 0.75
+        "q1_pricing_summary": {"median": 2.2, "spread": 0.1},  # pin 1.934 -> 1.138x
+        # worker-class control slower than the scan control: the MAX
+        # ratio wins (class-correlated drift, r9 blind spot)
+        "mm_image_decode_stub": {"median": 0.35, "spread": 0.01},  # pin 0.232 -> 1.509x
+        "q_churn": {"median": 0.7, "spread": 0.05},  # adjusted ~0.46 < 0.75
+        "q_real": {"median": 2.9, "spread": 0.05},  # adjusted ~1.92 >> 0.75
     }
 
     class FakeProc:
@@ -223,6 +226,8 @@ def test_auto_triage_closes_churn_and_keeps_reproductions(tmp_path, monkeypatch)
 
     warm = detail["regressions_vs_baseline"]
     assert warm["q_churn"]["auto_probe"]["verdict"] == "churn"
+    # adjustment used the slower (worker-class) control, not q1's 1.138
+    assert abs(warm["q_churn"]["auto_probe"]["control_ratio"] - 0.35 / 0.232) < 2e-3
     assert "provenance" in warm["q_churn"]
     assert warm["q_real"]["auto_probe"]["verdict"] == "reproduces"
     assert "provenance" not in warm["q_real"]
