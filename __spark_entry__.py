@@ -80,6 +80,7 @@ _GATE_FIRST = [
     "graph_label_propagation",
     "graph_link_prediction",
     "ann_mmr_diversify",
+    "join_market_basket",  # NEW r11, never gated
     # -- last driver-gated in round 5 --
     "curation_ccnet_buckets",
     "curation_quality_lr",

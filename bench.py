@@ -186,6 +186,8 @@ HEADLINE = [
     "ann_knn_classify",
     "ann_mmr_diversify",
     "emb_drift_mmd",
+    # -- added in round 11 --
+    "join_market_basket",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median

@@ -500,3 +500,92 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(running).alias("second_price"),
     )
+
+
+MB_MIN_PAIR_ORDERS = 3  # minimum co-occurrence support (absolute orders)
+MB_TOP = 20
+
+
+@query(
+    "join_market_basket",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    freq AS (SELECT l_partkey, COUNT(*) AS f FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part1, b.l_partkey AS part2, COUNT(*) AS pair_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {MB_MIN_PAIR_ORDERS}
+    )
+    SELECT part1, part2, pair_orders,
+           ROUND(CAST(pair_orders AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(pair_orders AS DOUBLE) / fa.f, 6) AS confidence,
+           ROUND(CAST(pair_orders AS DOUBLE) * n_orders / (fa.f * fb.f), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part1
+    JOIN freq fb ON fb.l_partkey = part2
+    CROSS JOIN tot
+    ORDER BY ROUND(CAST(pair_orders AS DOUBLE) * n_orders / (fa.f * fb.f), 6) DESC,
+             part1, part2
+    LIMIT {MB_TOP}
+    """,
+)
+def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order contents: the
+    top-{MB_TOP} part pairs by LIFT (observed co-order rate over the
+    independence expectation), with absolute support ≥
+    {MB_MIN_PAIR_ORDERS} orders — the affinity-mining primitive behind
+    recommender candidate generation and assortment analysis, a
+    relational-operator class (self-join pair mining) the registry
+    lacked.
+
+    Scale: the pair join is an EQUI-join on l_orderkey with BOUNDED
+    per-order fan-out (TPC-H orders hold ≤ 7 lines, so ≤ C(7,2) = 21
+    pairs per order) — pair volume is linear in orders, never
+    parts². Pair counts map-side combine; the part-frequency table is
+    dimension-sized (broadcast both sides); the global top-{MB_TOP}
+    runs as TakeOrderedAndProject. All ratios derive from exact
+    integer counts with shared 6-dp HALF_UP rounding, so both engines
+    rank identically (ties break on the pair keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    tot = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("f"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"), F.col("b.l_partkey").alias("part2")
+        )
+        .agg(F.count("*").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= MB_MIN_PAIR_ORDERS)
+    )
+    fa = F.broadcast(freq.select(F.col("l_partkey").alias("part1"), F.col("f").alias("fa")))
+    fb = F.broadcast(freq.select(F.col("l_partkey").alias("part2"), F.col("f").alias("fb")))
+    lift = F.round(
+        F.col("pair_orders").cast("double") * F.col("n_orders") / (F.col("fa") * F.col("fb")), 6
+    )
+    return (
+        pairs.join(fa, "part1")
+        .join(fb, "part2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part1",
+            "part2",
+            "pair_orders",
+            F.round(F.col("pair_orders").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("pair_orders").cast("double") / F.col("fa"), 6).alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part1", "part2")
+        .limit(MB_TOP)
+    )
