@@ -317,14 +317,17 @@ def flag_loader_regression(
     running queries at 1.3x their pins delivers proportionally fewer
     rows/sec, so the in-suite number is multiplied back up before the
     compare. Flags when drift-adjusted rows/sec falls below
-    pin − max(2·spread, 25% of pin); pure for injection tests."""
+    pin − max(1·spread, 15% of pin) — tightened from 2·spread/25%
+    (ADVICE r11: with the r11 pin's spread the old threshold was a
+    ~44% drop, so the −27% r10 incident that MOTIVATED this ratchet
+    would have passed unflagged); pure for injection tests."""
     pin = (baseline or {}).get("rows_per_sec")
     if not pin or not loader.get("rows_per_sec"):
         return {}
     spread = (baseline or {}).get("spread", 0)
     norm = max(drift, 1.0)  # a fast box never excuses absolute slowness
     adj = round(loader["rows_per_sec"] * norm)
-    limit = round(pin - max(2 * spread, 0.25 * pin))
+    limit = round(pin - max(spread, 0.15 * pin))
     if adj < limit:
         return {
             "loader": {
@@ -414,6 +417,40 @@ PROBE_CONTROL = "q1_pricing_summary"  # scan-bound control for solo probes
 # controls are unchanged code and do not inflate with it.
 PROBE_CONTROLS = (PROBE_CONTROL, "mm_image_decode_stub")
 
+# ADVICE r11 (bench.py:492): the control ratio can close flags, so it
+# must itself be trustworthy. Two guards:
+# 1. a control whose SOURCE changed since its pin no longer measures
+#    host drift (its own code change may have moved its number) — its
+#    ratio is excluded. Fingerprints of the declared source files are
+#    pinned in tools/bench_baseline.json["control_fingerprints"].
+# 2. the accepted ratio is capped: beyond CTL_CAP the "host factor"
+#    reading is an anomaly (noisy probe, swapping box), and letting it
+#    deflate flags would self-close real regressions. Capping keeps
+#    the adjustment conservative — more flags stay open for the human
+#    worktree protocol, none silently vanish.
+CTL_CAP = 2.0
+CONTROL_SOURCES = {
+    "q1_pricing_summary": ("kinesis_s3_spark/operators/relational.py",),
+    "mm_image_decode_stub": (
+        "kinesis_s3_spark/operators/multimodal.py",
+        "kinesis_s3_spark/multimodal/codecs.py",
+    ),
+}
+
+
+def control_fingerprint(name: str) -> str:
+    """sha256 over the control query's declared source files (the query
+    module plus any shared hot-path module, e.g. the Arrow decode path
+    both mm_* controls and real queries ride)."""
+    import hashlib
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for rel in CONTROL_SOURCES.get(name, ()):
+        with open(os.path.join(repo, rel), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
 
 def auto_triage(detail: dict, provenance: dict, sf_dir: str) -> None:
     """Self-triaging final bench (VERDICT r10 next #1): every flag with
@@ -471,12 +508,17 @@ def auto_triage(detail: dict, provenance: dict, sf_dir: str) -> None:
                 results[(d, n)] = {"error": f"{type(exc).__name__}: {exc}"}
             continue
         pins = load_baseline("sf1" if d == SF1_DIR else "queries")
-        ratios = [
-            parsed[c]["median"] / pins[c]["median"]
-            for c in PROBE_CONTROLS
-            if c in parsed and pins.get(c, {}).get("median")
-        ]
-        controls[d] = round(max(ratios), 3) if ratios else 1.0
+        fps = load_baseline("control_fingerprints")
+        ratios = []
+        for c in PROBE_CONTROLS:
+            if c not in parsed or not pins.get(c, {}).get("median"):
+                continue
+            if fps.get(c) and fps[c] != control_fingerprint(c):
+                # control's own source changed since its pin — its
+                # ratio can no longer stand in for host drift
+                continue
+            ratios.append(parsed[c]["median"] / pins[c]["median"])
+        controls[d] = round(min(max(ratios), CTL_CAP), 3) if ratios else 1.0
         for n in names:
             if n in parsed:
                 results[(d, n)] = parsed[n]
@@ -704,14 +746,22 @@ def main() -> None:
         "sf1_suite_drift": sf1_drift,
     }
     open_flags = untriaged_flags(detail, provenance)
+    # write the artifact BEFORE auto-triage (ADVICE r11 bench.py:711):
+    # a crash inside the triage subprocess handling must not lose the
+    # whole suite's results after a full bench run
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
     if open_flags and os.environ.get("SPARK_GRAFT_BENCH_AUTOPROBE", "1") != "0":
         # free the bench JVM before the solo sessions — overlapping
         # Spark runs are exactly the contention the probes must escape
         spark.stop()
-        auto_triage(detail, provenance, sf_dir)
+        try:
+            auto_triage(detail, provenance, sf_dir)
+        except Exception as exc:  # keep the artifact; record the failure
+            detail["auto_triage_error"] = f"{type(exc).__name__}: {exc}"
         open_flags = untriaged_flags(detail, provenance)
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1)
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
     line = {
         "metric": "headline_suite_wall_sec",
         "value": total,

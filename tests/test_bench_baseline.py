@@ -271,21 +271,87 @@ def test_sections_map_matches_bench_detail_keys():
 
 def test_loader_regression_flagged_and_drift_normalized():
     pin = {"rows_per_sec": 400_000, "spread": 20_000}
-    # limit = 400k - max(40k, 100k) = 300k
-    assert bench.flag_loader_regression({"rows_per_sec": 310_000}, pin) == {}
-    flagged = bench.flag_loader_regression({"rows_per_sec": 250_000}, pin)
-    assert flagged["loader"]["limit_rows_per_sec"] == 300_000
+    # limit = 400k - max(1*20k, 15% * 400k) = 340k (ADVICE r11: the old
+    # 2*spread / 25% floor could not catch a ~27% r10-shape incident)
+    assert bench.flag_loader_regression({"rows_per_sec": 345_000}, pin) == {}
+    flagged = bench.flag_loader_regression({"rows_per_sec": 300_000}, pin)
+    assert flagged["loader"]["limit_rows_per_sec"] == 340_000
     assert flagged["loader"]["baseline_rows_per_sec"] == 400_000
-    # a uniformly slow box (drift 1.3) understates throughput — the
-    # same 250k multiplies back to 325k and passes
-    assert bench.flag_loader_regression({"rows_per_sec": 250_000}, pin, drift=1.3) == {}
+    # a ~25% drop — the incident class the ratchet exists for — flags
+    assert "loader" in bench.flag_loader_regression({"rows_per_sec": 300_000}, pin)
+    # a uniformly slow box (drift 1.2) understates throughput — the
+    # same 300k multiplies back to 360k and passes
+    assert bench.flag_loader_regression({"rows_per_sec": 300_000}, pin, drift=1.2) == {}
     # a FAST box never loosens the limit (norm floors at 1.0)
     assert "loader" in bench.flag_loader_regression(
-        {"rows_per_sec": 250_000}, pin, drift=0.8
+        {"rows_per_sec": 300_000}, pin, drift=0.8
     )
     # no pin / no measurement -> no flag
     assert bench.flag_loader_regression({"rows_per_sec": 0}, pin) == {}
-    assert bench.flag_loader_regression({"rows_per_sec": 250_000}, {}) == {}
+    assert bench.flag_loader_regression({"rows_per_sec": 300_000}, {}) == {}
+
+
+def test_shipped_control_fingerprints_match_sources():
+    """The pinned control fingerprints (tools/bench_baseline.json)
+    match the current source files: editing relational.py /
+    multimodal.py / codecs.py invalidates the controls' pins, and this
+    tripwire forces a re-pin (ADVICE r11 bench.py:492)."""
+    fps = bench.load_baseline("control_fingerprints")
+    assert set(fps) == set(bench.PROBE_CONTROLS)
+    for c in bench.PROBE_CONTROLS:
+        assert fps[c] == bench.control_fingerprint(c), (
+            f"control {c}'s source changed since its fingerprint pin — "
+            "re-probe the control and re-pin control_fingerprints"
+        )
+
+
+def test_auto_triage_control_ratio_bounded_and_fingerprint_gated(tmp_path, monkeypatch):
+    """ADVICE r11 (bench.py:492): an anomalous control reading cannot
+    deflate flags past CTL_CAP, and a control whose source changed
+    since its pin is excluded from the ratio entirely."""
+    import json as _json
+    import subprocess as _sp
+
+    import tools.flag_closure_check as fcc
+
+    def make_detail():
+        return {
+            "regressions_vs_baseline": {
+                # in-suite 9.0s vs limit 0.75s; isolated 2.9s would
+                # close only if a >3.8x control ratio were accepted
+                "q_slow": {"sec": 9.0, "baseline_sec": 0.5, "limit_sec": 0.75},
+            }
+        }
+
+    probe_out = {
+        # q1 reading 5x its 1.934 pin: an anomaly, not host drift
+        "q1_pricing_summary": {"median": 9.7},
+        "mm_image_decode_stub": {"median": 0.232},  # 1.0x its pin
+        "q_slow": {"median": 2.9},
+    }
+
+    class FakeProc:
+        stdout = _json.dumps(probe_out) + "\n"
+        returncode = 0
+
+    monkeypatch.setattr(_sp, "run", lambda *a, **k: FakeProc())
+    monkeypatch.setattr(fcc, "PROVENANCE_PATH", str(tmp_path / "prov.json"))
+
+    detail = make_detail()
+    bench.auto_triage(detail, {}, "/root/testdata/sf0.1")
+    probe = detail["regressions_vs_baseline"]["q_slow"]["auto_probe"]
+    # the 5x anomaly was capped: 2.9 / 2.0 = 1.45 > 0.75 limit -> open
+    assert probe["control_ratio"] == bench.CTL_CAP
+    assert probe["verdict"] == "reproduces"
+
+    # a fingerprint mismatch on BOTH controls -> no trusted ratio ->
+    # ctl floors at 1.0 (raw isolated number vs limit; stays open)
+    monkeypatch.setattr(bench, "control_fingerprint", lambda c: "tampered")
+    detail = make_detail()
+    bench.auto_triage(detail, {}, "/root/testdata/sf0.1")
+    probe = detail["regressions_vs_baseline"]["q_slow"]["auto_probe"]
+    assert probe["control_ratio"] == 1.0
+    assert probe["verdict"] == "reproduces"
 
 
 def test_shipped_loader_pin_exists():
