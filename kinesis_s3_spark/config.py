@@ -153,6 +153,11 @@ class MonitoringConfig:
     # sink client is configured. Default mirrors the reference's
     # .getOrElse(false).
     cloudwatch_metrics: bool = False
+    # Config.scala:180 Sentry(dsn: URI), sample config.hocon.sample's
+    # monitoring.sentry.dsn: crash-reporting DSN. Wired by the reference
+    # at Monitoring.scala:75-77 (Sentry.init(dsn)); here
+    # streaming/monitoring.py:init_sentry at loader startup.
+    sentry_dsn: str | None = None
 
 
 @dataclass(frozen=True)
@@ -273,6 +278,8 @@ def from_dict(d: dict[str, Any]) -> LoaderConfig:
                     "app_id", (mon.get("snowplow") or {}).get("appId", "kinesis-s3-spark")
                 ),
                 cloudwatch_metrics=bool(mon.get("cloudwatch_metrics", False)),
+                sentry_dsn=mon.get("sentry_dsn")
+                or (mon.get("sentry") or {}).get("dsn"),
             ),
             checkpoint_location=d.get("checkpoint_location"),
         )

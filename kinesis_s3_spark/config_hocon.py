@@ -310,6 +310,11 @@ def reference_dict_to_native(d: dict) -> dict:
     # .getOrElse(false))
     if "cloudWatch" in (mon.get("metrics") or {}):
         monitoring["cloudwatch_metrics"] = bool(mon["metrics"]["cloudWatch"])
+    # Config.scala:180 Sentry(dsn: URI) — monitoring.sentry.dsn in the
+    # shipped sample (config.hocon.sample:64-66); initialized at loader
+    # startup (Monitoring.scala:75-77 analogue)
+    if (mon.get("sentry") or {}).get("dsn"):
+        monitoring["sentry_dsn"] = mon["sentry"]["dsn"]
     if monitoring:
         native["monitoring"] = monitoring
     return native

@@ -29,6 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 from kinesis_s3_spark.config import InitialPosition, LoaderConfig
 from kinesis_s3_spark.sinks.badrows_sink import build_bad_sink
 from kinesis_s3_spark.sinks.emitter import emit
+from kinesis_s3_spark.streaming.monitoring import init_sentry
 from kinesis_s3_spark.streaming.runmeta import RunMeta
 from kinesis_s3_spark.streaming.tracking import SnowplowTracker
 
@@ -155,6 +156,10 @@ def run_loader(
     hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
     for k, v in s3a_options(cfg.output.s3).items():
         hadoop_conf.set(k, v)
+    # monitoring.sentry.dsn → SDK init before the query starts, so
+    # startup failures (bad-stream probe, source build) are captured
+    # too (Monitoring.fromConfig precedes executor.run, S3Loader.scala)
+    init_sentry(cfg.monitoring)
     stream = build_stream(spark, cfg)
     if dedupe_watermark is not None:
         from kinesis_s3_spark.streaming.dedup import with_incremental_dedup

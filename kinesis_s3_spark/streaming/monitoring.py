@@ -190,6 +190,24 @@ class EmbeddingDriftReporter:
             self.statsd.send(self.ALERT_METRIC, "1", "c")
 
 
+def init_sentry(cfg: MonitoringConfig) -> bool:
+    """O20 DSN init (Monitoring.scala:75-77: ``Sentry.init(dsn)`` when
+    monitoring.sentry is configured). Returns True when the SDK was
+    actually initialized — False when no DSN is set or the SDK is
+    absent (then ``capture_error`` degrades to logging, matching the
+    reference's optional sentry client)."""
+    if not cfg.sentry_dsn:
+        return False
+    if sentry_sdk is None:  # pragma: no cover - SDK not in the harness
+        log.warning(
+            "monitoring.sentry.dsn configured but sentry_sdk is not "
+            "installed; crash reporting degrades to logging"
+        )
+        return False
+    sentry_sdk.init(dsn=cfg.sentry_dsn)
+    return True
+
+
 def capture_error(error: BaseException) -> None:
     """O20 (Monitoring.captureError, Monitoring.scala:62-65)."""
     if sentry_sdk is not None:  # pragma: no cover
