@@ -136,7 +136,17 @@ class EmbeddingMomentAccumulator:
         squared-gap and variances rounded at 10 dp, decimal-summed,
         outputs at 8 dp, drifted ⇔ mmd2 > 2·null on the UNROUNDED
         decimal sums. Driver-held dim-sized arithmetic per flush — no
-        extra Spark work."""
+        extra Spark work.
+
+        Dim-set mismatch forces drifted=True (ADVICE r11): a dimension
+        populated on only one side means the embedding space itself
+        changed (encoder swap / truncation) — the very event the gauge
+        exists to catch. Intersect-and-ignore would shrink the
+        statistic TOWARD zero exactly then, so the mismatch alerts
+        instead, regardless of the intersection's mmd2."""
+        dims_ref = {p for p, (n, _s, _s2) in ref.items() if n > 0}
+        dims_cur = {p for p, (n, _s, _s2) in self.moments.items() if n > 0}
+        dim_mismatch = bool(dims_ref) and bool(dims_cur) and dims_ref != dims_cur
         dd_sum = Decimal(0)
         null_sum = Decimal(0)
         any_dim = False
@@ -157,11 +167,11 @@ class EmbeddingMomentAccumulator:
             dd_sum += Decimal(f"{dd:.10f}")
             null_sum += Decimal(f"{_round_half_up(va / na + vb / nb, 10):.10f}")
         if not any_dim:
-            return 0.0, float("inf"), False
+            return 0.0, float("inf"), dim_mismatch
         mmd2 = float(dd_sum)
         null_scale = float(null_sum)
         return (
             _round_half_up(mmd2, 8),
             _round_half_up(null_scale, 8),
-            mmd2 > 2 * null_scale,
+            dim_mismatch or mmd2 > 2 * null_scale,
         )

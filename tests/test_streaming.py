@@ -509,6 +509,48 @@ def test_streaming_ks_twin_matches_batch_drift_ks(spark, tmp_path):
     assert first_alert_tranche == batch_first_drift == 2
 
 
+def test_mmd_dim_set_mismatch_forces_drift_alert(tmp_path):
+    """ADVICE r11 (mmd.py:144): a dimension populated on only one of
+    reference/current means the embedding space itself changed (encoder
+    swap / truncation) — previously those dims were silently
+    intersected away, shrinking MMD² toward 0 exactly when it should
+    scream. Now a dim-set mismatch forces drifted=True; identical dim
+    sets keep the pure 2×-null rule."""
+    from decimal import Decimal
+
+    from kinesis_s3_spark.streaming.mmd import EmbeddingMomentAccumulator
+
+    def acc_with(dims: dict[int, tuple[int, float, float]]):
+        # embed_col placeholder: mmd2_against is driver-pure, update()
+        # (the only consumer of the column) is never called here
+        a = EmbeddingMomentAccumulator(
+            str(tmp_path / f"s{len(dims)}"), embed_col="unused"
+        )
+        a.moments = {
+            p: [n, Decimal(str(s)), Decimal(str(s2))] for p, (n, s, s2) in dims.items()
+        }
+        return a
+
+    # same dims, same distribution: no drift
+    same = {0: (100, 50.0, 30.0), 1: (100, 10.0, 5.0)}
+    cur = acc_with(same)
+    mmd2, _null, drifted = cur.mmd2_against(acc_with(same).snapshot())
+    assert mmd2 == 0.0 and not drifted
+    # current gained a dim (8 -> 16-dim encoder swap): identical on the
+    # intersection, so the statistic is still 0 — but the alert fires
+    cur = acc_with({**same, 2: (100, 20.0, 9.0)})
+    mmd2, _null, drifted = cur.mmd2_against(acc_with(same).snapshot())
+    assert mmd2 == 0.0 and drifted
+    # current LOST a dim (truncation): alert fires too
+    cur = acc_with({0: same[0]})
+    _mmd2, _null, drifted = cur.mmd2_against(acc_with(same).snapshot())
+    assert drifted
+    # an EMPTY side is "no data yet", not a space change — no alert
+    cur = acc_with({})
+    mmd2, null, drifted = cur.mmd2_against(acc_with(same).snapshot())
+    assert (mmd2, null, drifted) == (0.0, float("inf"), False)
+
+
 def test_streaming_mmd_twin_matches_batch_emb_drift(spark, tmp_path):
     """VERDICT r10 next #7: tie the streaming EMBEDDING-drift arm to
     the BATCH emb_drift_mmd operator the way the KS twin is tied. An
