@@ -2592,6 +2592,141 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQ_PATTERNS_TOP = 15
+
+_SEQ_PATTERNS_SQL = f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > {SESSION_GAP_SEC} * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ),
+    r AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    t AS (
+      SELECT user_id, session_id, event_type,
+             MIN(rn) AS mn, MAX(rn) AS mx
+      FROM r GROUP BY user_id, session_id, event_type
+    ),
+    tot AS (SELECT COUNT(DISTINCT (user_id, session_id)) AS n_total FROM t),
+    pat AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             COUNT(*) AS n_sessions
+      FROM t a JOIN t b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.mn < b.mx
+      GROUP BY a.event_type, b.event_type
+    ),
+    ante AS (SELECT event_type, COUNT(*) AS n_ante FROM t GROUP BY event_type)
+    SELECT antecedent, consequent, n_sessions,
+           ROUND(CAST(n_sessions AS DOUBLE) / n_total, 6) AS support,
+           ROUND(CAST(n_sessions AS DOUBLE) / n_ante, 6) AS confidence
+    FROM pat
+    JOIN ante ON ante.event_type = antecedent
+    CROSS JOIN tot
+    ORDER BY n_sessions DESC, antecedent, consequent
+    LIMIT {_SEQ_PATTERNS_TOP}
+"""
+
+
+@query("events_sequential_patterns", oracle=_SEQ_PATTERNS_SQL)
+def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining within sessions (SPADE/PrefixSpan
+    shape, 2-item patterns unrolled): the top-{_SEQ_PATTERNS_TOP}
+    ORDERED patterns a→b — sessions where some occurrence of type a
+    precedes some occurrence of type b (not necessarily adjacent) —
+    with sequence support (share of all sessions) and confidence
+    (share of a-containing sessions). Extends join_market_basket's
+    static co-occurrence mining with ORDER, the sequential-rule
+    family (SPADE, Zaki 2001; PrefixSpan, Pei et al. 2001) behind
+    next-action recommendation and funnel discovery.
+
+    Scale: the PrefixSpan containment test collapses to rank algebra —
+    a session contains a→b iff min_rank(a) < max_rank(b) — so the
+    plan never self-joins EVENTS: the gap-sessionize window (one
+    user-keyed shuffle, shared with events_sessionize/session_paths),
+    a per-(session, type) min/max-rank aggregate (≤ |types| rows per
+    session, map-side combined), and a session-keyed equi-join of that
+    skinny frame with itself (fan-out ≤ |types|² = 25 rows per
+    session — bounded by the event-type enum, linear in sessions).
+    The antecedent-support and total-session frames are
+    dimension-sized (|types| rows / 1 row) — both broadcast. Top-15
+    is TakeOrderedAndProject. Counts are exact integers; shared 6-dp
+    HALF_UP rounding keeps both engines ranking identically (ties
+    break on the pattern keys)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    x = e.withColumn(
+        "new_sess",
+        F.when(
+            gap.isNull() | (gap > F.expr(f"INTERVAL {SESSION_GAP_SEC} SECONDS")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = x.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    rw = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(rw))
+    t = r.groupBy("user_id", "session_id", "event_type").agg(
+        F.min("rn").alias("mn"), F.max("rn").alias("mx")
+    )
+    tot = t.select("user_id", "session_id").distinct().agg(
+        F.count("*").alias("n_total")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.mn") < F.col("b.mx")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    ante = t.groupBy(F.col("event_type").alias("antecedent")).agg(
+        F.count("*").alias("n_ante")
+    )
+    return (
+        pat.join(F.broadcast(ante), "antecedent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_sessions",
+            F.round(F.col("n_sessions").cast("double") / F.col("n_total"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_sessions").cast("double") / F.col("n_ante"), 6).alias(
+                "confidence"
+            ),
+        )
+        .orderBy(F.col("n_sessions").desc(), "antecedent", "consequent")
+        .limit(_SEQ_PATTERNS_TOP)
+    )
+
+
 _COHORT_LTV_SQL = f"""
     WITH f AS (
       SELECT user_id, MIN(ts) AS conv_ts,

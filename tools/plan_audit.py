@@ -79,6 +79,7 @@ ALLOW_NESTED_LOOP = {
     "events_drift_chi2",  # 1-row marginals / |types|-row total broadcasts
     "events_drift_psi",  # 1-row ref-range / totals broadcasts (events.py PSI)
     "join_market_basket",  # 1-row n_orders broadcast (tpch_extra.py)
+    "events_sequential_patterns",  # 1-row n_total-sessions broadcast (events.py)
     "sketch_heavy_hitters",  # 1-row corpus-total broadcast for the threshold
     "sketch_quantile_histogram",  # 1-row min/max/n broadcast + <=64-row cum frame
     "ann_mips_ivf_topk",  # 1-row max-norm + 16-centroid broadcasts (ann.py MIPS-IVF)
