@@ -1751,10 +1751,32 @@ KNN_KM_ITERS = 2  # quantizer training rounds (= IVF_KM_ITERS precedent)
 # recall-vs-scale coefficient for the probe-count formula; DuckDB ROUND
 # is half-away-from-zero, so the Python twin uses floor(x + 0.5)
 KNN_PROBE_COEF = 1.45
-_KNN_PROBES_SQL = (
-    f"(SELECT GREATEST({N_PROBE}, CAST(ROUND({KNN_PROBE_COEF} * LN(COUNT(*)))"
-    " AS BIGINT)) FROM embeddings)"
-)
+
+
+def knn_probe_coef() -> float:
+    """The deployable flat-recall knob (VERDICT r11 next #7): probes =
+    max({N_PROBE}, round(coef·ln N)). Default {KNN_PROBE_COEF} is the
+    near-linear log schedule; override via the
+    SPARK_GRAFT_KNN_PROBE_COEF env var to buy recall on near-isotropic
+    embeddings without editing source. Measured on the 100× fresh-
+    vectors axis (SCALE.md, exact blocked-panel truth, N=200k):
+    coef 1.45 → probes 18 → recall 0.650; 2.2 → 27 → 0.742;
+    2.9 → 35 → 0.813 at ~2× the log schedule's scoring cost (candidate
+    volume is linear in the probe count). Set the env var BEFORE
+    process start: the registered oracle SQL snapshots the coefficient
+    at module import while the Spark side reads it per call — both see
+    the same value when it is set at launch (the spark-submit --conf /
+    env deployment path)."""
+    import os
+
+    return float(os.environ.get("SPARK_GRAFT_KNN_PROBE_COEF", KNN_PROBE_COEF))
+
+
+def _knn_probes_sql() -> str:
+    return (
+        f"(SELECT GREATEST({N_PROBE}, CAST(ROUND({knn_probe_coef()!r} * LN(COUNT(*)))"
+        " AS BIGINT)) FROM embeddings)"
+    )
 
 
 def knn_cells(n: int) -> int:
@@ -1764,11 +1786,11 @@ def knn_cells(n: int) -> int:
 
 def knn_probes(n: int) -> int:
     """Probed-list count at corpus size ``n`` — the HALF_UP twin of
-    ``_KNN_PROBES_SQL`` (positive domain, so floor(x+0.5) = DuckDB
+    ``_knn_probes_sql`` (positive domain, so floor(x+0.5) = DuckDB
     ROUND; Python's round() would bank to even)."""
     import math
 
-    return max(N_PROBE, int(math.floor(KNN_PROBE_COEF * math.log(n) + 0.5)))
+    return max(N_PROBE, int(math.floor(knn_probe_coef() * math.log(n) + 0.5)))
 
 
 def _knn_join_cent_sql() -> str:
@@ -1811,7 +1833,7 @@ def _knn_join_sql() -> str:
       FROM vv, c2 c
     ),
     assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
-    vprobe AS (SELECT vec_id AS src, cid FROM ranked WHERE rn <= {_KNN_PROBES_SQL}),
+    vprobe AS (SELECT vec_id AS src, cid FROM ranked WHERE rn <= {_knn_probes_sql()}),
     oneway AS (
       SELECT vp.src, a.vec_id AS dst
       FROM vprobe vp JOIN assign a USING (cid)

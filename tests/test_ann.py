@@ -354,6 +354,24 @@ def test_knn_probe_count_scales_with_corpus():
         assert knn_probes(n) <= max(6, knn_cells(n))  # probes never exceed cells
 
 
+def test_knn_probe_coef_env_knob_reproduces_measured_curve(monkeypatch):
+    """VERDICT r11 next #7: the flat-recall knob is deployable without
+    editing source. At the 100× fresh-vectors anchor (N=200,000,
+    SCALE.md): default coef 1.45 → probes 18 (measured recall 0.650);
+    SPARK_GRAFT_KNN_PROBE_COEF=2.9 → probes 35 — the exact operating
+    point that measured 0.813 at ~2× scoring cost. The SQL twin tracks
+    the same coefficient."""
+    from kinesis_s3_spark.operators.ann import _knn_probes_sql, knn_probes
+
+    assert knn_probes(200_000) == 18
+    assert "1.45" in _knn_probes_sql()
+    monkeypatch.setenv("SPARK_GRAFT_KNN_PROBE_COEF", "2.9")
+    assert knn_probes(200_000) == 35
+    assert "2.9" in _knn_probes_sql()
+    monkeypatch.setenv("SPARK_GRAFT_KNN_PROBE_COEF", "2.2")
+    assert knn_probes(200_000) == 27  # the measured 0.742 midpoint
+
+
 def test_knn_classify_agreement(spark):
     """ann_knn_classify: per-vector majority-of-neighbors label vs own
     label. On the label-clustered synthetic embeddings most vectors'
