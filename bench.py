@@ -188,6 +188,7 @@ HEADLINE = [
     "emb_drift_mmd",
     # -- added in round 11 --
     "join_market_basket",
+    "events_sequential_patterns",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median
