@@ -73,9 +73,12 @@ for _m in _OPTIONAL_MODULES:
 _GATE_FIRST = [
     # -- (0) semantically/plan changed in round 12, must re-gate:
     #    market basket drops its forced freq broadcast (plan change);
-    #    sequential patterns is NEW (never driver-gated) --
+    #    sequential patterns and the IVFPQ kNN join + its recall gate
+    #    are NEW (never driver-gated) --
     "join_market_basket",
     "events_sequential_patterns",
+    "ann_knn_join_pq",
+    "ann_recall_knn_join_pq",
     # -- last driver-gated in round 6 --
     "agg_distinct",
     "agg_grouping_sets",
@@ -121,11 +124,11 @@ _GATE_FIRST = [
     "sketch_hll_sliding",
     "sketch_kmv_intersection",
     "text_gopher_rules",
-    # -- last driver-gated in round 7 --
+    # -- last driver-gated in round 7 (first 2; band 0 grew by the two
+    #    new r12 PQ-join queries, so the r7 spill-over shrinks to keep
+    #    the band at 50) --
     "ann_hard_negatives",
     "ann_mips_ivf_topk",
-    "ann_recall_mips_ivf",
-    "curation_decontaminate",
 ]
 
 

@@ -188,7 +188,10 @@ HEADLINE = [
     "emb_drift_mmd",
     # -- added in round 11 --
     "join_market_basket",
+    # -- added in round 12 --
     "events_sequential_patterns",
+    "ann_knn_join_pq",
+    "ann_recall_knn_join_pq",
 ]
 
 WARM_RUNS = 3  # warm samples per query; reported value = median
@@ -373,6 +376,7 @@ SKIP_SF1 = {
     # join (cells ∝ sqrt(N), per-cell blocked Arrow scoring) and run
     # at sf1; only the exact truth arm stays guarded
     "ann_recall_knn_join": "exact truth arm quadratic past the guard scale",
+    "ann_recall_knn_join_pq": "exact truth arm quadratic past the guard scale",
     # recursion = one frontier shuffle join PER DEPTH level; 10x data
     # makes sessions ~10x longer, so depth x frontier costs ~55 s while
     # the window twin (events_sessionize) stays sub-second — the

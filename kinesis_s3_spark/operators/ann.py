@@ -925,9 +925,12 @@ PQ_SHORTLIST_FRAC = 0.02  # shortlist = max(floor, 2% of corpus): recall
 # cost stays a small linear fraction
 
 
-def _pq_sub_chain_sql(m: int) -> str:
+def _pq_sub_chain_sql(m: int, sub: int = PQ_SUB, k: int = PQ_K) -> str:
     """Per-subspace oracle chain: slice → seeds → 2 Lloyd rounds →
-    final encode assignment (pe{m}: vec_id → cid)."""
+    final encode assignment (pe{m}: vec_id → cid). ``sub``/``k``
+    parameterize the subspace width and codebook size (r12: the PQ
+    kNN join trains a finer grid than ann_pq_topk's 4×16)."""
+    PQ_SUB, PQ_K = sub, k  # noqa: N806 — shadow module defaults below
     lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
     pv, pvv = f"pv{m}", f"pvv{m}"
     return (
@@ -1012,7 +1015,7 @@ _PQ_TOPK_SQL = (
 )
 
 
-def _pq_subs(vv: DataFrame) -> DataFrame:
+def _pq_subs(vv: DataFrame, m_count: int = PQ_M, sub: int = PQ_SUB) -> DataFrame:
     """Long-format subspace view (vec_id, m, se, see), CACHED — one
     frame feeds seed collection, every Lloyd round, and encoding."""
     return (
@@ -1020,7 +1023,7 @@ def _pq_subs(vv: DataFrame) -> DataFrame:
             "vec_id",
             F.posexplode(
                 F.array(
-                    *[F.slice("e", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+                    *[F.slice("e", m * sub + 1, sub) for m in range(m_count)]
                 )
             ).alias("m", "se"),
         )
@@ -1038,7 +1041,7 @@ def _pq_cents_df(spark: SparkSession, books) -> DataFrame:
     size) dominated the query."""
     return F.broadcast(
         spark.createDataFrame(
-            [(m, cid, list(c)) for m in range(PQ_M) for cid, c in books[m]],
+            [(m, cid, list(c)) for m in range(len(books)) for cid, c in books[m]],
             "m int, cid int, c array<double>",
         )
     )
@@ -1070,7 +1073,10 @@ def _pq_assign(spark: SparkSession, subs: DataFrame, books) -> DataFrame:
 
 
 def _pq_codebooks(
-    spark: SparkSession, subs: DataFrame
+    spark: SparkSession,
+    subs: DataFrame,
+    m_count: int = PQ_M,
+    k: int = PQ_K,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train ALL M codebooks concurrently over the long-format frame:
     each Lloyd round is ONE assignment-plus-means job across every
@@ -1084,7 +1090,7 @@ def _pq_codebooks(
     (that job latency was most of this query's former 15 s fixed
     cost; the rest was literal-expression codegen, see _pq_cents_df)."""
     seed_rows = (
-        subs.filter(F.col("vec_id") < PQ_K).select("vec_id", "m", "se").collect()
+        subs.filter(F.col("vec_id") < k).select("vec_id", "m", "se").collect()
     )
     books: list[list[tuple[int, list[float]]]] = [
         sorted(
@@ -1094,7 +1100,7 @@ def _pq_codebooks(
                 if int(r["m"]) == m
             )
         )
-        for m in range(PQ_M)
+        for m in range(m_count)
     ]
     for _ in range(PQ_ITERS):
         assigned = _pq_assign(spark, subs, books)
@@ -1105,7 +1111,7 @@ def _pq_codebooks(
             .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
             .collect()
         )
-        by_m: list[dict[int, dict[int, float]]] = [dict() for _ in range(PQ_M)]
+        by_m: list[dict[int, dict[int, float]]] = [dict() for _ in range(m_count)]
         for r in means:
             by_m[int(r["m"])].setdefault(int(r["cid"]), {})[int(r["pos"])] = float(
                 r["cx"]
@@ -1115,7 +1121,7 @@ def _pq_codebooks(
                 (cid, [pos_map[p] for p in sorted(pos_map)])
                 for cid, pos_map in sorted(by_m[m].items())
             ]
-            for m in range(PQ_M)
+            for m in range(m_count)
         ]
     return books
 
@@ -1133,7 +1139,7 @@ def _pq_encode(
         .agg(
             *[
                 F.min(F.when(F.col("m") == m, F.col("cid"))).alias(f"k{m}")
-                for m in range(PQ_M)
+                for m in range(len(books))
             ]
         )
     )
@@ -2100,6 +2106,16 @@ def ann_recall_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst-vector recall. The truth arm refuses past the pairwise
     guard, same contract as dedup_embedding_cosine; integer hit
     counts sum exactly, so the 1-row summary is deterministic."""
+    truth = _knn_exact_truth(spark, sf_dir, "ann_recall_knn_join")
+    return _knn_recall_summary(_knn_join_ivf(spark, sf_dir), truth)
+
+
+def _knn_exact_truth(
+    spark: SparkSession, sf_dir: str, caller: str
+) -> DataFrame:
+    """Exact top-{K_JOIN} panel truth (src, dst) for the kNN-join
+    recall gates — the guarded-quadratic arm shared by the IVF and PQ
+    recall queries (pure code motion from ann_recall_knn_join, r12)."""
     from kinesis_s3_spark.operators.dedup import (
         EMBEDDING_PAIRWISE_MAX_ROWS,
         PairwiseScaleError,
@@ -2109,7 +2125,7 @@ def ann_recall_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     if n > EMBEDDING_PAIRWISE_MAX_ROWS:
         raise PairwiseScaleError(
-            f"ann_recall_knn_join: {n} vectors (> {EMBEDDING_PAIRWISE_MAX_ROWS}); "
+            f"{caller}: {n} vectors (> {EMBEDDING_PAIRWISE_MAX_ROWS}); "
             "the exact truth arm is quadratic"
         )
     # truth panel = every 4th vector: the quadratic arm shrinks 4x
@@ -2176,12 +2192,18 @@ def ann_recall_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "src long, dst long, cos double"
     )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
-    truth = (
+    return (
         batch_top.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= K_JOIN)
         .select("src", "dst")
     )
-    approx = _knn_join_ivf(spark, sf_dir).select(
+
+
+def _knn_recall_summary(approx_join: DataFrame, truth: DataFrame) -> DataFrame:
+    """(n_vectors, mean_recall, min_recall) of an approximate kNN join
+    against the exact panel truth (code motion from
+    ann_recall_knn_join, r12)."""
+    approx = approx_join.select(
         F.col("vec_id").alias("a_src"), F.col("nbr_id").alias("a_dst")
     )
     hits = (
@@ -2266,6 +2288,376 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("pred_label")).alias("agree"),
         )
     )
+
+
+# --- PQ-compressed kNN self-join (IVFPQ + refine) ----------------------------
+#
+# The compressed-domain twin of ann_knn_join_ivf: candidate SCORING —
+# the 1.45·ln N·N^1.5 term that dominates the join — runs on PQ codes
+# via ADC lookup tables (JPQ_M adds per pair) instead of full DIM-wide
+# float math, and the raw vectors are touched only for an exact-cosine
+# rerank of each query's per-cell ADC shortlist (adc_short() rows per
+# (query, probed cell, role) — O(R·ln N·N) full-dim pairs, linear·log
+# vs the N^1.5 candidate volume). This is FAISS's IndexIVFPQ +
+# RefineFlat operating point with the library-default 8×8-bit code
+# layout: at 100 TB the member side of the candidate join needs only
+# (code, norm) — 8 B of codes + one double vs DIM×8 = 512 B raw, a
+# ~32× shuffle-width cut — and the raw-vector gather happens once per
+# SHORTLIST row, not per candidate. Here both cogroup frames carry the
+# raw vector so the rerank stays inside the one cogroup pass and the
+# oracle checks train → encode → probe → ADC shortlist → exact rerank
+# end-to-end.
+#
+# Code-size finding (r12, measured on this corpus's isotropic vectors —
+# PQ's documented worst case, no cluster structure for codebooks to
+# exploit): ann_pq_topk's 4×16 grid (16-bit codes) gives near-noise ADC
+# ordering for the self-join — mean recall@3 0.420 at sf0.1 with
+# shortlist 8, and reranking 70% of every cell only reached 0.746. The
+# 8-subspace × 256-centroid grid (64-bit codes) restores usable signal:
+# 0.936 (sf0.01) / 0.812 (sf0.1) at shortlist 16 vs the uncompressed
+# IVF join's 0.951 / 0.878 ceiling — the quantization toll is ~4 recall
+# points for a 64× smaller scan payload.
+
+ADC_SHORT = 16  # default exact-rerank shortlist per (query, cell, role)
+JPQ_M = 8  # join-PQ subspaces (FAISS IVFPQ default m)
+JPQ_SUB = DIM // JPQ_M
+JPQ_K = 256  # centroids per join codebook (8-bit codes, FAISS default)
+
+
+def adc_short() -> int:
+    """Deployable rerank-budget knob (the knn_probe_coef pattern):
+    shortlist rows per (query, probed cell, role). Override via
+    SPARK_GRAFT_ADC_SHORT at process start — the oracle SQL snapshots
+    it at module import, the Spark side captures it per call, so both
+    engines agree when it is set at launch. Measured at sf0.1 (N=5000,
+    IVF ceiling 0.878): with 8×64 codebooks shortlist 8/12/16 →
+    0.701/0.737/0.766; with the shipped 8×256, shortlist 16 → 0.812."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_ADC_SHORT", ADC_SHORT))
+
+
+def _knn_join_pq_sql() -> str:
+    """The full IVFPQ pipeline unrolled for DuckDB: trained-IVF cells
+    (the _knn_join_sql chain), the {JPQ_M} per-subspace PQ codebook
+    trainings + argmin encodings (the ann_pq_topk chains,
+    parameterized), per-query ADC dot-product lookup tables over every
+    corpus vector, role-symmetric candidate pairs, a per-(query, cell,
+    role) ADC shortlist, and an exact-cosine rerank with the global
+    top-k. Heavy CTEs are MATERIALIZED (the emb_kcenter precedent) —
+    inlined, the multi-LUT join tree re-expands every Lloyd chain and
+    the optimizer loses the plot (>400 s at sf0.001; 2 s materialized)."""
+    lut = ",".join(
+        f"""
+    knn_lut{m} AS MATERIALIZED (
+      SELECT q.vec_id AS q_id, c.cid,
+             ROUND(list_dot_product(
+               q.e[{m * JPQ_SUB + 1}:{(m + 1) * JPQ_SUB}], c.c), 4) AS dv
+      FROM v q, pc{m}2 c)"""
+        for m in range(JPQ_M)
+    )
+    code_cols = ", ".join(f"p{m}.cid AS k{m}" for m in range(JPQ_M))
+    code_joins = "\n                  ".join(
+        f"JOIN pe{m} p{m} USING (vec_id)" for m in range(1, JPQ_M)
+    )
+    adc_sum = " + ".join(f"l{m}.dv" for m in range(JPQ_M))
+    lut_joins = "\n      ".join(
+        f"JOIN knn_lut{m} l{m} ON l{m}.q_id = p.src AND l{m}.cid = cd.k{m}"
+        for m in range(JPQ_M)
+    )
+    return (
+        "WITH "
+        + _knn_join_cent_sql()
+        + f""",
+    ranked AS MATERIALIZED (
+      SELECT vv.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vv.vec_id
+               ORDER BY ROUND(vv.ee - 2 * list_dot_product(vv.e, c.c)
+                              + list_dot_product(c.c, c.c), 4) ASC, c.cid
+             ) AS rn
+      FROM vv, c2 c
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+    vprobe AS (SELECT vec_id AS src, cid FROM ranked WHERE rn <= {_knn_probes_sql()}),
+    """
+        + ",".join(
+            _pq_sub_chain_sql(m, sub=JPQ_SUB, k=JPQ_K) for m in range(JPQ_M)
+        )
+        + f""",
+    codes AS MATERIALIZED (
+      SELECT p0.vec_id, {code_cols}
+      FROM pe0 p0 {code_joins}
+    ),
+    """
+        + lut
+        + f""",
+    allpairs AS MATERIALIZED (
+      SELECT vp.src, a.vec_id AS dst, vp.cid AS cell, 0 AS role
+      FROM vprobe vp JOIN assign a USING (cid) WHERE a.vec_id != vp.src
+      UNION ALL
+      SELECT a.vec_id AS src, vp.src AS dst, vp.cid AS cell, 1 AS role
+      FROM vprobe vp JOIN assign a USING (cid) WHERE a.vec_id != vp.src
+    ),
+    knn_adc AS MATERIALIZED (
+      SELECT p.src, p.dst, p.cell, p.role,
+             ROUND(({adc_sum})
+                   / (SQRT(qq.ee) * SQRT(xx.ee)), 4) AS adc_cos
+      FROM allpairs p
+      JOIN codes cd ON cd.vec_id = p.dst
+      {lut_joins}
+      JOIN vv qq ON qq.vec_id = p.src
+      JOIN vv xx ON xx.vec_id = p.dst
+    ),
+    short AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY src, cell, role
+                 ORDER BY adc_cos DESC, dst) AS srn
+        FROM knn_adc
+      ) WHERE srn <= {adc_short()}
+    ),
+    cand_pq AS (SELECT DISTINCT src, dst FROM short),
+    rescored AS (
+      SELECT c.src, c.dst,
+             ROUND(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                          e2.embedding::DOUBLE[]), 4) AS cosine
+      FROM cand_pq c JOIN embeddings e1 ON c.src = e1.vec_id
+                     JOIN embeddings e2 ON c.dst = e2.vec_id
+    )
+    SELECT src AS vec_id, dst AS nbr_id, cosine, rank FROM (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+      FROM rescored
+    ) WHERE rank <= {K_JOIN}
+"""
+    )
+
+
+_KNN_JOIN_PQ_SQL = _knn_join_pq_sql()
+
+
+def _knn_cell_adc(books, short: int):
+    """Per-cell ADC scoring + exact rerank (Arrow cogroup UDF factory;
+    ``books`` = the trained PQ codebooks, broadcast by closure): for
+    each query of each role, score every candidate with the 4-entry
+    lookup-table sum, keep the ``short`` best by (adc_cos desc, id),
+    rerank those exactly, and emit the reranked shortlist rows — the
+    global top-k window cuts to K_JOIN, so pre-selection can only
+    drop rows the ADC ordering already rejected (that loss is what
+    ann_recall_knn_join_pq measures and gates).
+
+    Float parity with the oracle: per-subspace LUT entries are
+    sequential-dim dot products HALF_UP-rounded at 4 dp; the ADC sum
+    adds the 4 rounded entries left-to-right (the SQL's l0+l1+l2+l3);
+    adc_cos divides by SQRT(ee)·SQRT(ee) with the catalyst-fold norms
+    carried on the frame (bit-equal to numpy's sequential fold and
+    DuckDB's list_dot_product); the rerank is the _knn_cell_topk
+    cosine. Empty PQ clusters drop out of the codebooks identically in
+    both engines, so LUTs are indexed sparsely by surviving cid."""
+    maxcid = max(cid for b in books for cid, _ in b)
+    m_count = len(books)
+    sub = DIM // m_count
+
+    def f(probers, members):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vid": pd.Series(dtype="int64"),
+                "cand": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        if len(probers) == 0 or len(members) == 0:
+            return empty
+
+        def prep(pdf):
+            E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            ee = pdf["ee"].to_numpy().astype(np.float64)
+            codes = [
+                pdf[f"k{m}"].to_numpy().astype(np.int64) for m in range(m_count)
+            ]
+            return E, ids, ee, codes
+
+        A, B = prep(probers), prep(members)
+
+        def rnd4(x):
+            return np.trunc(x * 1e4 + np.copysign(0.5, x)) / 1e4
+
+        out_vid: list[int] = []
+        out_cand: list[int] = []
+        out_cos: list[float] = []
+
+        def run_role(Q, X):
+            QE, qid, qee, _ = Q
+            XE, xid, xee, xcodes = X
+            nq = len(qid)
+            adc = None
+            for m, book in enumerate(books):
+                Cm = np.asarray([c for _, c in book], dtype=np.float64)
+                cids = np.asarray([cid for cid, _ in book], dtype=np.int64)
+                Qm = QE[:, m * sub : (m + 1) * sub]
+                dots = np.zeros((nq, len(cids)))
+                for j in range(sub):  # sequential dim order (oracle fold)
+                    dots += np.outer(Qm[:, j], Cm[:, j])
+                dots = rnd4(dots)
+                lut = np.zeros((nq, maxcid + 1))
+                lut[:, cids] = dots
+                term = lut[:, xcodes[m]]
+                adc = term if adc is None else adc + term
+            adc_cos = rnd4(adc / (np.sqrt(qee)[:, None] * np.sqrt(xee)[None, :]))
+            for i in range(nq):
+                order = np.lexsort((xid, -adc_cos[i]))
+                sel: list[int] = []
+                for ix in order:
+                    if int(xid[ix]) == int(qid[i]):
+                        continue
+                    sel.append(int(ix))
+                    if len(sel) >= short:
+                        break
+                if not sel:
+                    continue
+                Xs = XE[sel]
+                dot = np.zeros(len(sel))
+                for j in range(QE.shape[1]):  # sequential dim order
+                    dot += QE[i, j] * Xs[:, j]
+                cos = rnd4(dot / (np.sqrt(qee[i]) * np.sqrt(xee[sel])))
+                for t, ix in enumerate(sel):
+                    out_vid.append(int(qid[i]))
+                    out_cand.append(int(xid[ix]))
+                    out_cos.append(float(cos[t]))
+
+        run_role(A, B)  # role 0: prober's shortlist among the cell's members
+        run_role(B, A)  # role 1: member's shortlist among the cell's probers
+        return pd.DataFrame(
+            {
+                "vid": np.asarray(out_vid, dtype=np.int64),
+                "cand": np.asarray(out_cand, dtype=np.int64),
+                "cos": np.asarray(out_cos, dtype=np.float64),
+            }
+        )
+
+    return f
+
+
+def _knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ kNN self-join: the _knn_join_ivf blocking (trained √N
+    cells, ln N probes) with compressed-domain candidate scoring —
+    see the section comment for the scale economics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cells = knn_cells(n)
+    probes = knn_probes(n)
+    vv = kmeans_vv(spark, sf_dir)
+    cents = lloyd_centroids(
+        vv,
+        cells,
+        KNN_KM_ITERS,
+        assign_fn=lambda f, c: _knn_rank_arrow(f, c, 1).select("cid", "e"),
+    )
+    subs = _pq_subs(vv, JPQ_M, JPQ_SUB)
+    books = _pq_codebooks(spark, subs, JPQ_M, JPQ_K)
+    code_cols = [f"k{m}" for m in range(JPQ_M)]
+    enc = _pq_encode(spark, vv, subs, books).select("vec_id", "ee", *code_cols)
+    ranked = _knn_rank_arrow(vv, cents, probes)
+    # one vec_id equi-join attaches codes + norm to the probed
+    # projection; localCheckpoint for the same reason as _knn_join_ivf
+    probed = (
+        ranked.join(enc, "vec_id")
+        .select("cid", "vec_id", "e", "ee", "rn", *code_cols)
+        .localCheckpoint()
+    )
+    members = probed.filter(F.col("rn") == 1).drop("rn")
+    probers = probed.drop("rn")
+    cell_short = (
+        probers.groupBy("cid")
+        .cogroup(members.groupBy("cid"))
+        .applyInPandas(
+            _knn_cell_adc(books, adc_short()), "vid long, cand long, cos double"
+        )
+    )
+    # a pair can surface from both roles / several cells with the same
+    # exact rerank cosine → distinct before the global rank
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), "cand")
+    return (
+        cell_short.distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_JOIN)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("cand").alias("nbr_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )
+
+
+@query("ann_knn_join_pq", oracle=_KNN_JOIN_PQ_SQL)
+def ann_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain kNN SELF-join (FAISS IndexIVFPQ + RefineFlat
+    shape): the ann_knn_join_ivf blocking with candidate scoring on
+    JPQ_M×JPQ_K = 8×256 (64-bit, the FAISS-default layout) PQ codes via
+    ADC lookup tables, exact-cosine rerank restricted to each query's
+    per-cell adc_short() shortlist. Same output contract as the IVF
+    join (top-K_JOIN neighbors per vector by exact reranked cosine).
+
+    Scale: the dominant 1.45·ln N·N^1.5 candidate term costs JPQ_M=8
+    table adds per pair instead of DIM=64 float mults (~8× less
+    arithmetic), and full-dim math touches only the reranked shortlist
+    — ≤ (probes+1)·short·N pairs, linear·log in N. At 100 TB the member
+    side of the candidate join carries (codes, norm) = 16 B instead of
+    the 512 B raw vector, shrinking the join-side shuffle ~32×; the
+    raw-vector gather then happens once per SHORTLIST row, not per
+    candidate. ann_recall_knn_join_pq gates the ADC shortlist's recall
+    loss against the exact join at both anchor scales (measured 0.936 /
+    0.812 vs the uncompressed IVF join's 0.951 / 0.878 ceiling; the
+    section comment records the 16-bit near-noise finding that set the
+    code size)."""
+    return _knn_join_pq(spark, sf_dir)
+
+
+@query(
+    "ann_recall_knn_join_pq",
+    oracle=f"""
+    WITH truth AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                       b.embedding::DOUBLE[]), 4) DESC,
+                          b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 4 = 0
+      ) WHERE rk <= {K_JOIN}
+    ),
+    approx AS ({_KNN_JOIN_PQ_SQL}),
+    hits AS (
+      SELECT t.src, COUNT(a.nbr_id) AS n_hit
+      FROM truth t LEFT JOIN approx a
+        ON t.src = a.vec_id AND t.dst = a.nbr_id
+      GROUP BY t.src
+    )
+    SELECT COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(n_hit) AS DOUBLE) / (COUNT(*) * {K_JOIN}), 6)
+             AS mean_recall,
+           ROUND(MIN(n_hit) / CAST({K_JOIN} AS DOUBLE), 6) AS min_recall
+    FROM hits
+    """,
+)
+def ann_recall_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K_JOIN} of the COMPRESSED-domain (IVFPQ + refine) kNN
+    self-join against the exact panel truth — measures what the ADC
+    shortlist costs on top of the IVF blocking loss
+    (ann_recall_knn_join measures the blocking alone; the difference
+    is the pure quantization toll). Same guarded truth arm, same
+    deterministic 1-row summary."""
+    truth = _knn_exact_truth(spark, sf_dir, "ann_recall_knn_join_pq")
+    return _knn_recall_summary(_knn_join_pq(spark, sf_dir), truth)
 
 
 MMR_POOL = 20  # candidate pool (distributed top-k by relevance)

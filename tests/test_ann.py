@@ -336,6 +336,40 @@ def test_knn_join_recall_holds_at_sf01(spark):
     assert rec["mean_recall"] >= 0.8
 
 
+def test_knn_join_pq_shape_and_recall(spark):
+    """IVFPQ + refine kNN self-join: same output contract as the IVF
+    join (≤ K_JOIN ranked neighbors, no self-loops, non-increasing
+    exact cosine), and the compressed-domain recall stays ≥ 0.8 —
+    measured 0.936 at sf0.01 with the 8×256 codebooks + shortlist 16
+    (the 4×16 grid measured near-noise: 0.688)."""
+    from kinesis_s3_spark.operators.ann import K_JOIN
+
+    n = load_table(spark, SF_CORRECT, "embeddings").count()
+    rows = Q["ann_knn_join_pq"](spark, SF_CORRECT).collect()
+    by_v = {}
+    for r in rows:
+        assert r["vec_id"] != r["nbr_id"]
+        by_v.setdefault(r["vec_id"], []).append(r)
+    assert len(by_v) == n
+    for v, rs in by_v.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= K_JOIN
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    rec = Q["ann_recall_knn_join_pq"](spark, SF_CORRECT).collect()[0]
+    assert rec["mean_recall"] >= 0.8
+
+
+def test_knn_join_pq_recall_holds_at_sf01(spark):
+    """The ≥0.8 floor at the larger anchor scale too (measured 0.812
+    vs the uncompressed IVF join's 0.878 ceiling): fixed 16-bit codes
+    decayed to 0.42 here — the 64-bit code size, not the shortlist, is
+    what restores scale-stable ordering signal."""
+    rec = Q["ann_recall_knn_join_pq"](spark, "/root/testdata/sf0.1").collect()[0]
+    assert rec["mean_recall"] >= 0.8
+
+
 def test_knn_probe_count_scales_with_corpus():
     """The probe formula's Python/SQL twins agree at the gated scales
     and grow ~logarithmically (never below the floor, never anywhere
