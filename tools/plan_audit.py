@@ -208,6 +208,17 @@ def audit(write_budgets: bool = False) -> int:
     bad = []
     for name, fn in entrymod.queries().items():
         try:
+            # order-robustness (r12): without this, a frame cached by an
+            # EARLIER query turns a later query's scan into an
+            # InMemoryRelation and shifts its exchange count — budgets
+            # then silently depend on the registry's gate-band ordering,
+            # and every band rotation shows phantom "regressions"
+            # (observed: dedup_minhash_containment 6 ↔ 7 purely by
+            # order). Clearing between queries makes each count equal
+            # its isolated-session value, which is what the committed
+            # budget should pin. A query's OWN caches (built during its
+            # eager training collects) are unaffected.
+            spark.catalog.clearCache()
             plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # guarded ops may refuse; not a plan defect
             print(json.dumps({"query": name, "skipped": str(e)[:80]}))
