@@ -1015,7 +1015,7 @@ _PQ_TOPK_SQL = (
 )
 
 
-def _pq_subs(vv: DataFrame, m_count: int = PQ_M, sub: int = PQ_SUB) -> DataFrame:
+def _pq_subs(vv: DataFrame) -> DataFrame:
     """Long-format subspace view (vec_id, m, se, see), CACHED — one
     frame feeds seed collection, every Lloyd round, and encoding."""
     return (
@@ -1023,7 +1023,7 @@ def _pq_subs(vv: DataFrame, m_count: int = PQ_M, sub: int = PQ_SUB) -> DataFrame
             "vec_id",
             F.posexplode(
                 F.array(
-                    *[F.slice("e", m * sub + 1, sub) for m in range(m_count)]
+                    *[F.slice("e", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
                 )
             ).alias("m", "se"),
         )
@@ -1073,10 +1073,7 @@ def _pq_assign(spark: SparkSession, subs: DataFrame, books) -> DataFrame:
 
 
 def _pq_codebooks(
-    spark: SparkSession,
-    subs: DataFrame,
-    m_count: int = PQ_M,
-    k: int = PQ_K,
+    spark: SparkSession, subs: DataFrame
 ) -> list[list[tuple[int, list[float]]]]:
     """Train ALL M codebooks concurrently over the long-format frame:
     each Lloyd round is ONE assignment-plus-means job across every
@@ -1090,7 +1087,7 @@ def _pq_codebooks(
     (that job latency was most of this query's former 15 s fixed
     cost; the rest was literal-expression codegen, see _pq_cents_df)."""
     seed_rows = (
-        subs.filter(F.col("vec_id") < k).select("vec_id", "m", "se").collect()
+        subs.filter(F.col("vec_id") < PQ_K).select("vec_id", "m", "se").collect()
     )
     books: list[list[tuple[int, list[float]]]] = [
         sorted(
@@ -1100,7 +1097,7 @@ def _pq_codebooks(
                 if int(r["m"]) == m
             )
         )
-        for m in range(m_count)
+        for m in range(PQ_M)
     ]
     for _ in range(PQ_ITERS):
         assigned = _pq_assign(spark, subs, books)
@@ -1111,7 +1108,7 @@ def _pq_codebooks(
             .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
             .collect()
         )
-        by_m: list[dict[int, dict[int, float]]] = [dict() for _ in range(m_count)]
+        by_m: list[dict[int, dict[int, float]]] = [dict() for _ in range(PQ_M)]
         for r in means:
             by_m[int(r["m"])].setdefault(int(r["cid"]), {})[int(r["pos"])] = float(
                 r["cx"]
@@ -1121,7 +1118,7 @@ def _pq_codebooks(
                 (cid, [pos_map[p] for p in sorted(pos_map)])
                 for cid, pos_map in sorted(by_m[m].items())
             ]
-            for m in range(m_count)
+            for m in range(PQ_M)
         ]
     return books
 
@@ -2316,7 +2313,12 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8-subspace × 256-centroid grid (64-bit codes) restores usable signal:
 # 0.936 (sf0.01) / 0.812 (sf0.1) at shortlist 16 vs the uncompressed
 # IVF join's 0.951 / 0.878 ceiling — the quantization toll is ~4 recall
-# points for a 64× smaller scan payload.
+# points for a 64× smaller scan payload. Wall-clock honesty: the ADC
+# lookup-table build is probes·N·M·K flops regardless of cell size, so
+# at test scales (cells of 70-223 members ≪ M·K = 2048) the PQ arm
+# measures ~2.6× the IVF arm; the win crosses over where members/cell
+# = √N ≫ M·K (N ≈ 4M+ vectors — the production regime). SCALE.md r12
+# names the term and the measured points.
 
 ADC_SHORT = 16  # default exact-rerank shortlist per (query, cell, role)
 JPQ_M = 8  # join-PQ subspaces (FAISS IVFPQ default m)
@@ -2544,6 +2546,117 @@ def _knn_cell_adc(books, short: int):
     return f
 
 
+def _pq_rank_arrow(vv: DataFrame, books, sub: int) -> DataFrame:
+    """(vec_id, m, cid, se): every subspace's argmin code in ONE
+    blocked Arrow pass over the WIDE vector frame — the _knn_rank_arrow
+    twin for PQ assignment. The catalyst formulation (_pq_assign:
+    broadcast-join the long subspace frame against M·K centroid rows and
+    fold 2 dots per pair) costs N·M·K higher-order-function folds —
+    fine at ann_pq_topk's 4×16 grid, but the join's 8×256 codebooks
+    put 3 such passes (2 Lloyd rounds + encode) at ~10M folds each,
+    ~30 s of the probe's 36 s at sf0.1; this kernel does the same
+    arithmetic as dense numpy blocks in milliseconds.
+
+    Float parity with _KM_ASSIGN_SQL (the oracle's pa/pe chains):
+    per-subspace see/cc/dot accumulate in ASCENDING dim order (the
+    catalyst/DuckDB fold), dist = (see − 2·dot) + cc, HALF_UP-rounded
+    at 4 dp, argmin with cid tie-break via lexsort."""
+    cb = [
+        (
+            [int(cid) for cid, _ in book],
+            [[float(x) for x in c] for _, c in book],
+        )
+        for book in books
+    ]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats = [
+            (np.asarray(cids, dtype=np.int64), np.asarray(cents, dtype=np.float64))
+            for cids, cents in cb
+        ]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy().astype(np.int64)
+            frames = []
+            for m, (cids, C) in enumerate(mats):
+                Em = E[:, m * sub : (m + 1) * sub]
+                see = np.zeros(len(E))
+                cc = np.zeros(len(cids))
+                dot = np.zeros((len(E), len(cids)))
+                for j in range(sub):  # sequential dim order — see docstring
+                    see += Em[:, j] * Em[:, j]
+                    cc += C[:, j] * C[:, j]
+                    dot += np.outer(Em[:, j], C[:, j])
+                dist = see[:, None] - 2 * dot + cc[None, :]
+                dist = np.trunc(dist * 1e4 + np.copysign(0.5, dist)) / 1e4
+                # codebooks are cid-sorted, so argmin's first-occurrence
+                # rule IS the (dist, cid) lexsort tie-break — no per-row
+                # loop (at sf1 the loop was 400k lexsorts per pass)
+                ix = np.argmin(dist, axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vids,
+                            "m": np.full(len(E), m, dtype=np.int32),
+                            "cid": cids[ix],
+                            "se": list(Em),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return vv.select("vec_id", "e").mapInPandas(
+        gen, "vec_id long, m int, cid int, se array<double>"
+    )
+
+
+def _pq_codebooks_arrow(
+    spark: SparkSession, vv: DataFrame, m_count: int, sub: int, k: int
+) -> list[list[tuple[int, list[float]]]]:
+    """Train the join's M codebooks with the blocked Arrow assignment
+    (math identical to _pq_codebooks: vec_id < k seeds, PQ_ITERS Lloyd
+    rounds, DECIMAL(38,12)/ROUND-6 means keyed (m, cid, pos) — the
+    unrolled per-subspace oracle chains check every round)."""
+    seed_rows = vv.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
+    books: list[list[tuple[int, list[float]]]] = [
+        sorted(
+            (
+                int(r["vec_id"]),
+                [float(x) for x in r["e"][m * sub : (m + 1) * sub]],
+            )
+            for r in seed_rows
+        )
+        for m in range(m_count)
+    ]
+    for _ in range(PQ_ITERS):
+        assigned = _pq_rank_arrow(vv, books, sub)
+        means = (
+            assigned.select("m", "cid", F.posexplode("se").alias("pos", "xd"))
+            .select("m", "cid", "pos", F.col("xd").cast(_DEC).alias("x"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
+            .collect()
+        )
+        by_m: list[dict[int, dict[int, float]]] = [dict() for _ in range(m_count)]
+        for r in means:
+            by_m[int(r["m"])].setdefault(int(r["cid"]), {})[int(r["pos"])] = float(
+                r["cx"]
+            )
+        books = [
+            [
+                (cid, [pos_map[p] for p in sorted(pos_map)])
+                for cid, pos_map in sorted(by_m[m].items())
+            ]
+            for m in range(m_count)
+        ]
+    return books
+
+
 def _knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ kNN self-join: the _knn_join_ivf blocking (trained √N
     cells, ln N probes) with compressed-domain candidate scoring —
@@ -2559,10 +2672,19 @@ def _knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         KNN_KM_ITERS,
         assign_fn=lambda f, c: _knn_rank_arrow(f, c, 1).select("cid", "e"),
     )
-    subs = _pq_subs(vv, JPQ_M, JPQ_SUB)
-    books = _pq_codebooks(spark, subs, JPQ_M, JPQ_K)
+    books = _pq_codebooks_arrow(spark, vv, JPQ_M, JPQ_SUB, JPQ_K)
     code_cols = [f"k{m}" for m in range(JPQ_M)]
-    enc = _pq_encode(spark, vv, subs, books).select("vec_id", "ee", *code_cols)
+    enc = (
+        _pq_rank_arrow(vv, books, JPQ_SUB)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("m") == m, F.col("cid"))).alias(f"k{m}")
+                for m in range(JPQ_M)
+            ]
+        )
+        .join(vv.select("vec_id", "ee"), "vec_id")
+    )
     ranked = _knn_rank_arrow(vv, cents, probes)
     # one vec_id equi-join attaches codes + norm to the probed
     # projection; localCheckpoint for the same reason as _knn_join_ivf
