@@ -506,6 +506,55 @@ _EMB_DEDUP_LSH_SQL = f"""
 """
 
 
+def _cosine_verify_arrow(pairs_e: DataFrame, threshold: float) -> DataFrame:
+    """(v1, v2, cosine) for candidate rows carrying raw vectors e1/e2,
+    keeping only rounded cosine >= threshold — the exact-verify stage of
+    the LSH dedup paths as ONE vectorized Arrow pass.
+
+    r12 optimization (guide §4.2): the former per-row catalyst fold
+    (``F.round(cosine_sim(e1, e2), 4)``) evaluated three 64-dim
+    higher-order-function folds per candidate — ~900k candidates at
+    sf0.1 for the noise-floor variant, ~100× that at sf1 — and
+    dominated both LSH dedup queries. Float parity with the oracle
+    (the _pq_rank_arrow convention): dot/n1²/n2² accumulate in
+    ASCENDING dim order (the catalyst/DuckDB list fold), cosine =
+    dot/(sqrt·sqrt) with the same IEEE ops, rounding is
+    trunc(x·1e4 ± 0.5)/1e4 — DuckDB's ROUND on DOUBLE exactly."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E1 = np.stack(pdf["e1"].to_numpy()).astype(np.float64)
+            E2 = np.stack(pdf["e2"].to_numpy()).astype(np.float64)
+            d = E1.shape[1]
+            n = len(pdf)
+            dot = np.zeros(n)
+            n1 = np.zeros(n)
+            n2 = np.zeros(n)
+            for j in range(d):  # sequential dim order — see docstring
+                dot += E1[:, j] * E2[:, j]
+                n1 += E1[:, j] * E1[:, j]
+                n2 += E2[:, j] * E2[:, j]
+            c = dot / (np.sqrt(n1) * np.sqrt(n2))
+            c = np.trunc(c * 1e4 + np.copysign(0.5, c)) / 1e4
+            m = c >= threshold
+            yield pd.DataFrame(
+                {
+                    "v1": pdf["v1"].to_numpy()[m],
+                    "v2": pdf["v2"].to_numpy()[m],
+                    "cosine": c[m],
+                }
+            )
+
+    return pairs_e.select("v1", "v2", "e1", "e2").mapInPandas(
+        gen, "v1 long, v2 long, cosine double"
+    )
+
+
 def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared LSH-candidate near-dup pair pipeline (Spark side of
     _EMB_DEDUP_LSH_SQL)."""
@@ -540,12 +589,8 @@ def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    return (
-        cand.join(e1, "v1")
-        .join(e2, "v2")
-        .withColumn("cosine", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4))
-        .filter(F.col("cosine") >= EMB_DEDUP_THRESHOLD)
-        .select("v1", "v2", "cosine")
+    return _cosine_verify_arrow(
+        cand.join(e1, "v1").join(e2, "v2"), EMB_DEDUP_THRESHOLD
     )
 
 
@@ -889,12 +934,8 @@ def dedup_embedding_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e1 = aug.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     e2 = aug.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    return (
-        cand.join(e1, "v1")
-        .join(e2, "v2")
-        .withColumn("cosine", F.round(cosine_sim(F.col("e1"), F.col("e2")), 4))
-        .filter(F.col("cosine") >= STRICT_THRESHOLD)
-        .select("v1", "v2", "cosine")
+    return _cosine_verify_arrow(
+        cand.join(e1, "v1").join(e2, "v2"), STRICT_THRESHOLD
     )
 
 
@@ -1015,134 +1056,6 @@ _PQ_TOPK_SQL = (
 )
 
 
-def _pq_subs(vv: DataFrame) -> DataFrame:
-    """Long-format subspace view (vec_id, m, se, see), CACHED — one
-    frame feeds seed collection, every Lloyd round, and encoding."""
-    return (
-        vv.select(
-            "vec_id",
-            F.posexplode(
-                F.array(
-                    *[F.slice("e", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
-                )
-            ).alias("m", "se"),
-        )
-        .withColumn("see", _dot(F.col("se"), F.col("se")))
-        .cache()
-    )
-
-
-def _pq_cents_df(spark: SparkSession, books) -> DataFrame:
-    """The current codebooks as a broadcast-sized (m, cid, c) frame.
-    A join against ≤ M·K runtime rows keeps the scoring expression
-    SMALL — the previous literal formulation inlined all M·K centroid
-    arrays into one expression tree, and whole-stage-codegen COMPILE
-    time (seconds per distinct round/encode plan, independent of data
-    size) dominated the query."""
-    return F.broadcast(
-        spark.createDataFrame(
-            [(m, cid, list(c)) for m in range(len(books)) for cid, c in books[m]],
-            "m int, cid int, c array<double>",
-        )
-    )
-
-
-def _pq_assign(spark: SparkSession, subs: DataFrame, books) -> DataFrame:
-    """(vec_id, m, se, cid): per-subspace argmin code via broadcast
-    join + min over (dist, cid) structs — lexicographic struct min ==
-    the rounded-dist argmin with cid tie-break (_km_assign's ordering);
-    se is constant within each (vec_id, m) group so first() is
-    deterministic."""
-    scored = subs.join(_pq_cents_df(spark, books), "m").select(
-        "vec_id",
-        "m",
-        "se",
-        F.struct(
-            F.round(
-                F.col("see")
-                - 2 * _dot(F.col("se"), F.col("c"))
-                + _dot(F.col("c"), F.col("c")),
-                4,
-            ).alias("dist"),
-            F.col("cid").alias("cid"),
-        ).alias("dc"),
-    )
-    return scored.groupBy("vec_id", "m").agg(
-        F.min("dc")["cid"].alias("cid"), F.first("se").alias("se")
-    )
-
-
-def _pq_codebooks(
-    spark: SparkSession, subs: DataFrame
-) -> list[list[tuple[int, list[float]]]]:
-    """Train ALL M codebooks concurrently over the long-format frame:
-    each Lloyd round is ONE assignment-plus-means job across every
-    subspace at once — the means aggregate keys on (m, cid, pos) and
-    collects ≤ M·K·PQ_SUB rows. Per-subspace math is IDENTICAL to
-    running lloyd_centroids M times (same vec_id < K seeds, same 4-dp
-    rounded dist with cid tie-break, same DECIMAL(38,12)/ROUND-6
-    means), which is what the unrolled per-subspace oracle chains
-    check; only the JOB COUNT changes — 1 seed collect + PQ_ITERS
-    collects instead of M·(1+PQ_ITERS) sequential driver round-trips
-    (that job latency was most of this query's former 15 s fixed
-    cost; the rest was literal-expression codegen, see _pq_cents_df)."""
-    seed_rows = (
-        subs.filter(F.col("vec_id") < PQ_K).select("vec_id", "m", "se").collect()
-    )
-    books: list[list[tuple[int, list[float]]]] = [
-        sorted(
-            (
-                (int(r["vec_id"]), [float(x) for x in r["se"]])
-                for r in seed_rows
-                if int(r["m"]) == m
-            )
-        )
-        for m in range(PQ_M)
-    ]
-    for _ in range(PQ_ITERS):
-        assigned = _pq_assign(spark, subs, books)
-        means = (
-            assigned.select("m", "cid", F.posexplode("se").alias("pos", "xd"))
-            .select("m", "cid", "pos", F.col("xd").cast(_DEC).alias("x"))
-            .groupBy("m", "cid", "pos")
-            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
-            .collect()
-        )
-        by_m: list[dict[int, dict[int, float]]] = [dict() for _ in range(PQ_M)]
-        for r in means:
-            by_m[int(r["m"])].setdefault(int(r["cid"]), {})[int(r["pos"])] = float(
-                r["cx"]
-            )
-        books = [
-            [
-                (cid, [pos_map[p] for p in sorted(pos_map)])
-                for cid, pos_map in sorted(by_m[m].items())
-            ]
-            for m in range(PQ_M)
-        ]
-    return books
-
-
-def _pq_encode(
-    spark: SparkSession, vv: DataFrame, subs: DataFrame, books
-) -> DataFrame:
-    """(vec_id, e, ee, k0..k{PQ_M-1}): final argmin codes from the
-    shared assignment path, pivoted to one row per vector and joined
-    back to the raw vectors (for the exact rerank). Both shuffles key
-    on vec_id — uniform at any corpus size."""
-    codes = (
-        _pq_assign(spark, subs, books)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.min(F.when(F.col("m") == m, F.col("cid"))).alias(f"k{m}")
-                for m in range(len(books))
-            ]
-        )
-    )
-    return vv.select("vec_id", "e", "ee").join(codes, "vec_id")
-
-
 def _pq_query_side(vv: DataFrame, books) -> list[dict]:
     """Driver-side query prep: for each query vector, the per-subspace
     ADC lookup tables as RAW (unrounded) doubles — the dist arithmetic
@@ -1175,9 +1088,25 @@ def _pq_query_side(vv: DataFrame, books) -> list[dict]:
 
 def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vv = kmeans_vv(spark, sf_dir)
-    subs = _pq_subs(vv)
-    books = _pq_codebooks(spark, subs)
-    enc = _pq_encode(spark, vv, subs, books)
+    # r12 optimization (guide §4.2): train + encode on the blocked
+    # Arrow PQ ranker (_pq_rank_arrow / _pq_codebooks_arrow — the kNN
+    # join's gated path, math identical to the former catalyst
+    # _pq_subs/_pq_assign chain: same vec_id<k seeds, same rounded
+    # argmin with cid tie-break, same DECIMAL/ROUND-6 means), removing
+    # the long-format explode+cache and three broadcast-join+fold+
+    # window passes. The unrolled oracle chains are unchanged.
+    books = _pq_codebooks_arrow(spark, vv, PQ_M, PQ_SUB, PQ_K)
+    enc = (
+        _pq_rank_arrow(vv, books, PQ_SUB)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("m") == m, F.col("cid"))).alias(f"k{m}")
+                for m in range(PQ_M)
+            ]
+        )
+        .join(vv.select("vec_id", "e", "ee"), "vec_id")
+    )
     queries = _pq_query_side(vv, books)
     q_lit = F.array(
         *[

@@ -40,14 +40,13 @@ from kinesis_s3_spark.operators.ann import (
     PLANT_N,
     PLANT_OFFSET,
     _STRICT_AUG_SQL,
+    _knn_rank_arrow,
     _strict_aug,
 )
-from kinesis_s3_spark.operators.dedup import cosine_sim
 from kinesis_s3_spark.operators.embeddings import (
     _KM_ASSIGN_SQL,
     _KM_UPDATE_SQL,
     _dot,
-    _km_assign,
     lloyd_centroids,
 )
 from kinesis_s3_spark.operators.registry import query
@@ -110,33 +109,89 @@ _SEMDEDUP_SQL = (
 
 def _sem_assign(spark: SparkSession, sf_dir: str, k: int = SEM_K) -> DataFrame:
     """(vec_id, e, cid) for the twin-augmented corpus after SEM_ITERS
-    Lloyd rounds — cached because the pair join reads it twice."""
+    Lloyd rounds — cached because the pair join reads it twice.
+
+    r12 optimization (guide §4.2): both the Lloyd rounds' assignment
+    passes and the final assignment ride ann._knn_rank_arrow (blocked
+    numpy, the kNN-join quantizer's gated ranker) instead of the
+    catalyst broadcast-join + 64-dim fold + window ranker — the n·k
+    fold evaluations per pass were the dominant non-pair cost at sf1.
+    Math identical (same rounded dist, same cid tie-break, ee from the
+    same catalyst fold), so the unrolled oracle chain is unchanged."""
     aug = _strict_aug(spark, sf_dir)
     vv = (
         aug.select("vec_id", F.col("embedding").alias("e"))
         .withColumn("ee", _dot(F.col("e"), F.col("e")))
         .cache()
     )
-    cents = lloyd_centroids(vv, k, SEM_ITERS)
-    return _km_assign(vv, cents, with_dist=False).cache()
+    cents = lloyd_centroids(
+        vv, k, SEM_ITERS,
+        assign_fn=lambda f, c: _knn_rank_arrow(f, c, 1).select("cid", "e"),
+    )
+    return _knn_rank_arrow(vv, cents, 1).select("vec_id", "e", "cid").cache()
+
+
+def _block_pairs_arrow(assign: DataFrame, keys: list[str]) -> DataFrame:
+    """(v1, v2) within-block pairs at rounded cosine >= SEM_THRESHOLD,
+    computed as BLOCKED numpy pair matrices per block (applyInPandas)
+    instead of a JVM self-join with a per-pair catalyst fold.
+
+    r12 optimization (guide §4.2): the former shape — equi-join the
+    assignment frame with itself on the block key, then evaluate
+    ``ROUND(cosine_sim(e1, e2), 4)`` per candidate row — materializes
+    Σ|block|²/2 pair ROWS (each carrying 2×dim doubles) and pays one
+    64-dim higher-order-function fold per pair; at sf1 that is ~28M
+    pairs and dominated dedup_semantic's 32 s. Here each block ships
+    ONCE (n rows, not n² pairs) and the pair scores come from dense
+    numpy blocks at memory bandwidth.
+
+    Float parity with the oracle (the _pq_rank_arrow convention):
+    dot / n1² / n2² accumulate in ASCENDING dim order (the catalyst /
+    DuckDB list fold), cosine = dot / (sqrt(n1²)·sqrt(n2²)) with the
+    same two IEEE ops, and rounding is trunc(x·1e4 ± 0.5)/1e4 — exactly
+    DuckDB's ROUND on DOUBLE (std::round of the scaled value). Row
+    blocks of 1024 bound the dense matrix at 1024×|block| doubles."""
+    cols = [*keys, "vec_id", "e"]
+
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"v1": pd.Series(dtype="int64"), "v2": pd.Series(dtype="int64")})
+        E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        vids = pdf["vec_id"].to_numpy().astype(np.int64)
+        d = E.shape[1]
+        nn = np.zeros(n)
+        for j in range(d):  # sequential dim order — see docstring
+            nn += E[:, j] * E[:, j]
+        norm = np.sqrt(nn)
+        out1, out2 = [], []
+        B = 1024
+        for lo in range(0, n, B):
+            hi = min(lo + B, n)
+            G = np.zeros((hi - lo, n))
+            for j in range(d):
+                G += np.outer(E[lo:hi, j], E[:, j])
+            C = G / np.outer(norm[lo:hi], norm)
+            C = np.trunc(C * 1e4 + np.copysign(0.5, C)) / 1e4
+            mask = (C >= SEM_THRESHOLD) & (vids[lo:hi, None] < vids[None, :])
+            ii, jj = np.nonzero(mask)
+            out1.append(vids[lo:hi][ii])
+            out2.append(vids[jj])
+        return pd.DataFrame(
+            {"v1": np.concatenate(out1), "v2": np.concatenate(out2)}
+        )
+
+    return assign.select(*cols).groupBy(*keys).applyInPandas(
+        block, "v1 long, v2 long"
+    )
 
 
 def _sem_pairs(assign: DataFrame) -> DataFrame:
     """(v1, v2) within-cluster pairs at rounded cosine >= threshold."""
-    a = assign.select(
-        F.col("cid"), F.col("vec_id").alias("v1"), F.col("e").alias("e1")
-    )
-    b = assign.select(
-        F.col("cid"), F.col("vec_id").alias("v2"), F.col("e").alias("e2")
-    )
-    return (
-        a.join(b, "cid")
-        .filter(F.col("v1") < F.col("v2"))
-        .filter(
-            F.round(cosine_sim(F.col("e1"), F.col("e2")), 4) >= SEM_THRESHOLD
-        )
-        .select("v1", "v2")
-    )
+    return _block_pairs_arrow(assign, ["cid"])
 
 
 @query("dedup_semantic", oracle=_SEMDEDUP_SQL)
@@ -407,32 +462,58 @@ _HIER_SQL = (
 
 def _hier_fine_assign(av: DataFrame, seeds: list[tuple[int, int, list[float]]]) -> DataFrame:
     """One fine assignment pass: score each vector against ONLY its
-    own coarse cell's fine centroids (broadcast equi-join on cid —
-    n·kk evaluations), rounded-dist argmin with fid tie-break."""
-    from pyspark.sql.window import Window
+    own coarse cell's fine centroids (n·kk evaluations), rounded-dist
+    argmin with fid tie-break.
 
-    spark = av.sparkSession
-    sdf = F.broadcast(
-        spark.createDataFrame(
-            [(cid, fid, [float(x) for x in c]) for cid, fid, c in seeds],
-            "cid int, fid int, c array<double>",
-        )
-    )
-    scored = av.join(sdf, "cid").select(
-        "vec_id",
-        "cid",
-        "e",
-        "fid",
-        F.round(
-            F.col("ee") - 2 * _dot(F.col("e"), F.col("c")) + _dot(F.col("c"), F.col("c")),
-            4,
-        ).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("fid").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "fid", "e")
+    r12 optimization (guide §4.2): one grouped blocked-numpy Arrow
+    pass (mapInPandas, rows batched then sub-grouped by cid) replaces
+    the former broadcast equi-join + per-pair catalyst 64-dim fold +
+    per-vector window rank — the _knn_rank_arrow recipe restricted to
+    each vector's own cell. Float parity: dist = (ee − 2·dot) + cc
+    with dot/cc accumulated in ASCENDING dim order, HALF_UP-rounded
+    (trunc(x·1e4 ± .5)); fids per cell are argmin'd in ascending fid
+    order so numpy's first-occurrence rule IS the fid tie-break."""
+    by_cid: dict[int, tuple[list[int], list[list[float]]]] = {}
+    for cid, fid, c in sorted(seeds):
+        by_cid.setdefault(cid, ([], []))
+        by_cid[cid][0].append(fid)
+        by_cid[cid][1].append([float(x) for x in c])
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats = {}
+        for cid, (fids, cents) in by_cid.items():
+            C = np.asarray(cents, dtype=np.float64)
+            cc = np.zeros(len(fids))
+            for j in range(C.shape[1]):  # sequential dim order
+                cc += C[:, j] * C[:, j]
+            mats[cid] = (np.asarray(fids, dtype=np.int64), C, cc)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cid, grp in pdf.groupby("cid", sort=False):
+                fids, C, cc = mats[int(cid)]
+                E = np.stack(grp["e"].to_numpy()).astype(np.float64)
+                ee = grp["ee"].to_numpy().astype(np.float64)
+                dot = np.zeros((len(grp), len(fids)))
+                for j in range(C.shape[1]):  # sequential dim order
+                    dot += np.outer(E[:, j], C[:, j])
+                dist = ee[:, None] - 2 * dot + cc[None, :]
+                dist = np.trunc(dist * 1e4 + np.copysign(0.5, dist)) / 1e4
+                ix = np.argmin(dist, axis=1)  # fids ascending → tie-break
+                yield pd.DataFrame(
+                    {
+                        "vec_id": grp["vec_id"].to_numpy(),
+                        "cid": np.full(len(grp), int(cid), dtype=np.int32),
+                        "fid": fids[ix].astype(np.int32),
+                        "e": grp["e"].to_numpy(),
+                    }
+                )
+
+    return av.select("vec_id", "cid", "e", "ee").mapInPandas(
+        gen, "vec_id long, cid int, fid int, e array<double>"
     )
 
 
@@ -446,10 +527,18 @@ def _hier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     kk = _hier_kk(vv.count())
-    cents = lloyd_centroids(vv, kk, SEM_ITERS)
-    av = _km_assign(vv, cents, with_dist=False).join(
-        vv.select("vec_id", "ee"), "vec_id"
-    ).cache()
+    # coarse Lloyd + assignment on the blocked Arrow ranker (same
+    # r12 swap as _sem_assign — math identical to the catalyst ranker)
+    cents = lloyd_centroids(
+        vv, kk, SEM_ITERS,
+        assign_fn=lambda f, c: _knn_rank_arrow(f, c, 1).select("cid", "e"),
+    )
+    av = (
+        _knn_rank_arrow(vv, cents, 1)
+        .select("vec_id", "e", "cid")
+        .join(vv.select("vec_id", "ee"), "vec_id")
+        .cache()
+    )
     # fine seeds: each cell's first kk members by vec_id
     from pyspark.sql.window import Window
 
@@ -508,18 +597,7 @@ def dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no query surface (SURVEY.md §2); extends the LLM-curation
     north star (Abbas et al. 2023, faiss coarse-quantizer practice)."""
     assign = _hier_assign(spark, sf_dir)
-    a = assign.select(
-        "cid", "fid", F.col("vec_id").alias("v1"), F.col("e").alias("e1")
-    )
-    b = assign.select(
-        "cid", "fid", F.col("vec_id").alias("v2"), F.col("e").alias("e2")
-    )
-    pairs = (
-        a.join(b, ["cid", "fid"])
-        .filter(F.col("v1") < F.col("v2"))
-        .filter(F.round(cosine_sim(F.col("e1"), F.col("e2")), 4) >= SEM_THRESHOLD)
-        .select("v1", "v2")
-    )
+    pairs = _block_pairs_arrow(assign, ["cid", "fid"])
     dups = pairs.groupBy(F.col("v2").alias("vec_id")).agg(
         F.min("v1").alias("dup_of"), F.count("*").alias("n_sim")
     )

@@ -200,15 +200,27 @@ def test_pq_codes_are_compressed_domain(spark):
     [0, 16) per subspace)."""
     from kinesis_s3_spark.operators.ann import (
         PQ_K,
-        _pq_codebooks,
-        _pq_encode,
-        _pq_subs,
+        PQ_M,
+        PQ_SUB,
+        _pq_codebooks_arrow,
+        _pq_rank_arrow,
     )
     from kinesis_s3_spark.operators.embeddings import kmeans_vv
+    from pyspark.sql import functions as _F
 
     vv = kmeans_vv(spark, SF_CORRECT)
-    subs = _pq_subs(vv)
-    enc = _pq_encode(spark, vv, subs, _pq_codebooks(spark, subs))
+    # the production encode path (r12: blocked Arrow training + argmin)
+    books = _pq_codebooks_arrow(spark, vv, PQ_M, PQ_SUB, PQ_K)
+    enc = (
+        _pq_rank_arrow(vv, books, PQ_SUB)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                _F.min(_F.when(_F.col("m") == m, _F.col("cid"))).alias(f"k{m}")
+                for m in range(PQ_M)
+            ]
+        )
+    )
     from pyspark.sql import functions as F
 
     bad = enc.filter(
