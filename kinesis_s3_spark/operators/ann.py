@@ -2595,13 +2595,28 @@ def _knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = knn_cells(n)
     probes = knn_probes(n)
     vv = kmeans_vv(spark, sf_dir)
-    cents = lloyd_centroids(
-        vv,
-        cells,
-        KNN_KM_ITERS,
-        assign_fn=lambda f, c: _knn_rank_arrow(f, c, 1).select("cid", "e"),
-    )
-    books = _pq_codebooks_arrow(spark, vv, JPQ_M, JPQ_SUB, JPQ_K)
+    # r12 optimization (guide §2.6): the coarse-quantizer Lloyd chain
+    # and the PQ codebook training are INDEPENDENT job chains (both
+    # read only the cached vv); running them from two driver threads
+    # overlaps their per-round driver round-trips — each chain is
+    # ~3 sequential small jobs of ~0.4 s fixed cost, so the wall cost
+    # of training drops from sum to max. Results are byte-identical
+    # (same jobs, same math, just concurrently scheduled).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cents_f = pool.submit(
+            lloyd_centroids,
+            vv,
+            cells,
+            KNN_KM_ITERS,
+            lambda f, c: _knn_rank_arrow(f, c, 1).select("cid", "e"),
+        )
+        books_f = pool.submit(
+            _pq_codebooks_arrow, spark, vv, JPQ_M, JPQ_SUB, JPQ_K
+        )
+        cents = cents_f.result()
+        books = books_f.result()
     code_cols = [f"k{m}" for m in range(JPQ_M)]
     enc = (
         _pq_rank_arrow(vv, books, JPQ_SUB)

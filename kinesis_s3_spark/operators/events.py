@@ -1090,29 +1090,51 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.col("q") - F.col("mu") * F.col("mu")), 6).alias("sigma"),
         )
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(_CUSUM_W - 1), Window.currentRow)
+    # r12 optimization (guide §4.2): the former shape materialized a
+    # ≤64-element collect_list PER ROW (n·W doubles through the window
+    # exchange) and folded it with a per-row catalyst higher-order
+    # aggregate — n·W greatest-folds, ~8 s at sf1. This kernel computes
+    # the identical per-row fold vectorized ACROSS rows: per type
+    # (sorted by ts, event_id — the window's order), W sweeps of
+    # s = max((s + x_{t-o}) − k, 0) with a ragged-start mask, which
+    # replays each row's fold element-for-element in the same IEEE op
+    # order ((acc + x) − k, then max; k = mu + 0.5·sigma precomputed
+    # with the same two ops). Rounding = trunc(x·1e6 + .5)/1e6, the
+    # established DuckDB-ROUND twin. μ/σ stay catalyst decimal sums.
+    joined = e.join(F.broadcast(st), "event_type").select(
+        "event_id", "event_type", "ts", "mu", "sigma", x.alias("x")
     )
-    lw = e.join(F.broadcast(st), "event_type").select(
-        "event_id",
-        "event_type",
-        "mu",
-        "sigma",
-        F.collect_list(x).over(w).alias("lst"),
-    )
-    k = F.col("mu") + 0.5 * F.col("sigma")
-    cs = lw.select(
-        "event_id",
-        "event_type",
-        "sigma",
-        F.round(
-            F.aggregate(
-                F.col("lst"), F.lit(0.0), lambda a, b: F.greatest(a + b - k, F.lit(0.0))
-            ),
-            6,
-        ).alias("cusum"),
+    w_len = _CUSUM_W
+
+    def fold(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        xv = pdf["x"].to_numpy(dtype=np.float64)
+        kk = pdf["mu"].to_numpy(dtype=np.float64) + 0.5 * pdf["sigma"].to_numpy(
+            dtype=np.float64
+        )
+        n = len(pdf)
+        s = np.zeros(n)
+        pos = np.arange(n)
+        for o in range(w_len - 1, -1, -1):  # oldest window element first
+            idx = pos - o
+            valid = idx >= 0
+            xs = xv[np.maximum(idx, 0)]
+            s = np.where(valid, np.maximum((s + xs) - kk, 0.0), s)
+        cus = np.trunc(s * 1e6 + np.copysign(0.5, s)) / 1e6
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "event_type": pdf["event_type"].to_numpy(),
+                "sigma": pdf["sigma"].to_numpy(),
+                "cusum": cus,
+            }
+        )
+
+    cs = joined.groupBy("event_type").applyInPandas(
+        fold, "event_id long, event_type string, sigma double, cusum double"
     )
     rw = Window.partitionBy("event_type").orderBy(F.col("cusum").desc(), "event_id")
     return (
