@@ -46,7 +46,6 @@ from kinesis_s3_spark.operators.embeddings import (
     _KM_ASSIGN_SQL,
     _KM_UPDATE_SQL,
     _dot,
-    _km_rank,
     _vec_d,
     kmeans_vv,
     lloyd_centroids,
@@ -724,7 +723,10 @@ _IVFKM_TOPK_SQL = (
 def _ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vv = kmeans_vv(spark, sf_dir)
     cents = lloyd_centroids(vv, IVF_KM_K, IVF_KM_ITERS)
-    ranked = _km_rank(vv, cents)
+    # r12: probe ranks from the blocked Arrow ranker (max needed rank
+    # is N_PROBE; rn == 1 is the assignment subset) — the catalyst
+    # _km_rank broadcast-join + window pass is retired
+    ranked = _knn_rank_arrow(vv, cents, N_PROBE)
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
     qprobe = F.broadcast(
         ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)).select(
@@ -1868,10 +1870,11 @@ def _knn_cell_topk(probers, members):
     )
 
 
-def _knn_rank_arrow(vv: DataFrame, cents, probe: int) -> DataFrame:
-    """(vec_id, cid, rn, e): each vector's ``probe`` nearest trained
-    centroids by ROUND(dist², 4) with cid tie-break — the blocked
-    Arrow twin of embeddings._km_rank for the kNN-join path. One
+def _knn_rank_arrow(vv: DataFrame, cents, probe: int, with_dist: bool = False) -> DataFrame:
+    """(vec_id, cid, rn, e[, dist]): each vector's ``probe`` nearest
+    trained centroids by ROUND(dist², 4) with cid tie-break — the
+    blocked Arrow ranker shared by the kNN join, the k-means family and
+    the IVF probing paths (r12: the catalyst twin _km_rank is gone). One
     mapInPandas pass: per Arrow batch, dist² = ee − 2·E·Cᵀ + |c|²
     accumulated in ASCENDING dim order (the catalyst/DuckDB fold
     order; numpy adds don't contract to FMA), HALF_UP-rounded
@@ -1904,7 +1907,7 @@ def _knn_rank_arrow(vv: DataFrame, cents, probe: int) -> DataFrame:
             dist = np.trunc(dist * 1e4 + np.copysign(0.5, dist)) / 1e4
             vids = pdf["vec_id"].to_numpy()
             evs = pdf["e"].to_numpy()
-            o_vid, o_cid, o_rn, o_e = [], [], [], []
+            o_vid, o_cid, o_rn, o_e, o_d = [], [], [], [], []
             for i in range(len(pdf)):
                 order = np.lexsort((cids, dist[i]))[:probe]
                 for r, ix in enumerate(order, 1):
@@ -1912,11 +1915,17 @@ def _knn_rank_arrow(vv: DataFrame, cents, probe: int) -> DataFrame:
                     o_cid.append(int(cids[ix]))
                     o_rn.append(r)
                     o_e.append(evs[i])
-            yield pd.DataFrame(
-                {"vec_id": o_vid, "cid": o_cid, "rn": o_rn, "e": o_e}
-            )
+                    if with_dist:
+                        o_d.append(float(dist[i, ix]))
+            out = {"vec_id": o_vid, "cid": o_cid, "rn": o_rn, "e": o_e}
+            if with_dist:
+                out["dist"] = o_d
+            yield pd.DataFrame(out)
 
-    return vv.mapInPandas(gen, "vec_id long, cid int, rn int, e array<double>")
+    schema = "vec_id long, cid int, rn int, e array<double>"
+    if with_dist:
+        schema += ", dist double"
+    return vv.mapInPandas(gen, schema)
 
 
 def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

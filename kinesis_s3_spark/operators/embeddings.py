@@ -199,46 +199,18 @@ def kmeans_vv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_rank(vv: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Score every (vector, centroid) pair against a BROADCAST k-row
-    centroid frame (BroadcastNestedLoopJoin over k rows — the n×k
-    score materialization either way); rank per vector by rounded
-    euclidean dist² with cid tie-break. Consumers filter rn == 1
-    (assignment) or rn ≤ n_probe (IVF query probing).
-
-    A runtime frame rather than a k×d literal keeps the scoring
-    expression SMALL: the literal form inlined every centroid array
-    into the plan and whole-stage-codegen compile time (seconds per
-    distinct centroid set — i.e. per Lloyd round — independent of
-    data) dominated every k-means-family query (the ann_pq_topk
-    finding, applied to the shared ranker)."""
-    from pyspark.sql.window import Window
-
-    spark = vv.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(cid, [float(x) for x in vec]) for cid, vec in cents],
-            "cid int, c array<double>",
-        )
-    )
-    scored = vv.select("vec_id", "e", "ee").join(cdf).select(
-        "vec_id",
-        "e",
-        "cid",
-        F.round(
-            F.col("ee")
-            - 2 * _dot(F.col("e"), F.col("c"))
-            + _dot(F.col("c"), F.col("c")),
-            4,
-        ).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    return scored.withColumn("rn", F.row_number().over(w))
-
-
 def _km_assign(vv: DataFrame, cents: list[tuple[int, list[float]]], with_dist: bool) -> DataFrame:
-    """Assignment pass: per-vector argmin over the centroid literal."""
-    out = _km_rank(vv, cents).filter(F.col("rn") == 1)
+    """Assignment pass: per-vector argmin over the centroid set.
+
+    r12 optimization (guide §4.2): rides ann._knn_rank_arrow (blocked
+    numpy, one mapInPandas pass) — the former catalyst ranker
+    (broadcast k-row centroid frame, n·k higher-order-function fold
+    pairs, per-vector window rank) is gone; every consumer of the
+    k-means family shares the Arrow ranker's gated math (same rounded
+    dist, same cid tie-break)."""
+    from kinesis_s3_spark.operators.ann import _knn_rank_arrow
+
+    out = _knn_rank_arrow(vv, cents, 1, with_dist=with_dist)
     cols = ["vec_id", "e", "cid"] + (["dist"] if with_dist else [])
     return out.select(*cols)
 
@@ -250,13 +222,13 @@ def lloyd_centroids(
     (vec_id < k) and return the refined centroid list. Each round is
     one assignment scan + one |k|×dim decimal-mean shuffle collected to
     the driver (k×d doubles — legitimately driver-sized) and
-    re-broadcast as the next round's literal. Empty clusters drop out
-    of the list, identically in the DuckDB unrolled oracle.
+    re-broadcast as the next round's centroid set. Empty clusters drop
+    out of the list, identically in the DuckDB unrolled oracle.
 
     ``assign_fn(vv, cents) -> DataFrame[cid, e]`` overrides the
-    assignment pass (default: the catalyst ranker _km_assign); the
-    kNN self-join passes its blocked Arrow ranker (ann.py) — same
-    argmin semantics, ~10× cheaper per pair at corpus-sized k."""
+    assignment pass (default: the blocked Arrow ranker via
+    _km_assign — r12; same argmin semantics as the retired catalyst
+    ranker, ~10× cheaper per pair at corpus-sized k)."""
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["e"]])
         for r in vv.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
@@ -704,9 +676,65 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_greedy_frame(spark, vv, K_CENTERS)
 
 
+def _kc_min_dist_arrow(vv: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """(vec_id, e, mind): min over ``centers`` of ROUND(dist², 4) as
+    ONE blocked Arrow pass — the numpy twin of the
+    per-center-literal catalyst folds (_kc_dist LEAST chain /
+    _kc_min_dist_batch transform), which cost n·|centers| 64-dim
+    higher-order folds per scan and dominated the k-center queries.
+
+    Float parity (the _knn_rank_arrow convention, and asserted
+    against _kc_min_dist_batch by tests/test_embeddings.py): ee / cc /
+    dot accumulate in ASCENDING dim order, dist = (ee − 2·dot) + cc,
+    HALF_UP-rounded per center BEFORE the min (trunc(x·1e4 ± .5)/1e4 =
+    DuckDB ROUND on DOUBLE); min over the rounded values is exact, so
+    the flat min ≡ the incremental LEAST chain."""
+    cmat = [[float(x) for x in c] for c in centers]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)
+        cc = np.zeros(len(cmat))
+        for j in range(C.shape[1]):  # sequential dim order
+            cc += C[:, j] * C[:, j]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            ee = np.zeros(len(E))
+            dot = np.zeros((len(E), len(cmat)))
+            for j in range(C.shape[1]):
+                ee += E[:, j] * E[:, j]
+                dot += np.outer(E[:, j], C[:, j])
+            dist = ee[:, None] - 2 * dot + cc[None, :]
+            dist = np.trunc(dist * 1e4 + np.copysign(0.5, dist)) / 1e4
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "e": pdf["e"].to_numpy(),
+                    "mind": dist.min(axis=1),
+                }
+            )
+
+    return vv.select("vec_id", "e").mapInPandas(
+        gen, "vec_id long, e array<double>, mind double"
+    )
+
+
 def kcenter_greedy_frame(spark: SparkSession, vv: DataFrame, k: int) -> DataFrame:
     """Reusable greedy core over a cached (vec_id, e) frame — exposed
-    for tools/kcenter_scale_experiment.py's crossover measurement."""
+    for tools/kcenter_scale_experiment.py's crossover measurement.
+
+    r12: examined for the Arrow-kernel swap and deliberately KEPT on
+    the catalyst LEAST chain — at k=8 each round scores only n·i fold
+    pairs (trivial) and the chain's jobs are plain codegen scans
+    (~0.25 s each); routing every round through a mapInPandas stage
+    measured +50% wall (isolated probes 2.10 → 3.16 s at sf0.1) from
+    the per-round Python stage dispatch. The batched variant, whose
+    candidate set is 4× larger and whose scans dominate, DID move to
+    _kc_min_dist_arrow."""
     seed = vv.filter(F.col("vec_id") == 0).select("vec_id", "e").collect()[0]
     picks = [(0, int(seed["vec_id"]), 0.0)]
     cur = vv.withColumn("mind", _kc_dist(F.col("e"), [float(x) for x in seed["e"]]))
@@ -873,21 +901,16 @@ def kcenter_batched_frame(
     tools/kcenter_scale_experiment.py's crossover measurement."""
     seed = vv.filter(F.col("vec_id") == 0).select("vec_id", "e").collect()[0]
     cand: list[tuple[int, list[float]]] = [(0, [float(x) for x in seed["e"]])]
-    base = vv.withColumn("ee", _dot(F.col("e"), F.col("e")))
     for p in range(passes):
         # mind rebuilt FLAT from all candidates so far: min is
         # associative, so this equals the incremental LEAST chain
-        # bit-for-bit — and since the chain is lazy (each pass
-        # re-executes every earlier update anyway), the flat form costs
-        # the same compute with an O(1)-depth plan instead of a p-deep
-        # nest (each extra nesting level re-analyzed + re-codegen'd per
-        # pass dominated toy-scale wall time)
-        cur = base.withColumn(
-            "mind",
-            _kc_min_dist_batch(F.col("e"), F.col("ee"), [cv for _, cv in cand]),
-        )
+        # bit-for-bit. r12 (guide §4.2): the scan is the blocked Arrow
+        # kernel — the catalyst transform-over-literals form cost
+        # n·|cand| 64-dim folds per pass (see _kc_min_dist_arrow's
+        # parity note; asserted equal in tests/test_embeddings.py)
         top = (
-            cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            _kc_min_dist_arrow(vv, [cv for _, cv in cand])
+            .orderBy(F.col("mind").desc(), F.col("vec_id").asc())
             .select("vec_id", "e")
             .limit(l)
             .collect()
@@ -933,14 +956,15 @@ def kcenter_batched_frame(
         picks.append((r, int(nxt), float(mind[nxt])))
         for i in ids:
             mind[i] = min(mind[i], D[(i, nxt)])
-    # corpus coverage radius of the selected set: ONE more scan with a
-    # k-term LEAST fold (the scale metric the greedy twin cannot afford
-    # to re-check per round at large k)
+    # corpus coverage radius of the selected set: ONE more Arrow scan
+    # (the scale metric the greedy twin cannot afford to re-check per
+    # round at large k)
     by_id = dict(cand)
-    m = _kc_min_dist_batch(
-        F.col("e"), F.col("ee"), [by_id[vid] for _, vid, _rb in picks]
+    radius = float(
+        _kc_min_dist_arrow(vv, [by_id[vid] for _, vid, _rb in picks])
+        .agg(F.max("mind"))
+        .collect()[0][0]
     )
-    radius = float(base.select(m.alias("m")).agg(F.max("m")).collect()[0][0])
     return spark.createDataFrame(
         [(o, i, rb, radius) for o, i, rb in picks],
         "sel_order int, vec_id long, radius_before double, corpus_radius double",

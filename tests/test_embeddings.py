@@ -206,6 +206,52 @@ def test_kc_min_dist_batch_equals_least_fold(spark):
         assert r["a"] == r["b"], (r["vec_id"], r["a"], r["b"])
 
 
+def test_kc_min_dist_arrow_equals_batch(spark):
+    """The r12 blocked Arrow kernel must reproduce the catalyst
+    array-of-centers form value-for-value (same rounded per-center
+    distances, same min) — the parity that lets the k-center queries
+    ride numpy without moving a single pick."""
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators.embeddings import (
+        _dot,
+        _kc_min_dist_arrow,
+        _kc_min_dist_batch,
+    )
+
+    dim = 16
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(
+                    F.hash(F.concat(F.col("id"), F.lit("_"), j)).cast("long"),
+                    F.lit(2001),
+                )
+                - 1000
+            ).cast("double")
+            / 1000.0,
+        ).alias("e"),
+    )
+    centers = [
+        [((i * 37 + j * 11) % 2001 - 1000) / 1000.0 for j in range(dim)]
+        for i in range(5)
+    ]
+    base = vecs.withColumn("ee", _dot(F.col("e"), F.col("e")))
+    want = {
+        r["vec_id"]: r["m"]
+        for r in base.select(
+            "vec_id", _kc_min_dist_batch(F.col("e"), F.col("ee"), centers).alias("m")
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["mind"]
+        for r in _kc_min_dist_arrow(vecs, centers).collect()
+    }
+    assert got == want
+
+
 def test_kcenter_driver_round_matches_spark_round():
     """_r4-style driver rounding must mirror Catalyst's F.round
     (BigDecimal.valueOf HALF_UP on the double's shortest repr) on
