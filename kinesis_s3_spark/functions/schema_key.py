@@ -54,17 +54,41 @@ def row_type_col(value: Column, is_failed: Column | None = None) -> Column:
     (Common.scala:62-70). The JSON parse runs once per row (hot path:
     every record of every micro-batch goes through this)."""
 
-    def build(uri: Column) -> Column:
-        vendor = F.regexp_extract(uri, _IGLU_RE, 1)
-        name = F.regexp_extract(uri, _IGLU_RE, 2)
-        fmt = F.regexp_extract(uri, _IGLU_RE, 3)
-        model = F.regexp_extract(uri, _IGLU_RE, 4)
+    def build(m: Column) -> Column:
+        # The bound variable is the WHOLE regex match (group 0): when
+        # the anchored _IGLU_RE matches, the URI is exactly
+        # iglu:seg1/seg2/seg3/seg4 with seg4 = model-rev-add, so the
+        # groups are recoverable with plain splits — vendor/name/format
+        # are path segments 1-3 and model is seg4 up to its first '-'
+        # (the regex guarantees 4 segments and an all-digit model, so
+        # the split-based parts equal the former per-group extractions
+        # on every matching input; non-matches were and are
+        # UNPARTITIONED).
+        parts = F.split(F.substring(m, 6, 2_000_000), "/")
+        model = F.element_at(F.split(F.element_at(parts, 4), "-"), 1)
         return F.when(
-            (vendor != "") & (name != "") & (fmt != "") & (model != ""),
-            F.concat(vendor, F.lit("."), name, F.lit("/"), fmt, F.lit("-"), model),
+            m != "",
+            F.concat(
+                F.element_at(parts, 1),
+                F.lit("."),
+                F.element_at(parts, 2),
+                F.lit("/"),
+                F.element_at(parts, 3),
+                F.lit("-"),
+                model,
+            ),
         ).otherwise(F.lit(UNPARTITIONED))
 
-    partition = _let(F.get_json_object(value, "$.schema"), build)
+    # r12 optimization: the loader's hottest expression (every record
+    # of every micro-batch). The expensive work — the JSON parse AND
+    # one regex execution — is the _let-bound input, so it runs ONCE
+    # per row in whole-stage codegen; only the cheap split/concat body
+    # is interpreted lambda territory. The previous shape bound just
+    # the JSON parse and ran FOUR regexp_extract group pulls inside
+    # the interpreted body (measured ~0.4-0.5 s/M rows slower).
+    partition = _let(
+        F.regexp_extract(F.get_json_object(value, "$.schema"), _IGLU_RE, 0), build
+    )
     if is_failed is not None:
         partition = F.when(is_failed, F.lit(READING_ERROR)).otherwise(partition)
     return partition

@@ -84,6 +84,15 @@ class TestRowType:
         ('{"data":{"no":"schema"}}', "unpartitioned"),
         ("not json at all", "unpartitioned"),
         ('{"schema":"not-an-iglu-uri","data":{}}', "unpartitioned"),
+        # r12: the single-regex + split parse must keep every group
+        # semantic of the former four-group extraction —
+        # dashed/underscored names, dotted vendors, multi-digit models,
+        # and the malformed-version rejections
+        ('{"schema":"iglu:com.snplow.mini/my-name_x/jsonschema/12-3-45","data":{}}', "com.snplow.mini.my-name_x/jsonschema-12"),
+        ('{"schema":"iglu:a/b/c/1-0-0","data":{}}', "a.b/c-1"),
+        ('{"schema":"iglu:com.acme/ex/jsonschema/1-0","data":{}}', "unpartitioned"),
+        ('{"schema":"iglu:com.acme/ex/jsonschema/x-0-0","data":{}}', "unpartitioned"),
+        ('{"schema":"iglu:com.acme/ex/jsonschema/1-0-0/extra","data":{}}', "unpartitioned"),
     ]
 
     def test_partition_by_type(self, spark):
