@@ -1022,16 +1022,26 @@ def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SORT KEY for range-partitioned files — ordering consumers read
     back in file order without materializing row numbers at all."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = docs
+    # r12 optimization (guide §2.4): rank each epoch over the THIN
+    # doc_id frame independently and reassemble with one doc_id
+    # equi-join — the former chained form ranked epoch 2 over epoch 1's
+    # OUTPUT, nesting the full epoch-1 rank DAG (bucket-bounds agg,
+    # windows, offset join) inside every epoch-2 pass, so epoch 1's
+    # machinery re-executed for epoch 2's quantile bounds and again for
+    # its main pass. Ranks are per-epoch pure functions of doc_id, so
+    # the join output is row-identical.
+    ranked = []
     for e in (1, 2):
         k = F.md5(F.concat(F.lit(f"epoch{e}|"), F.col("doc_id")))
-        out = global_row_number(
-            out,
-            F.conv(F.substring(k, 1, 15), 16, 10).cast("long"),
-            [k, F.col("doc_id")],
-            f"pos_epoch{e}",
+        ranked.append(
+            global_row_number(
+                docs,
+                F.conv(F.substring(k, 1, 15), 16, 10).cast("long"),
+                [k, F.col("doc_id")],
+                f"pos_epoch{e}",
+            )
         )
-    return out
+    return ranked[0].join(ranked[1], "doc_id")
 
 
 _EPOCH_WRITE_SQL = """
