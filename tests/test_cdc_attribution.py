@@ -29,6 +29,50 @@ def test_ngram_coverage_bounds_and_dups(spark):
     assert df.filter((F.col("n_tokens") < 5) & (F.col("covered_tokens") > 0)).count() == 0
 
 
+def test_ngram_coverage_matches_bruteforce_interval_union(spark):
+    """r12 rewrite guard: covered_tokens = sum(min(5, gap)) over sorted
+    dup-gram starts must equal the brute-force union of width-5
+    position intervals (the pre-r12 explode + COUNT(DISTINCT pos)
+    formulation), and the window dup flag (min!=max doc over the gram)
+    must reproduce the nd>=2 group filter."""
+    from pyspark.sql import Window
+
+    from kinesis_s3_spark.functions.text import ngrams_from_tokens, tokens
+    from kinesis_s3_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    base = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    grams = base.where(F.size("t") >= 5).select(
+        "doc_id", F.posexplode(ngrams_from_tokens(F.col("t"), 5)).alias("p", "g")
+    )
+    dupg = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    brute = (
+        grams.join(dupg, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(4))).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pos").alias("covered_tokens"))
+    )
+    prod = (
+        entrymod.queries()["dedup_ngram_coverage"](spark, SF_CORRECT)
+        .where(F.col("covered_tokens") > 0)
+        .select("doc_id", "covered_tokens")
+    )
+    assert prod.exceptAll(brute).count() == 0
+    assert brute.exceptAll(prod).count() == 0
+
+
 def test_attribution_partitions_purchases(spark):
     q = entrymod.queries()
     df = q["events_attribution"](spark, SF_CORRECT).cache()
