@@ -822,13 +822,17 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Finer-grained than whole-doc dedup (dedup_exact) and set-similarity
     (dedup_ngram_jaccard): it catches boilerplate shared between
-    otherwise-different documents. Plan: one rolling-window explode
-    (md5 per span — JVM-side), one (hash) aggregate for the shared-span
-    set, one hash equi-join back, one (doc_id) aggregate — every
-    shuffle keys on md5-uniform hashes or doc ids; a suffix-array
-    formulation is the exact-match generalization, this is its fixed-W
-    production approximation. 100 TB: span volume is n_tokens·1 rows
-    (window stride 1), map-side combined before the shuffle."""
+    otherwise-different documents. Plan (r12, guide §2.4 — the
+    dedup_ngram_coverage single-shuffle rewrite applied here): "span
+    appears in >= 2 distinct documents" is min(doc_id) != max(doc_id)
+    over a window partitioned by the span hash, so ONE md5-key shuffle
+    of the occurrences replaces the former per-hash distinct-count
+    aggregate plus the occurrences-vs-shared-set equi-join (both
+    carried the same span volume again). The per-doc rollup then
+    map-side combines on doc_id. A suffix-array formulation is the
+    exact-match generalization, this is its fixed-W production
+    approximation. 100 TB: span volume is n_tokens·1 rows (window
+    stride 1); md5 keys are uniform, so no skew."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -843,20 +847,15 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    shared = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h", F.lit(1).alias("is_shared"))
-    )
+    w_h = Window.partitionBy("h")
     per_doc = (
-        spans.join(shared, "h", "left")
+        spans.withColumn(
+            "is_shared", F.min("doc_id").over(w_h) != F.max("doc_id").over(w_h)
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_spans"),
-            F.sum(F.coalesce(F.col("is_shared"), F.lit(0)).cast("long"))
-            .cast("long")
-            .alias("n_dup_spans"),
+            F.sum(F.col("is_shared").cast("long")).cast("long").alias("n_dup_spans"),
         )
     )
     return per_doc.select(

@@ -1519,17 +1519,24 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").alias("i"), F.col("event_type").alias("j")
     ).agg(F.count("*").cast("long").alias("cnt"))
     tot = pairs.groupBy("i").agg(F.sum("cnt").cast("long").alias("t"))
-    # P is the one driver-sized collect (bounded |types|^2 rows)
-    P = {
-        (r["i"], r["j"]): r["p"]
-        for r in pairs.join(tot, "i")
-        .select("i", "j", (F.col("cnt").cast("double") / F.col("t")).alias("p"))
-        .collect()
-    }
-    # type universe from the TABLE, not from P's keys: a type that never
-    # appears adjacent to another event must still get 1/|types| initial
-    # mass (matches the oracle's SELECT DISTINCT event_type)
-    tnames = sorted(r["event_type"] for r in e.select("event_type").distinct().collect())
+    # P is the one driver-sized collect (bounded |types|^2 rows); the
+    # type-universe scan is an INDEPENDENT job over the same table, so
+    # the two collects run from a 2-thread pool (guide §2.6) — the
+    # distinct scan back-fills executors idled by the window job's
+    # tail instead of paying its wall time serially. Type universe
+    # from the TABLE, not from P's keys: a type that never appears
+    # adjacent to another event must still get 1/|types| initial mass
+    # (matches the oracle's SELECT DISTINCT event_type).
+    from concurrent.futures import ThreadPoolExecutor
+
+    p_frame = pairs.join(tot, "i").select(
+        "i", "j", (F.col("cnt").cast("double") / F.col("t")).alias("p")
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        p_rows_f = pool.submit(p_frame.collect)
+        t_rows_f = pool.submit(e.select("event_type").distinct().collect)
+        P = {(r["i"], r["j"]): r["p"] for r in p_rows_f.result()}
+        tnames = sorted(r["event_type"] for r in t_rows_f.result())
     dec = "decimal(38,12)"
     one = spark.range(1)
 

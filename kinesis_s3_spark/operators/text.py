@@ -692,12 +692,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks grams against a held-out SPLIT, and dedup_*, which find the
     matching partner); high novelty = fresh text worth its tokens.
 
-    Scale: per-doc DISTINCT first (shrinks power-law repeats inside a
-    doc), then one |gram-vocab|-bound document-frequency count, one
-    equi-join back, one per-doc sum — the exact tf-idf/df plan shape.
-    df=1 grams can't be cut by a HAVING (they ARE the signal), but the
-    join side stays (gram → df) sized by distinct grams; at 100 TB
-    shard the join on gram hash like every dedup band join here.
+    Scale (r12, guide §2.4): per-doc DISTINCT happens in the ARRAY
+    domain (array_distinct before the explode — no shuffle at all,
+    where the former row-level DISTINCT paid a full (doc_id, gram)
+    exchange), and the document frequency of each gram is a
+    count(*) window over the gram key — valid precisely because the
+    stream is per-doc distinct, so occurrences = documents. df=1 is
+    then a row-local test, and the former |gram-vocab| count aggregate
+    plus the equi-join back (two more gram-volume shuffles) collapse
+    into that ONE windowed exchange. The window keys on
+    (xxhash64(gram), gram) — fixed-width routing/sort prefix at any
+    corpus scale, raw gram kept so a hash collision co-locates but can
+    never fuse two grams (the dedup_ngram_coverage r12 convention).
     """
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
@@ -706,12 +712,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t") >= 5
     )
     g = toks.select(
-        "doc_id", F.explode(ngrams_from_tokens(F.col("t"), 5)).alias("gram")
-    ).distinct()
-    df = g.groupBy("gram").agg(F.count("*").alias("df"))
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_from_tokens(F.col("t"), 5))).alias("gram"),
+    )
+    w_g = Window.partitionBy(F.xxhash64("gram"), F.col("gram"))
     novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
     return (
-        g.join(df, "gram")
+        g.withColumn("df", F.count("*").over(w_g))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

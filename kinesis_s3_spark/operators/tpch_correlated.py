@@ -10,7 +10,7 @@ query shapes are registered and oracle-gated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_s3_spark.operators.registry import query
@@ -403,36 +403,55 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing commit/receipt dates) — the EXISTS + NOT-EXISTS pair with
     inequality correlation, the hardest decorrelation in the suite.
 
-    Both subqueries hash-join on l_orderkey with the supplier/date
-    inequalities as residual conditions (semi then anti) — no
-    per-order cartesian. Top-20 with (numwait, s_name) tie-break plans
-    as TakeOrderedAndProject."""
+    r12 rewrite (guide §2.4): both correlated subqueries range only
+    over the line's OWN order, so they decorrelate into per-order
+    window aggregates on ONE l_orderkey exchange instead of the former
+    semi + anti hash joins (each a further full shuffle of lineitem).
+    EXISTS(other supplier) = min(suppkey) != max(suppkey) over the
+    order. NOT EXISTS(other supplier shipping later than d1) =
+    max(shipdate over OTHER suppliers) <= d1, split on whether the
+    order's max shipdate m1 is attained by more than one supplier:
+    if it is (smin != smax among the lines at m1), every line has some
+    other supplier at m1, so only lines with d1 = m1 qualify; if one
+    supplier sk* owns m1, its lines qualify iff d1 >= m2 (the max
+    shipdate over suppliers != sk*) and no other supplier's line can
+    qualify (sk* ships later than all of them). The three window
+    passes share one partitioning, so Catalyst plans a single
+    Exchange + Sort. Top-20 with (numwait, s_name) tie-break plans as
+    TakeOrderedAndProject."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = li.select(
-        F.col("l_orderkey").alias("k1"),
-        F.col("l_suppkey").alias("sk1"),
-        F.col("l_shipdate").alias("d1"),
-    )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
-    l3 = li.select(
-        F.col("l_orderkey").alias("k3"),
-        F.col("l_suppkey").alias("sk3"),
-        F.col("l_shipdate").alias("d3"),
-    )
-    base = (
-        l1.join(o, F.col("o_orderkey") == F.col("k1"))
-        .join(l2, (F.col("k2") == F.col("k1")) & (F.col("sk2") != F.col("sk1")), "left_semi")
-        .join(
-            l3,
-            (F.col("k3") == F.col("k1"))
-            & (F.col("sk3") != F.col("sk1"))
-            & (F.col("d3") > F.col("d1")),
-            "left_anti",
+    w = Window.partitionBy("l_orderkey")
+    lw = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .withColumn("m1", F.max("l_shipdate").over(w))
+        .withColumn(
+            "has_other", F.min("l_suppkey").over(w) != F.max("l_suppkey").over(w)
         )
-        .join(s, F.col("s_suppkey") == F.col("sk1"))
     )
+    at_max = F.when(F.col("l_shipdate") == F.col("m1"), F.col("l_suppkey"))
+    lw = lw.withColumn("smin", F.min(at_max).over(w)).withColumn(
+        "smax", F.max(at_max).over(w)
+    )
+    lw = lw.withColumn(
+        "m2",
+        F.max(
+            F.when(F.col("l_suppkey") != F.col("smin"), F.col("l_shipdate"))
+        ).over(w),
+    )
+    last_to_ship = F.when(
+        F.col("smin") != F.col("smax"), F.col("l_shipdate") == F.col("m1")
+    ).otherwise(
+        (F.col("l_suppkey") == F.col("smin"))
+        & (F.col("l_shipdate") >= F.col("m2"))
+    )
+    waiting = lw.filter(F.col("has_other") & last_to_ship).select(
+        "l_orderkey", "l_suppkey"
+    )
+    base = waiting.join(
+        o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).join(s, F.col("s_suppkey") == F.col("l_suppkey"))
     return (
         base.groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -159,10 +159,15 @@ def test_tpch_wide_joins_broadcast_dims(spark):
         assert_no_cartesian(Q[name](spark, SF_SMOKE))
 
 
-def test_q21_semi_anti_no_cartesian(spark):
+def test_q21_window_decorrelation_no_cartesian(spark):
+    # r12: the EXISTS/NOT-EXISTS pair decorrelates into per-order
+    # window aggregates on ONE lineitem exchange (the former plan paid
+    # a semi AND an anti hash join — two further full lineitem
+    # shuffles); the orders restriction stays a semi join.
     plan = explain_str(Q["q21_waiting_suppliers"](spark, SF_SMOKE))
     assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan
+    assert plan.count("Window") >= 3  # m1/has_other, smin/smax, m2 passes
     assert_no_cartesian(Q["q21_waiting_suppliers"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
 
