@@ -1842,30 +1842,42 @@ def _knn_cell_topk(probers, members):
     cos = dot / np.outer(np.sqrt(na), np.sqrt(nb))
     cos = np.trunc(cos * 1e4 + np.copysign(0.5, cos)) / 1e4
 
-    out_vid: list[int] = []
-    out_cand: list[int] = []
-    out_cos: list[float] = []
+    # r12: both role emits are fully vectorized (the former per-query
+    # Python loop paid ~K_JOIN list appends per query — millions of
+    # interpreter ops per task at 10×). Selection semantics unchanged:
+    # self is masked to -inf (sorts after every real candidate, so the
+    # kept set equals the old skip-self-then-take-K walk), tie-break
+    # stays (cos desc, cand asc) via the same lexsort keys, and rows
+    # past each query's valid-candidate count are dropped by mask.
+    outs = []
 
-    def emit(vid, cand_ids, row_cos, self_id):
-        order = np.lexsort((cand_ids, -row_cos))[: K_JOIN + 1]
-        kept = 0
-        for ix in order:
-            if cand_ids[ix] == self_id or kept >= K_JOIN:
-                continue
-            out_vid.append(vid)
-            out_cand.append(cand_ids[ix])
-            out_cos.append(row_cos[ix])
-            kept += 1
+    def emit_role(qid, cand_ids, C):
+        # C: (nq, nx) cosine block for this role
+        nq, nx = C.shape
+        k = min(K_JOIN, nx)
+        is_self = cand_ids[None, :] == qid[:, None]
+        masked = np.where(is_self, -np.inf, C)
+        order = np.lexsort(
+            (np.broadcast_to(cand_ids, (nq, nx)), -masked), axis=1
+        )[:, :k]
+        rows = np.arange(nq)[:, None]
+        sel_cos = masked[rows, order]
+        keep = np.isfinite(sel_cos)  # drops the -inf self row when nx <= k
+        outs.append(
+            (
+                np.repeat(qid, k)[keep.ravel()],
+                cand_ids[order].ravel()[keep.ravel()],
+                C[rows, order].ravel()[keep.ravel()],
+            )
+        )
 
-    for i in range(len(sid)):  # role A: prober's top-k in this list
-        emit(sid[i], did, cos[i, :], sid[i])
-    for j in range(len(did)):  # role B: member's top-k among probers
-        emit(did[j], sid, cos[:, j], did[j])
+    emit_role(sid, did, cos)  # role A: prober's top-k in this list
+    emit_role(did, sid, cos.T)  # role B: member's top-k among probers
     return pd.DataFrame(
         {
-            "vid": np.asarray(out_vid, dtype=np.int64),
-            "cand": np.asarray(out_cand, dtype=np.int64),
-            "cos": np.asarray(out_cos, dtype=np.float64),
+            "vid": np.concatenate([o[0] for o in outs]).astype(np.int64),
+            "cand": np.concatenate([o[1] for o in outs]).astype(np.int64),
+            "cos": np.concatenate([o[2] for o in outs]).astype(np.float64),
         }
     )
 
@@ -1966,10 +1978,16 @@ def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_knn_cell_topk, "vid long, cand long, cos double")
     )
     # a pair can surface from both roles (identical triple — same
-    # vectors, same fold) → distinct before the global rank
+    # vectors, same fold). r12 (guide §2.4): dedupe INSIDE the rank
+    # window instead of a distinct() — duplicates carry the identical
+    # (cos, cand) sort key, so they are adjacent under the rank order
+    # and a lag(cand) filter drops them without the extra all-column
+    # exchange the distinct paid; the row_number then reuses the same
+    # partitioning+sort (one Exchange, one Sort, two Window ops).
     w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), "cand")
     return (
-        cell_top.distinct()
+        cell_top.withColumn("prev_cand", F.lag("cand").over(w))
+        .filter(F.col("prev_cand").isNull() | (F.col("prev_cand") != F.col("cand")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K_JOIN)
         .select(
@@ -2396,9 +2414,17 @@ def _knn_cell_adc(books, short: int):
     DuckDB's list_dot_product); the rerank is the _knn_cell_topk
     cosine. Empty PQ clusters drop out of the codebooks identically in
     both engines, so LUTs are indexed sparsely by surviving cid."""
+    import numpy as _np
+
     maxcid = max(cid for b in books for cid, _ in b)
     m_count = len(books)
     sub = DIM // m_count
+    # r12: codebooks as numpy ONCE here (driver side, shipped in the
+    # closure and deserialized once per task) — the former per-cell
+    # list-comprehension rebuild converted every codebook float per
+    # cogroup group
+    book_mats = [_np.asarray([c for _, c in b], dtype=_np.float64) for b in books]
+    book_cids = [_np.asarray([cid for cid, _ in b], dtype=_np.int64) for b in books]
 
     def f(probers, members):
         import numpy as np
@@ -2428,18 +2454,22 @@ def _knn_cell_adc(books, short: int):
         def rnd4(x):
             return np.trunc(x * 1e4 + np.copysign(0.5, x)) / 1e4
 
-        out_vid: list[int] = []
-        out_cand: list[int] = []
-        out_cos: list[float] = []
+        outs = []
 
         def run_role(Q, X):
+            # r12: the per-query Python walk (lexsort + skip-self loop +
+            # per-row append, then a per-query rerank) is vectorized —
+            # self is masked to -inf (sorts after every real candidate,
+            # so the shortlist equals the old skip-self-then-take-short
+            # walk), the batched lexsort keeps the (adc_cos desc, id
+            # asc) tie-break, and the exact rerank folds dims
+            # sequentially over the gathered (nq, short) block.
             QE, qid, qee, _ = Q
             XE, xid, xee, xcodes = X
-            nq = len(qid)
+            nq, nx = len(qid), len(xid)
             adc = None
-            for m, book in enumerate(books):
-                Cm = np.asarray([c for _, c in book], dtype=np.float64)
-                cids = np.asarray([cid for cid, _ in book], dtype=np.int64)
+            for m in range(m_count):
+                Cm, cids = book_mats[m], book_cids[m]
                 Qm = QE[:, m * sub : (m + 1) * sub]
                 dots = np.zeros((nq, len(cids)))
                 for j in range(sub):  # sequential dim order (oracle fold)
@@ -2450,34 +2480,34 @@ def _knn_cell_adc(books, short: int):
                 term = lut[:, xcodes[m]]
                 adc = term if adc is None else adc + term
             adc_cos = rnd4(adc / (np.sqrt(qee)[:, None] * np.sqrt(xee)[None, :]))
-            for i in range(nq):
-                order = np.lexsort((xid, -adc_cos[i]))
-                sel: list[int] = []
-                for ix in order:
-                    if int(xid[ix]) == int(qid[i]):
-                        continue
-                    sel.append(int(ix))
-                    if len(sel) >= short:
-                        break
-                if not sel:
-                    continue
-                Xs = XE[sel]
-                dot = np.zeros(len(sel))
-                for j in range(QE.shape[1]):  # sequential dim order
-                    dot += QE[i, j] * Xs[:, j]
-                cos = rnd4(dot / (np.sqrt(qee[i]) * np.sqrt(xee[sel])))
-                for t, ix in enumerate(sel):
-                    out_vid.append(int(qid[i]))
-                    out_cand.append(int(xid[ix]))
-                    out_cos.append(float(cos[t]))
+            k = min(short, nx)
+            masked = np.where(xid[None, :] == qid[:, None], -np.inf, adc_cos)
+            order = np.lexsort(
+                (np.broadcast_to(xid, (nq, nx)), -masked), axis=1
+            )[:, :k]
+            rows = np.arange(nq)[:, None]
+            keep = np.isfinite(masked[rows, order])  # drop self when nx <= k
+            Xs = XE[order]  # (nq, k, dim) gathered candidates
+            dot = np.zeros((nq, k))
+            for j in range(QE.shape[1]):  # sequential dim order
+                dot += QE[:, j, None] * Xs[:, :, j]
+            cos = rnd4(dot / (np.sqrt(qee)[:, None] * np.sqrt(xee[order])))
+            flat = keep.ravel()
+            outs.append(
+                (
+                    np.repeat(qid, k)[flat],
+                    xid[order].ravel()[flat],
+                    cos.ravel()[flat],
+                )
+            )
 
         run_role(A, B)  # role 0: prober's shortlist among the cell's members
         run_role(B, A)  # role 1: member's shortlist among the cell's probers
         return pd.DataFrame(
             {
-                "vid": np.asarray(out_vid, dtype=np.int64),
-                "cand": np.asarray(out_cand, dtype=np.int64),
-                "cos": np.asarray(out_cos, dtype=np.float64),
+                "vid": np.concatenate([o[0] for o in outs]).astype(np.int64),
+                "cand": np.concatenate([o[1] for o in outs]).astype(np.int64),
+                "cos": np.concatenate([o[2] for o in outs]).astype(np.float64),
             }
         )
 
@@ -2656,10 +2686,15 @@ def _knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # a pair can surface from both roles / several cells with the same
-    # exact rerank cosine → distinct before the global rank
+    # exact rerank cosine. r12 (guide §2.4): every duplicate carries
+    # the identical (cos, cand) sort key, so dedupe inside the rank
+    # window with a lag(cand) filter (duplicates are adjacent) instead
+    # of paying the distinct()'s extra all-column exchange; the
+    # row_number reuses the same partitioning+sort.
     w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), "cand")
     return (
-        cell_short.distinct()
+        cell_short.withColumn("prev_cand", F.lag("cand").over(w))
+        .filter(F.col("prev_cand").isNull() | (F.col("prev_cand") != F.col("cand")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K_JOIN)
         .select(
