@@ -514,25 +514,29 @@ def _minlabel_rounds(
     labels = ids.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
     converged = False
     for it in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges["a"] == labels["node"])
-            .groupBy(edges["b"].alias("node2"))
-            .agg(F.min("lab").alias("nlab"))
+        # r12 (guide §2.4): the neighbor-min aggregate, the
+        # carry-through of the node's own label and the convergence
+        # bookkeeping fuse into ONE union + aggregate keyed on node —
+        # the former shape aggregated neighbor mins separately and
+        # re-attached them with a left join (a third node-keyed
+        # exchange per round). min over the union IS
+        # least(own, neighbor-min); `prev` survives as max() because
+        # exactly one branch (the node's own row) carries it non-null.
+        contrib = edges.join(labels, edges["a"] == labels["node"]).select(
+            edges["b"].alias("node"),
+            F.col("lab"),
+            F.lit(None).cast(labels.schema["lab"].dataType).alias("prev"),
         )
-        # carry the previous label through so the convergence check is
-        # a filter on the materialized frame, not another join.
+        own = labels.select("node", "lab", F.col("lab").alias("prev"))
         # localCheckpoint (not cache) per round: `labels` appears TWICE
         # in each round's plan (probe side of the join AND carry-through
         # side), so without lineage truncation the logical tree DOUBLES
         # per round — exponential in iterations, OOMs the driver on any
         # component whose diameter exceeds ~15 (seen on random graphs).
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
-            .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
-                F.col("lab").alias("prev"),
-            )
+            contrib.unionByName(own)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"), F.max("prev").alias("prev"))
             .localCheckpoint()
         )
         # round 1 always changes when any edge exists — skip its check

@@ -233,26 +233,43 @@ def lloyd_centroids(
         (int(r["vec_id"]), [float(x) for x in r["e"]])
         for r in vv.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
     ]
+    dims = len(cents[0][1])
     for _ in range(iters):
         assigned = (
             _km_assign(vv, cents, with_dist=False)
             if assign_fn is None
             else assign_fn(vv, cents)
         )
-        flat = assigned.select(
-            "cid", F.posexplode("e").alias("pos", "xd")
-        ).select("cid", "pos", F.col("xd").cast(_DEC).alias("x"))
+        # r12 (guide §2.3): per-dim decimal sums as WIDE aggregate
+        # columns instead of a posexplode into n·dims rows — decimal
+        # addition is exact and therefore order-free, so the map-side
+        # partial aggregation (cells × partitions rows through the
+        # exchange instead of n·dims) produces bit-identical means;
+        # the divide-and-round stays engine-side, same expression as
+        # the former (cid, pos) aggregate.
         means = (
-            flat.groupBy("cid", "pos")
-            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.col("e")[i].cast(_DEC)).alias(f"s{i}")
+                    for i in range(dims)
+                ],
+            )
+            .select(
+                "cid",
+                *[
+                    F.round(F.col(f"s{i}").cast("double") / F.col("n"), 6).alias(
+                        f"c{i}"
+                    )
+                    for i in range(dims)
+                ],
+            )
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cx"])
         cents = [
-            (cid, [pos_map[p] for p in sorted(pos_map)])
-            for cid, pos_map in sorted(by_cid.items())
+            (int(r["cid"]), [float(r[f"c{i}"]) for i in range(dims)])
+            for r in sorted(means, key=lambda r: int(r["cid"]))
         ]
     return cents
 

@@ -424,12 +424,18 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike graph_label_propagation's guarded exact kNN anchor, the
     edge set here comes from the GATED approximate join
     (ann_knn_join_ivf) — this query runs at any corpus size the kNN
-    join runs at. The wedge join is edges ⋈ edges on the shared
-    middle node: with degree bounded by the kNN construction
-    (≤ 2k per node), wedges are O(n·k²) — linear in the corpus. The
-    anti-join drops existing edges; degrees broadcast (node-count
-    frame); top-k is TakeOrdered. Integer counts divide exactly, so
-    both engines emit identical Jaccards."""
+    join runs at. Wedges (r12, guide §2.3/§2.4 — the market-basket
+    pair recipe): each middle node's neighbor set is collected once
+    (sorted array, degree bounded ≤ 2k by the kNN construction) and
+    the u<v pairs are generated INSIDE the array, so the former
+    edges ⋈ edges self-join — two more full edge shuffles plus the
+    sort-merge pair enumeration — collapses into one node-keyed
+    aggregate + explode; wedge volume stays O(n·k²), linear in the
+    corpus. Degrees fall out of the same neighbor frame (array size),
+    not a separate edge aggregate. The anti-join drops existing
+    edges; degrees broadcast (node-count frame); top-k is
+    TakeOrdered. Integer counts divide exactly, so both engines emit
+    identical Jaccards."""
     from kinesis_s3_spark.operators.ann import _knn_join_ivf
 
     knn = _knn_join_ivf(spark, sf_dir).select("vec_id", "nbr_id")
@@ -437,18 +443,21 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn.select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
         .union(knn.select(F.col("nbr_id").alias("src"), F.col("vec_id").alias("dst")))
         .distinct()
-        # consumed three times (two wedge legs + anti-join) — without
+        # consumed twice (neighbor-set aggregate + anti-join) — without
         # the cache each consumer rebuilds the whole IVF join.
         # Lifetime (ADVICE r9): lazy return → no in-operator unpersist
         # point; bounded at 2k·n rows until LRU eviction / session end
         .persist()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    e2 = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    nbrs = edges.groupBy("src").agg(F.sort_array(F.collect_set("dst")).alias("ns"))
+    deg = nbrs.select("src", F.size("ns").cast("long").alias("d"))
+    pair_arr = F.expr(
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS u, y AS v))))"
+    )
     wedge = (
-        e1.join(e2, "w")
-        .where(F.col("u") < F.col("v"))
+        nbrs.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count("*").alias("cn"))
     )
