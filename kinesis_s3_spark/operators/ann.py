@@ -1919,19 +1919,23 @@ def _knn_rank_arrow(vv: DataFrame, cents, probe: int, with_dist: bool = False) -
             dist = np.trunc(dist * 1e4 + np.copysign(0.5, dist)) / 1e4
             vids = pdf["vec_id"].to_numpy()
             evs = pdf["e"].to_numpy()
-            o_vid, o_cid, o_rn, o_e, o_d = [], [], [], [], []
-            for i in range(len(pdf)):
-                order = np.lexsort((cids, dist[i]))[:probe]
-                for r, ix in enumerate(order, 1):
-                    o_vid.append(int(vids[i]))
-                    o_cid.append(int(cids[ix]))
-                    o_rn.append(r)
-                    o_e.append(evs[i])
-                    if with_dist:
-                        o_d.append(float(dist[i, ix]))
-            out = {"vec_id": o_vid, "cid": o_cid, "rn": o_rn, "e": o_e}
+            # r12: batched lexsort + array emit (the former per-row
+            # walk paid `probe` list appends per vector — the pass runs
+            # over the whole corpus, so that was n·probe interpreter
+            # ops). Same (dist asc, cid asc) tie-break keys; embeddings
+            # repeat as object pointers, not copies.
+            n, k = len(pdf), min(probe, len(cids))
+            order = np.lexsort(
+                (np.broadcast_to(cids, (n, len(cids))), dist), axis=1
+            )[:, :k]
+            out = {
+                "vec_id": np.repeat(vids, k),
+                "cid": cids[order].ravel(),
+                "rn": np.tile(np.arange(1, k + 1), n),
+                "e": np.repeat(evs, k),
+            }
             if with_dist:
-                out["dist"] = o_d
+                out["dist"] = dist[np.arange(n)[:, None], order].ravel()
             yield pd.DataFrame(out)
 
     schema = "vec_id long, cid int, rn int, e array<double>"

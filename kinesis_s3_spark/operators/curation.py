@@ -1309,15 +1309,18 @@ def curation_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     ).join(q, "doc_id")
+    # r12 (guide §2.4): the cluster size rides the SAME cluster_id
+    # window partitioning as the survivor rank — the former separate
+    # count aggregate + equi-join back paid another cluster-keyed
+    # exchange for a value the window pass already has in hand.
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )
-    ranked = member.withColumn("rk", F.row_number().over(w))
-    best = ranked.filter(F.col("rk") == 1)
-    sizes = member.groupBy("cluster_id").agg(
-        F.count("*").cast("long").alias("n_members")
+    ranked = member.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_members", F.count("*").over(Window.partitionBy("cluster_id")).cast("long")
     )
-    return best.join(sizes, "cluster_id").select(
+    best = ranked.filter(F.col("rk") == 1)
+    return best.select(
         F.col("cluster_id"),
         F.col("doc_id").alias("kept_doc_id"),
         "quality",
