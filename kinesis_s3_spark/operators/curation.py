@@ -14,7 +14,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_s3_spark.functions.text import ngrams_from_tokens, token_count, tokens
@@ -939,38 +939,35 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dedup pipeline's standard fix — split by CLUSTER id, not doc
     id — is exactly what this query quantifies the need for. Both
     inputs ARE the registered operators and the oracle composes their
-    registered SQL verbatim. Plan: the minhash pair join (band-key
-    equi-join, cartesian-free) plus two broadcast-sized split-label
-    joins and a <=6-row aggregate."""
+    registered SQL verbatim. Plan (r12): the split label is a PURE
+    function of doc_id (an md5 hash bucket), so it is evaluated inline
+    on the pair frame's own d1/d2 columns — the former two split-label
+    joins (each a docs scan + broadcast build) added two stages to
+    re-derive what the pair row already determines. Same minhash pair
+    join (band-key equi-join, cartesian-free), then a <=6-row
+    aggregate. The pair list still materializes once: every inner join
+    in minhash_pairs would otherwise re-execute per consumer."""
     from kinesis_s3_spark.operators.dedup import minhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    # materialize the pair list once: it feeds BOTH split-label join
-    # branches, and un-cached each branch re-executes the whole
-    # minhash pipeline (measured 10.4 s vs 2.7 s at the 10x scale)
     pairs = minhash_pairs(docs).localCheckpoint()
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-            "long"
+
+    def split_of(col: str) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % 100
         )
-        % 100
-    )
-    sp = docs.select(
-        "doc_id",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-        .alias("split"),
-    )
-    a = sp.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1"))
-    b = sp.select(F.col("doc_id").alias("d2"), F.col("split").alias("s2"))
-    labeled = (
-        pairs.join(a, "d1")
-        .join(b, "d2")
-        .select(
-            F.least("s1", "s2").alias("split_lo"),
-            F.greatest("s1", "s2").alias("split_hi"),
-            "d1",
-            "d2",
+        return (
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
         )
+
+    labeled = pairs.select(
+        F.least(split_of("d1"), split_of("d2")).alias("split_lo"),
+        F.greatest(split_of("d1"), split_of("d2")).alias("split_hi"),
+        "d1",
+        "d2",
     )
     return labeled.groupBy("split_lo", "split_hi").agg(
         F.count("*").cast("long").alias("n_pairs"),

@@ -296,8 +296,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with pigeonhole blocking: split the
     60-bit fingerprint into 4 × 15-bit chunks; hamming ≤ 3 guarantees
-    at least one chunk matches exactly, so candidates come from an
-    equi-join on (chunk_idx, chunk_value) — never all-pairs."""
+    at least one chunk matches exactly, so candidates come from shared
+    (chunk_idx, chunk_value) cells — never all-pairs.
+
+    Plan (r12): the pair enumeration stays a distributed equi-join on
+    (chunk_idx, chunk_value) — an in-array cells rewrite (the
+    market-basket recipe) was MEASURED AND REVERTED: this corpus's
+    replicated duplicates make a few cells pathologically hot (max
+    cell 2,600 docs, 28.5M candidate pairs concentrated in a handful
+    of cells at the 10x corpus), so per-cell interpreted pair
+    comprehensions serialize the quadratic work into single tasks
+    (2.3 s -> 7.6 s at sf1) while the join spreads it across codegen'd
+    tasks. What DID land: hamming is computed and filtered ≤ 3 on the
+    join output BEFORE the dedupe, so the distinct exchange carries
+    only surviving (d1, d2, hamming) triples instead of every raw
+    candidate with both 60-bit fingerprints."""
     # cache: the chunk self-join references the fingerprint subtree on
     # both sides — without this the word-explode + 60-vote aggregate
     # runs twice
@@ -314,7 +327,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k", "chunk"),
     )
-    cand = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
         chunks.alias("a")
         .join(
             chunks.alias("b"),
@@ -325,14 +339,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= 3)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= 3).select(
-        "d1", "d2", "hamming"
     )
 
 

@@ -117,13 +117,19 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation (reference has none; SURVEY §2).
 
-    Scale: Spark expands multi-distinct into an Expand + two-stage agg;
-    partial aggregation still applies per distinct column.
+    Plan (r12): two COUNT(DISTINCT x) over one group key would plan as
+    Expand (2x the input rows) + a (key, value, gid)-keyed exchange +
+    a second key-keyed exchange. Both distinct sets are per-partkey, so
+    build them as map-side partial collect_sets instead: ONE exchange
+    keyed l_partkey carrying partial sets (distinct values only), and
+    the counts are the set sizes. Identical results: both columns are
+    non-null TPC-H keys, and countDistinct == size(collect_set) on
+    non-null input.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_partkey").agg(
-        F.countDistinct("l_suppkey").alias("supp_cnt"),
-        F.countDistinct("l_orderkey").alias("order_cnt"),
+        F.size(F.collect_set("l_suppkey")).cast("long").alias("supp_cnt"),
+        F.size(F.collect_set("l_orderkey")).cast("long").alias("order_cnt"),
     )
 
 
@@ -298,25 +304,56 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join, local-supplier condition.
 
-    Scale: nation/region broadcast; supplier is comparatively small and
-    also broadcast-eligible (AQE decides from runtime stats); the two
-    fact joins shuffle on custkey/orderkey.
+    Plan (r12): the local-supplier condition (c_nationkey = s_nationkey
+    joined through nation->region = 'ASIA') restricts BOTH endpoint
+    dimensions to the region's nations, but the optimizer cannot push
+    that constraint across the fact joins on its own. Apply it by hand
+    before anything wide shuffles: nation x region('ASIA') broadcasts
+    into supplier AND customer, the pruned supplier broadcast-prunes
+    lineitem to region-local lines BEFORE the l_orderkey exchange, and
+    the pruned customer joins orders before the fact join. Same join
+    graph, same predicates, identical rows; revenue stays the
+    order-free decimal sum. At sf1 this cuts the orderkey exchange to
+    ~1/5 of lineitem and drops the full-customer custkey shuffle.
     """
-    c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n_asia = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s_asia = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c_asia = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n_asia.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    li_local = li.join(s_asia, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name"
+    )
+    o_c = o.join(c_asia, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        li_local.join(
+            o_c,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )

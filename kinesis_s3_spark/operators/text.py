@@ -457,7 +457,11 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as the unigram query: two (bigram)/(first-word)
     count aggregations over the exploded bigram stream (map-side
     combined, |bigram-vocab|-bound), two equi-joins back, one per-doc
-    mean. Per-occurrence surprisal is rounded to 6 dp BEFORE the
+    mean. A windowed-count rewrite (the gram-window recipe) was
+    MEASURED AND REVERTED here (+13% at sf1): both count frames are
+    vocab-bound and broadcast back cheaply, so the recipe's saved
+    aggregate legs don't pay for the two full-stream window sorts it
+    adds. Per-occurrence surprisal is rounded to 6 dp BEFORE the
     decimal mean (transcendental-determinism rule). 100 TB: cut the
     bigram-vocab tail with a HAVING c12 > 1 and broadcast both count
     frames."""
@@ -787,45 +791,48 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the text family (keywords are what the BM25/TF-IDF retrieval ops
     consume as queries).
 
-    Plan: phrase segmentation is gaps-and-islands — ONE per-doc
-    running count of stopwords labels every maximal non-stop run (no
-    self-join); phrases materialize per (doc, run) with a bounded
-    sorted collect (runs are ≤ doc length, phrases capped at
-    {_RAKE_MAX_PHRASE} words); word scores and phrase scores are two
-    hash aggregates joined back on the word — all shuffles keyed by
-    (doc, run) or word. Ratios round to 6 dp then sum as
-    DECIMAL(18,6), so cross-engine addition order can't move a score;
-    final top-k is TakeOrdered (score desc, phrase)."""
+    Plan (r12): phrase segmentation is gaps-and-islands computed
+    ENTIRELY inside each document's token array — the stopword
+    positions become run boundaries and every maximal non-stop run
+    materializes as (grp, words) in one codegen'd comprehension, so
+    the former token-level doc window (a full token exchange), the
+    (doc, run) phrase aggregate (another) and the words-to-phrase-len
+    join all disappear; phrase and word rows leave the scan already
+    carrying plen. Word scores and phrase scores remain the same two
+    hash aggregates joined on the word. Ratios round to 6 dp then sum
+    as DECIMAL(18,6), so cross-engine addition order can't move a
+    score; final top-k is TakeOrdered (score desc, phrase)."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim("text")) > 0
     )
-    fl = docs.select(
-        "doc_id", F.posexplode(tokens(F.lower(F.col("text")))).alias("p", "w")
-    ).withColumn("is_stop", F.col("w").isin(*_RAKE_STOPS))
-    wgrp = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stops_sql = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).withColumn(
+        "bnds",
+        F.expr(
+            f"concat(array(-1), filter(transform(t, (w, i) -> "
+            f"if(w IN ({stops_sql}), i, -1)), x -> x >= 0), array(size(t)))"
+        ),
+    ).withColumn(
+        "runs",
+        F.expr(
+            f"filter(transform(sequence(0, size(bnds) - 2), j -> "
+            f"struct(j AS grp, slice(t, bnds[j] + 2, bnds[j+1] - bnds[j] - 1) AS ws)), "
+            f"r -> size(r.ws) BETWEEN 1 AND {_RAKE_MAX_PHRASE})"
+        ),
     )
-    nst = (
-        fl.withColumn("grp", F.sum(F.col("is_stop").cast("long")).over(wgrp))
-        .where(~F.col("is_stop"))
-        .select("doc_id", "grp", "p", "w")
+    ph_runs = base.select("doc_id", F.explode("runs").alias("r")).select(
+        "doc_id",
+        F.col("r.grp").cast("long").alias("grp"),
+        F.concat_ws(" ", F.col("r.ws")).alias("phrase"),
+        F.size("r.ws").cast("long").alias("plen"),
+        F.col("r.ws").alias("ws"),
     )
-    ph = (
-        nst.groupBy("doc_id", "grp")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "w"))), lambda x: x["w"]
-                ),
-            ).alias("phrase"),
-            F.count("*").alias("plen"),
-        )
-        .where(F.col("plen").between(1, _RAKE_MAX_PHRASE))
+    ph = ph_runs.select("doc_id", "grp", "phrase", "plen")
+    wp = ph_runs.select(
+        "doc_id", "grp", F.explode("ws").alias("w"), "plen"
     )
-    wp = nst.join(ph.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
     ws = wp.groupBy("w").agg(
         F.round(F.sum("plen") / F.count("*").cast("double"), 6)
         .cast("decimal(18,6)")
