@@ -811,8 +811,15 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = rank_median(e, "x", "med")
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "d", F.abs(F.col("x") - F.col("med"))
+    # localCheckpoint (r12, the join_market_basket finding): dev feeds
+    # BOTH the MAD rank-selection (a broadcast subtree) and the scored
+    # output side — without materialization the scan → median-window →
+    # broadcast-join chain executes once per consumer (plan-verified:
+    # two copies). The checkpointed frame is n skinny rows (5 columns).
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .withColumn("d", F.abs(F.col("x") - F.col("med")))
+        .localCheckpoint()
     )
     mad = rank_median(dev.select("event_type", "event_id", "d"), "d", "mad")
     scored = dev.join(F.broadcast(mad), "event_type").select(
@@ -2682,18 +2689,29 @@ def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (SPADE, Zaki 2001; PrefixSpan, Pei et al. 2001) behind
     next-action recommendation and funnel discovery.
 
-    Scale: the PrefixSpan containment test collapses to rank algebra —
-    a session contains a→b iff min_rank(a) < max_rank(b) — so the
-    plan never self-joins EVENTS: the gap-sessionize window (one
-    user-keyed shuffle, shared with events_sessionize/session_paths),
-    a per-(session, type) min/max-rank aggregate (≤ |types| rows per
-    session, map-side combined), and a session-keyed equi-join of that
-    skinny frame with itself (fan-out ≤ |types|² = 25 rows per
-    session — bounded by the event-type enum, linear in sessions).
-    The antecedent-support and total-session frames are
-    dimension-sized (|types| rows / 1 row) — both broadcast. Top-15
-    is TakeOrderedAndProject. Counts are exact integers; shared 6-dp
-    HALF_UP rounding keeps both engines ranking identically (ties
+    Scale (r12 rewrite, guide §2.3/§2.4 — the market-basket recipe):
+    the PrefixSpan containment test collapses to rank algebra — a
+    session contains a→b iff the FIRST a occurrence precedes the LAST
+    b occurrence in (ts, event_id) order — so the plan never
+    self-joins anything: the gap-sessionize window (ONE user-keyed
+    shuffle, shared with events_sessionize/session_paths), a
+    per-(session, type) first/last aggregate (≤ |types| rows per
+    session; the (ts, event_id) struct order replaces the former
+    row_number window — same total order, one fewer window pass), a
+    per-session collect into the type array (both aggregates reuse the
+    window's user_id partitioning — no new exchange), and the ordered
+    pairs generated INSIDE the array (fan-out ≤ |types|² = 25 per
+    session, bounded by the event-type enum, linear in sessions).
+    Pattern counts, antecedent support and the session total ride ONE
+    tiny tagged aggregate ((0,a,b) pairs, (1,a,·) per type row, one
+    (2,·,·) session marker → ≤ |types|²+|types|+1 counted rows), which
+    is localCheckpointed because its three consumers' pushed filters
+    would otherwise defeat ReuseExchange and re-run the whole
+    sessionize chain three times (the join_market_basket finding —
+    before this rewrite the chain ran 4×: the a/b join sides, the
+    session total and the antecedent aggregate each rebuilt it).
+    Top-15 is TakeOrderedAndProject. Counts are exact integers; shared
+    6-dp HALF_UP rounding keeps both engines ranking identically (ties
     break on the pattern keys)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2711,32 +2729,42 @@ def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    rw = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
-    r = s.withColumn("rn", F.row_number().over(rw))
-    t = r.groupBy("user_id", "session_id", "event_type").agg(
-        F.min("rn").alias("mn"), F.max("rn").alias("mx")
+    # first/last occurrence per (session, type): min/max over the
+    # (ts, event_id) struct IS the former min/max row_number — rn was
+    # row_number ordered by exactly (ts, event_id) within the session,
+    # and struct comparison is the same lexicographic order, so
+    # mn(a) < mx(b) ⟺ fst(a) < lst(b) row for row.
+    t = s.groupBy("user_id", "session_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id")).alias("fst"),
+        F.max(F.struct("ts", "event_id")).alias("lst"),
     )
-    tot = t.select("user_id", "session_id").distinct().agg(
-        F.count("*").alias("n_total")
+    arr = t.groupBy("user_id", "session_id").agg(
+        F.collect_list(F.struct("event_type", "fst", "lst")).alias("types")
     )
-    a = t.alias("a")
-    b = t.alias("b")
-    pat = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.session_id") == F.col("b.session_id"))
-            & (F.col("a.mn") < F.col("b.mx")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("antecedent"),
-            F.col("b.event_type").alias("consequent"),
-        )
-        .agg(F.count("*").alias("n_sessions"))
+    pair_arr = F.expr(
+        "flatten(transform(types, x -> "
+        "transform(filter(types, y -> x.fst < y.lst), "
+        "y -> struct(0 AS tag, x.event_type AS t1, y.event_type AS t2))))"
     )
-    ante = t.groupBy(F.col("event_type").alias("antecedent")).agg(
-        F.count("*").alias("n_ante")
+    single_arr = F.expr(
+        "transform(types, x -> struct(1 AS tag, x.event_type AS t1, '' AS t2))"
     )
+    marker = F.array(
+        F.struct(F.lit(2).alias("tag"), F.lit("").alias("t1"), F.lit("").alias("t2"))
+    )
+    kv = arr.select(
+        F.explode(F.concat(pair_arr, single_arr, marker)).alias("kv")
+    ).select("kv.tag", "kv.t1", "kv.t2")
+    cnts = kv.groupBy("tag", "t1", "t2").agg(F.count("*").alias("cnt")).localCheckpoint()
+    pat = cnts.filter(F.col("tag") == 0).select(
+        F.col("t1").alias("antecedent"),
+        F.col("t2").alias("consequent"),
+        F.col("cnt").alias("n_sessions"),
+    )
+    ante = cnts.filter(F.col("tag") == 1).select(
+        F.col("t1").alias("antecedent"), F.col("cnt").alias("n_ante")
+    )
+    tot = cnts.filter(F.col("tag") == 2).select(F.col("cnt").alias("n_total"))
     return (
         pat.join(F.broadcast(ante), "antecedent")
         .crossJoin(F.broadcast(tot))

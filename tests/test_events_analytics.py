@@ -486,3 +486,57 @@ def test_peak_detection_rows_are_real_local_maxima(spark):
         local_mean = round(sum(window) / len(window), 6)
         assert s[hs[i]] > 1.5 * local_mean
         assert abs(p["local_mean"] - local_mean) < 1e-6
+
+
+def test_sequential_patterns_match_bruteforce(spark):
+    """Guard for the r12 in-array rewrite: the tagged-stream pair
+    mining (first/last (ts, event_id) struct order, pairs generated
+    inside the per-session type array) must equal a brute-force
+    Python sessionize + ordered-containment count."""
+    from kinesis_s3_spark.operators.events import (
+        SESSION_GAP_SEC,
+        _SEQ_PATTERNS_TOP,
+        events_sequential_patterns,
+    )
+    from kinesis_s3_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    sessions = []
+    for rows in by_user.values():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        cur, prev_ts = [], None
+        for ts, eid, et in rows:
+            if prev_ts is not None and (ts - prev_ts).total_seconds() > SESSION_GAP_SEC:
+                sessions.append(cur)
+                cur = []
+            cur.append(et)
+            prev_ts = ts
+        sessions.append(cur)
+    n_total = len(sessions)
+    pat = defaultdict(int)
+    ante = defaultdict(int)
+    for seq in sessions:
+        types = set(seq)
+        for t in types:
+            ante[t] += 1
+        first = {t: seq.index(t) for t in types}
+        last = {t: len(seq) - 1 - seq[::-1].index(t) for t in types}
+        for a in types:
+            for b in types:
+                if first[a] < last[b]:
+                    pat[(a, b)] += 1
+    expected = sorted(pat.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    expected = expected[:_SEQ_PATTERNS_TOP]
+    got = events_sequential_patterns(spark, SF_CORRECT).collect()
+    assert len(got) == len(expected)
+    for row, ((a, b), n) in zip(got, expected):
+        assert (row["antecedent"], row["consequent"], row["n_sessions"]) == (a, b, n)
+        assert row["support"] == round(n / n_total, 6)
+        assert row["confidence"] == round(n / ante[a], 6)
