@@ -2607,39 +2607,29 @@ def _pq_codebooks_arrow(
     ]
     for _ in range(PQ_ITERS):
         assigned = _pq_rank_arrow(vv, books, sub)
-        # r12 (guide §2.3, the lloyd_centroids rewrite): per-pos
-        # decimal sums as wide aggregate columns — decimal addition is
-        # order-free, so map-side partial aggregation on (m, cid)
-        # replaces the n·m·sub-row posexplode through the exchange
-        # with bit-identical means; divide-and-round stays engine-side.
+        # r13: reverted to the posexplode → groupBy(m, cid, pos) form
+        # (see lloyd_centroids — the r12 wide-aggregate variant was
+        # bisected as THE cause of the kNN-family 2× local regression;
+        # map-side combine already makes this form's exchange
+        # m·cells×sub×partitions skinny rows, and decimal sums are
+        # order-free in both forms → bit-identical codebooks).
         means = (
-            assigned.groupBy("m", "cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.col("se")[i].cast(_DEC)).alias(f"s{i}")
-                    for i in range(sub)
-                ],
-            )
-            .select(
-                "m",
-                "cid",
-                *[
-                    F.round(F.col(f"s{i}").cast("double") / F.col("n"), 6).alias(
-                        f"c{i}"
-                    )
-                    for i in range(sub)
-                ],
-            )
+            assigned.select("m", "cid", F.posexplode("se").alias("pos", "xd"))
+            .select("m", "cid", "pos", F.col("xd").cast(_DEC).alias("x"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
             .collect()
         )
-        by_m: list[dict[int, list[float]]] = [dict() for _ in range(m_count)]
+        by_m: list[dict[int, dict[int, float]]] = [dict() for _ in range(m_count)]
         for r in means:
-            by_m[int(r["m"])][int(r["cid"])] = [
-                float(r[f"c{i}"]) for i in range(sub)
-            ]
+            by_m[int(r["m"])].setdefault(int(r["cid"]), {})[int(r["pos"])] = float(
+                r["cx"]
+            )
         books = [
-            [(cid, vec) for cid, vec in sorted(by_m[m].items())]
+            [
+                (cid, [pos_map[p] for p in sorted(pos_map)])
+                for cid, pos_map in sorted(by_m[m].items())
+            ]
             for m in range(m_count)
         ]
     return books

@@ -233,43 +233,41 @@ def lloyd_centroids(
         (int(r["vec_id"]), [float(x) for x in r["e"]])
         for r in vv.filter(F.col("vec_id") < k).select("vec_id", "e").collect()
     ]
-    dims = len(cents[0][1])
     for _ in range(iters):
         assigned = (
             _km_assign(vv, cents, with_dist=False)
             if assign_fn is None
             else assign_fn(vv, cents)
         )
-        # r12 (guide §2.3): per-dim decimal sums as WIDE aggregate
-        # columns instead of a posexplode into n·dims rows — decimal
-        # addition is exact and therefore order-free, so the map-side
-        # partial aggregation (cells × partitions rows through the
-        # exchange instead of n·dims) produces bit-identical means;
-        # the divide-and-round stays engine-side, same expression as
-        # the former (cid, pos) aggregate.
+        # r13: the r12 batch-11 "wide decimal aggregate" form (64
+        # DECIMAL(38,12) SUM columns keyed by cid alone) is REVERTED to
+        # this posexplode → groupBy(cid, pos) form. Measured (interleaved
+        # single-session A/B, tools/ab_pkg.py, sf0.1 local[32]): every
+        # trainer consumer regressed ~2× under the wide form
+        # (ann_knn_join_ivf 2.98→5.91 s, ann_knn_classify 2.99→5.58,
+        # graph_label_propagation 4.67→9.04), and the bisect pinned the
+        # whole regression on that one commit. Root cause: each Lloyd
+        # round plans/codegens a fresh 64-sum/64-round aggregate (the
+        # emb_power_iteration batch-18 disease, lower grade), while the
+        # supposed exchange saving was never real — hash aggregation is
+        # map-side combined, so THIS form already sends only
+        # cells×dims×partitions skinny rows (same bytes as the wide
+        # form's cells×partitions wide rows) at any scale. Decimal sums
+        # are exact and order-free in both forms → bit-identical means.
+        flat = assigned.select(
+            "cid", F.posexplode("e").alias("pos", "xd")
+        ).select("cid", "pos", F.col("xd").cast(_DEC).alias("x"))
         means = (
-            assigned.groupBy("cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.col("e")[i].cast(_DEC)).alias(f"s{i}")
-                    for i in range(dims)
-                ],
-            )
-            .select(
-                "cid",
-                *[
-                    F.round(F.col(f"s{i}").cast("double") / F.col("n"), 6).alias(
-                        f"c{i}"
-                    )
-                    for i in range(dims)
-                ],
-            )
+            flat.groupBy("cid", "pos")
+            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("cx"))
             .collect()
         )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cx"])
         cents = [
-            (int(r["cid"]), [float(r[f"c{i}"]) for i in range(dims)])
-            for r in sorted(means, key=lambda r: int(r["cid"]))
+            (cid, [pos_map[p] for p in sorted(pos_map)])
+            for cid, pos_map in sorted(by_cid.items())
         ]
     return cents
 

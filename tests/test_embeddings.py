@@ -284,3 +284,60 @@ def test_emb_drift_mmd_null_split(spark):
     assert row["mmd2"] >= 0
     assert row["drifted"] is False
     assert row["drift_ratio"] < 2.0
+
+
+def test_lloyd_round_means_are_exact_decimal(spark):
+    """Pin the r13 posexplode mean-update path (the r12 wide-aggregate
+    form was bisected as a 2x local regression and reverted): one Lloyd
+    round's centroid means must equal the exact DECIMAL(38,12) mean of
+    the assigned vectors — HALF_UP cast per element, exact decimal sum
+    (order-free), double divide, ROUND 6 — for every dim."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from kinesis_s3_spark.operators.embeddings import _dot, lloyd_centroids
+
+    vecs = {
+        0: [0.1, 0.2, -0.3],
+        1: [0.25, -0.125, 0.5],
+        2: [0.11, 0.19, -0.29],
+        3: [0.26, -0.13, 0.52],
+        4: [0.09, 0.21, -0.31],
+    }
+    vv = (
+        spark.createDataFrame(
+            [(k, v) for k, v in vecs.items()], "vec_id long, e array<double>"
+        )
+        .withColumn("ee", _dot(F.col("e"), F.col("e")))
+        .cache()
+    )
+    cents = lloyd_centroids(vv, 2, 1)
+
+    # replicate the assignment (rounded squared distance, cid tie-break)
+    def d2(a, b):
+        import math
+
+        ee = sum(x * x for x in a)
+        cc = sum(x * x for x in b)
+        dot = sum(x * y for x, y in zip(a, b))
+        v = ee - 2 * dot + cc
+        return math.trunc(v * 1e4 + math.copysign(0.5, v)) / 1e4
+
+    seeds = {0: vecs[0], 1: vecs[1]}
+    assign = {
+        vid: min(seeds, key=lambda c: (d2(v, seeds[c]), c)) for vid, v in vecs.items()
+    }
+    q12 = Decimal("1e-12")
+    for cid, got in cents:
+        members = [vecs[vid] for vid, a in assign.items() if a == cid]
+        for pos, got_x in enumerate(got):
+            s = sum(
+                Decimal(repr(m[pos])).quantize(q12, rounding=ROUND_HALF_UP)
+                for m in members
+            )
+            import math
+
+            mean = float(s) / len(members)
+            want = math.trunc(mean * 1e6 + math.copysign(0.5, mean)) / 1e6
+            assert got_x == want, (cid, pos, got_x, want)

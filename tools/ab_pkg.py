@@ -24,19 +24,25 @@ import statistics
 import sys
 import time
 
+import os
+
+OLD_ROOT = os.environ.get("AB_OLD_ROOT", "/tmp/oldpkg/root")
+OLD_PKG = os.environ.get("AB_OLD_PKG", "ks3old")
+OLD_ZIP = os.environ.get("AB_OLD_ZIP", "/tmp/oldpkg/ks3old.zip")
+
 sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/tmp/oldpkg/root")
+sys.path.insert(0, OLD_ROOT)
 
 import __spark_entry__ as entrymod  # noqa: E402  (imports ALL new operator modules)
 from kinesis_s3_spark.operators.registry import QUERIES as NEW_Q  # noqa: E402
 from kinesis_s3_spark.session import get_spark  # noqa: E402
 
-for _m in [m.replace("kinesis_s3_spark", "ks3old") for m in entrymod._OPTIONAL_MODULES]:
+for _m in [m.replace("kinesis_s3_spark", OLD_PKG) for m in entrymod._OPTIONAL_MODULES]:
     try:
         __import__(_m)
     except ImportError:
         pass
-from ks3old.operators.registry import QUERIES as OLD_Q  # noqa: E402
+OLD_Q = __import__(f"{OLD_PKG}.operators.registry", fromlist=["QUERIES"]).QUERIES  # noqa: E402
 
 SF = sys.argv[1]
 NAMES = sys.argv[2].split(",")
@@ -45,7 +51,7 @@ ROUNDS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 spark = get_spark("ab_pkg")
 spark.sparkContext.setLogLevel("ERROR")
 entrymod._ship_package(spark)
-spark.sparkContext.addPyFile("/tmp/oldpkg/ks3old.zip")
+spark.sparkContext.addPyFile(OLD_ZIP)
 
 
 def timed(fn) -> float:

@@ -31,7 +31,7 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2].split(",")
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-dump")
     spark.sparkContext.setLogLevel("ERROR")
