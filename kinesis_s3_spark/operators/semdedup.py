@@ -50,6 +50,7 @@ from kinesis_s3_spark.operators.embeddings import (
     lloyd_centroids,
 )
 from kinesis_s3_spark.operators.registry import query
+from kinesis_s3_spark.sources.tables import load_table
 
 SEM_K = 8  # same cluster count as emb_kmeans
 SEM_ITERS = 2  # same Lloyd depth as emb_kmeans (oracle unrolls both)
@@ -131,7 +132,26 @@ def _sem_assign(spark: SparkSession, sf_dir: str, k: int = SEM_K) -> DataFrame:
     return _knn_rank_arrow(vv, cents, 1).select("vec_id", "e", "cid").cache()
 
 
-def _block_pairs_arrow(assign: DataFrame, keys: list[str]) -> DataFrame:
+# Target rows per pair-kernel chunk (r13, VERDICT r12 next #3): with
+# uniform C = ceil(n / (blocks · target)) chunks per block, the largest
+# possible block (an adversarial cluster holding the whole corpus)
+# still splits into chunks of ≤ blocks·target rows, so no single task
+# ever holds more than ~2·blocks·target×dim doubles — the 100 TB OOM
+# guard the flat k=8 arm lacked (its giant clusters each landed in ONE
+# applyInPandas task). 2048 keeps chunk matrices ~4M-pair sized; the
+# expected (balanced) chunk is exactly `target` rows. Scale-adaptive by
+# construction (C grows with n, is 1 at small corpora), not a core-count
+# tunable.
+SEM_CHUNK_TARGET = 2048
+
+
+def _block_pairs_arrow(
+    assign: DataFrame,
+    keys: list[str],
+    n_blocks: int | None = None,
+    n_rows: int | None = None,
+    chunk_target: int = SEM_CHUNK_TARGET,
+) -> DataFrame:
     """(v1, v2) within-block pairs at rounded cosine >= SEM_THRESHOLD,
     computed as BLOCKED numpy pair matrices per block (applyInPandas)
     instead of a JVM self-join with a per-pair catalyst fold.
@@ -150,29 +170,38 @@ def _block_pairs_arrow(assign: DataFrame, keys: list[str]) -> DataFrame:
     DuckDB list fold), cosine = dot / (sqrt(n1²)·sqrt(n2²)) with the
     same two IEEE ops, and rounding is trunc(x·1e4 ± 0.5)/1e4 — exactly
     DuckDB's ROUND on DOUBLE (std::round of the scaled value). Row
-    blocks of 1024 bound the dense matrix at 1024×|block| doubles."""
+    blocks of 1024 bound the dense matrix at 1024×|block| doubles.
+
+    r13 sub-blocking (guide §2.5; VERDICT r12 next #3): when
+    ``n_blocks`` is given, blocks are additionally split into
+    C = ⌈n_rows / (n_blocks · chunk_target)⌉ deterministic chunks
+    (pmod(xxhash64(vec_id), C)) and each unordered CHUNK PAIR becomes
+    its own task — pair {u, w} lands in exactly the (min, max) chunk
+    task of its block, so the emitted pair set is identical while the
+    largest block splits across C·(C+1)/2 tasks and per-task memory is
+    bounded at ~2·n_blocks·chunk_target rows even under adversarial
+    skew. C = 1 (every bench scale except the flat k=8 arm at 10×)
+    takes the unchanged single-task-per-block path."""
+    import math
+
     cols = [*keys, "vec_id", "e"]
+    C_chunks = 1
+    if n_blocks is not None:
+        if n_rows is None:
+            # every caller's assign frame is cached; this count is the
+            # materialization the pair stage forces anyway
+            n_rows = assign.count()
+        C_chunks = max(1, math.ceil(n_rows / float(n_blocks * chunk_target)))
 
-    def block(pdf):
+    def _pairs_within(E, vids, norm, out1, out2):
         import numpy as np
-        import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"v1": pd.Series(dtype="int64"), "v2": pd.Series(dtype="int64")})
-        E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
-        vids = pdf["vec_id"].to_numpy().astype(np.int64)
-        d = E.shape[1]
-        nn = np.zeros(n)
-        for j in range(d):  # sequential dim order — see docstring
-            nn += E[:, j] * E[:, j]
-        norm = np.sqrt(nn)
-        out1, out2 = [], []
+        n = len(vids)
         B = 1024
         for lo in range(0, n, B):
             hi = min(lo + B, n)
             G = np.zeros((hi - lo, n))
-            for j in range(d):
+            for j in range(E.shape[1]):
                 G += np.outer(E[lo:hi, j], E[:, j])
             C = G / np.outer(norm[lo:hi], norm)
             C = np.trunc(C * 1e4 + np.copysign(0.5, C)) / 1e4
@@ -180,18 +209,100 @@ def _block_pairs_arrow(assign: DataFrame, keys: list[str]) -> DataFrame:
             ii, jj = np.nonzero(mask)
             out1.append(vids[lo:hi][ii])
             out2.append(vids[jj])
+
+    def _prep(pdf):
+        import numpy as np
+
+        E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        vids = pdf["vec_id"].to_numpy().astype(np.int64)
+        nn = np.zeros(len(vids))
+        for j in range(E.shape[1]):  # sequential dim order — see docstring
+            nn += E[:, j] * E[:, j]
+        return E, vids, np.sqrt(nn)
+
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"v1": pd.Series(dtype="int64"), "v2": pd.Series(dtype="int64")})
+        E, vids, norm = _prep(pdf)
+        out1, out2 = [], []
+        _pairs_within(E, vids, norm, out1, out2)
         return pd.DataFrame(
             {"v1": np.concatenate(out1), "v2": np.concatenate(out2)}
         )
 
-    return assign.select(*cols).groupBy(*keys).applyInPandas(
-        block, "v1 long, v2 long"
+    if C_chunks == 1:
+        return assign.select(*cols).groupBy(*keys).applyInPandas(
+            block, "v1 long, v2 long"
+        )
+
+    def chunk_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"v1": pd.Series(dtype="int64"), "v2": pd.Series(dtype="int64")}
+        )
+        if len(pdf) < 2:
+            return empty
+        ca, cb = int(pdf["ca"].iat[0]), int(pdf["cb"].iat[0])
+        if ca == cb:
+            return block(pdf)
+        a_pdf = pdf[pdf["ch"] == ca]
+        b_pdf = pdf[pdf["ch"] == cb]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        EA, va, na = _prep(a_pdf)
+        EB, vb, nb = _prep(b_pdf)
+        out1, out2 = [], []
+        B = 1024
+        for lo in range(0, len(va), B):
+            hi = min(lo + B, len(va))
+            G = np.zeros((hi - lo, len(vb)))
+            for j in range(EA.shape[1]):
+                G += np.outer(EA[lo:hi, j], EB[:, j])
+            C = G / np.outer(na[lo:hi], nb)
+            C = np.trunc(C * 1e4 + np.copysign(0.5, C)) / 1e4
+            mask = C >= SEM_THRESHOLD
+            ii, jj = np.nonzero(mask)
+            u, w = va[lo:hi][ii], vb[jj]
+            out1.append(np.minimum(u, w))
+            out2.append(np.maximum(u, w))
+        if not out1:
+            return empty
+        return pd.DataFrame(
+            {"v1": np.concatenate(out1), "v2": np.concatenate(out2)}
+        )
+
+    ch = F.pmod(F.xxhash64("vec_id"), F.lit(C_chunks)).cast("int")
+    tagged = (
+        assign.select(*cols, ch.alias("ch"))
+        .withColumn("oc", F.explode(F.sequence(F.lit(0), F.lit(C_chunks - 1))))
+        .withColumn("oc", F.col("oc").cast("int"))
+        .select(
+            *cols,
+            "ch",
+            F.least("ch", "oc").alias("ca"),
+            F.greatest("ch", "oc").alias("cb"),
+        )
+    )
+    return tagged.groupBy(*keys, "ca", "cb").applyInPandas(
+        chunk_block, "v1 long, v2 long"
     )
 
 
-def _sem_pairs(assign: DataFrame) -> DataFrame:
-    """(v1, v2) within-cluster pairs at rounded cosine >= threshold."""
-    return _block_pairs_arrow(assign, ["cid"])
+def _sem_pairs(
+    assign: DataFrame, k: int = SEM_K, n_rows: int | None = None
+) -> DataFrame:
+    """(v1, v2) within-cluster pairs at rounded cosine >= threshold,
+    sub-blocked by the r13 chunking (k clusters → C chunks each when
+    the corpus outgrows k·SEM_CHUNK_TARGET rows). ``n_rows``: pass the
+    (cheap, metadata-served) base-table count so the chunk decision
+    does not force an extra materialization pass over the cached
+    assignment frame (measured +0.45 s at sf0.1)."""
+    return _block_pairs_arrow(assign, ["cid"], n_blocks=k, n_rows=n_rows)
 
 
 @query("dedup_semantic", oracle=_SEMDEDUP_SQL)
@@ -209,8 +320,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-wide shuffles key on cid / vec_id — cartesian-free by
     construction."""
     assign = _sem_assign(spark, sf_dir)
+    n_aug = load_table(spark, sf_dir, "embeddings").count() + PLANT_N
     dups = (
-        _sem_pairs(assign)
+        _sem_pairs(assign, n_rows=n_aug)
         .groupBy(F.col("v2").alias("vec_id"))
         .agg(F.min("v1").alias("dup_of"), F.count("*").alias("n_sim"))
     )
@@ -259,7 +371,8 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_semdedup.py; the oracle recomputes the same number
     through the unrolled SQL chain."""
     assign = _sem_assign(spark, sf_dir)
-    pairs = _sem_pairs(assign)
+    n_aug = load_table(spark, sf_dir, "embeddings").count() + PLANT_N
+    pairs = _sem_pairs(assign, n_rows=n_aug)
     truth = (
         assign.filter(F.col("vec_id") < PLANT_N)
         .select(
@@ -312,8 +425,9 @@ def dedup_semantic_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
     mitigation is measured, not asserted. Oracle unrolls the full
     32-seed chain."""
     assign = _sem_assign(spark, sf_dir, k=SEM_K_SCALED)
+    n_aug = load_table(spark, sf_dir, "embeddings").count() + PLANT_N
     dups = (
-        _sem_pairs(assign)
+        _sem_pairs(assign, k=SEM_K_SCALED, n_rows=n_aug)
         .groupBy(F.col("v2").alias("vec_id"))
         .agg(F.min("v1").alias("dup_of"), F.count("*").alias("n_sim"))
     )

@@ -121,3 +121,24 @@ def test_hier_verdicts_consistent_and_recall(spark):
         and r["dup_of"] == r["vec_id"] - PLANT_OFFSET
     )
     assert caught / PLANT_N >= 0.85, caught
+
+
+def test_block_pairs_chunked_matches_single_task(spark):
+    """r13 sub-blocking parity: forcing C > 1 chunks per cluster (tiny
+    chunk_target) must emit EXACTLY the single-task-per-cluster pair
+    set — same (v1, v2) rows, same count — on the real sf0.001 corpus
+    assignment."""
+    from kinesis_s3_spark.operators.semdedup import (
+        _block_pairs_arrow,
+        _sem_assign,
+    )
+    from tests.conftest import SF_SMOKE
+
+    assign = _sem_assign(spark, SF_SMOKE)
+    single = _block_pairs_arrow(assign, ["cid"]).collect()
+    chunked = _block_pairs_arrow(
+        assign, ["cid"], n_blocks=8, chunk_target=8
+    ).collect()
+    key = lambda r: (r["v1"], r["v2"])  # noqa: E731
+    assert sorted(map(key, chunked)) == sorted(map(key, single))
+    assert len(single) > 0
