@@ -355,15 +355,27 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = knn.union(
         knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    # cache: consumed once per round (the plan would otherwise rebuild
-    # the whole IVF join every round); bounded at 2k·n rows. Lifetime
-    # (ADVICE r9): lazy return → no in-operator unpersist point; LRU
-    # storage eviction bounds the residency
-    edges = edges.persist()
+    # cache PRE-PARTITIONED on the join key (r13, VERDICT r12 next #6):
+    # the cached relation's hash(dst) partitioning satisfies each
+    # round's join requirement, so the static 2k·n edge frame crosses
+    # its exchange ONCE at materialization instead of once per round.
+    # Lifetime (ADVICE r9): lazy return → no in-operator unpersist
+    # point; LRU storage eviction bounds the residency
+    edges = edges.repartition("dst").persist()
     labels = emb.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
     for _ in range(LPA_ROUNDS):
+        # r13 round shape (guide §2.4): ONE src-keyed exchange per
+        # round. hash(src) satisfies the (src, label) clustering of the
+        # count aggregate AND the src clustering of the argmax
+        # aggregate, so forcing the round's single shuffle onto src
+        # lets both hash aggregates run exchange-free — the former
+        # shape paid a (src, label)-keyed exchange and then re-keyed
+        # the counts on src (two per round). The next round's join then
+        # reads labels already hash(node)-partitioned.
         cnt = (
             edges.join(labels, edges["dst"] == labels["node"])
+            .select("src", "label")
+            .repartition("src")
             .groupBy("src", "label")
             .agg(F.count("*").alias("c"))
         )
@@ -375,6 +387,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         labels = best.select(F.col("src").alias("node"), F.col("m.l").alias("label"))
+    # n skinny rows; BOTH consumers below (the size aggregate and the
+    # final join) otherwise re-execute the whole unrolled round chain —
+    # the committed before-plan shows every per-round exchange twice
+    # (the market-basket batch-7 finding, here on 3 rounds of joins)
+    labels = labels.localCheckpoint()
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("n_members"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("vec_id"), F.col("label").alias("community"), "n_members"
