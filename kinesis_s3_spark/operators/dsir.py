@@ -127,13 +127,18 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("bucket"),
     ).cache()
+    # r13 (guide §2.4): totals derive from the ≤{DSIR_BUCKETS}-row
+    # bucket frame (every occurrence has a bucket, and the sums are
+    # exact integers either way) instead of a SECOND full aggregate
+    # pass over the corpus-sized occurrence frame — one cache scan
+    # fewer at any scale, bit-identical broadcast values.
     buckets = occ.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_r"),
         F.sum(F.col("is_target").cast("long")).cast("long").alias("n_t"),
-    )
-    totals = occ.agg(
-        F.count("*").cast("double").alias("tot_r"),
-        F.sum(F.col("is_target").cast("long")).cast("double").alias("tot_t"),
+    ).cache()
+    totals = buckets.agg(
+        F.sum("n_r").cast("double").alias("tot_r"),
+        F.sum("n_t").cast("double").alias("tot_t"),
     )
     contrib = (
         occ.join(F.broadcast(buckets), "bucket")
