@@ -59,76 +59,71 @@ for _m in _OPTIONAL_MODULES:
 
 # The driver's correctness gate historically checks the FIRST ~50
 # registry entries, so gate slots are scarce. Rotation policy (VERDICT
-# r5 task #5): oldest-green-first. Band 0 holds queries added or
-# semantically changed THIS round (never driver-gated = infinitely
-# stale); after that, every registry query ordered by the round of its
-# most recent green driver-gate row (ascending, name-tiebreak),
-# computed from CORRECTNESS_r01..r11.json (regenerated each round).
-# The r12 artifact therefore refreshes band 0 (the market-basket plan
-# change + the new sequential-pattern miner) plus the stalest
-# round-6-gated block (44 queries) and the first 4 of the round-7
-# block — the round-5 residue was fully re-gated in r11 (VERDICT r11
-# next #3); subsequent rounds keep rotating by regenerating this list
-# from the artifacts.
+# r5 task #5): oldest-green-first. Band 0 holds queries whose
+# internals changed THIS round (the r13 optimization surface: the
+# Lloyd mean-update revert's 16 trainer consumers, the chunked
+# semdedup pair kernel, the ADC emit prune, the LPA round collapse,
+# the DSIR totals derivation); band 1 holds the r12 rewrites the
+# rotating r12 sample missed (VERDICT r12 next #7 — q21's window
+# decorrelation, q5's join reorder, the gram-window family, RAKE,
+# CUSUM, epoch shuffle, the LSH verify kernels, simhash's early
+# filter, the resolver/survivorship fusions); the remaining slots take
+# the stalest block (last green in round 7), ordered by most-recent
+# green driver-gate row ascending from CORRECTNESS_r01..r12.json.
 _GATE_FIRST = [
-    # -- (0) semantically/plan changed in round 12, must re-gate:
-    #    market basket drops its forced freq broadcast (plan change);
-    #    sequential patterns and the IVFPQ kNN join + its recall gate
-    #    are NEW (never driver-gated) --
-    "join_market_basket",
-    "events_sequential_patterns",
+    # -- (0) internals changed in round 13, must re-gate --
+    "dedup_semantic",
+    "dedup_semantic_k32",
+    "dedup_semantic_recall",
+    "dedup_semantic_hier",
+    "ann_knn_join_ivf",
+    "ann_recall_knn_join",
     "ann_knn_join_pq",
     "ann_recall_knn_join_pq",
-    # -- last driver-gated in round 6 --
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_skew_salted",
-    "agg_stats_suite",
-    "ann_matryoshka_recall",
-    "ann_mips_topk",
-    "etl_bad_row_envelope",
-    "etl_base_filename",
-    "etl_batch_meta",
-    "etl_buffer_flush",
-    "etl_compaction_bins",
-    "etl_dynamic_path",
-    "etl_incremental_agg_merge",
-    "etl_raw_roundtrip",
-    "etl_row_type_partition",
-    "events_asof_join",
-    "events_asof_nearest",
-    "events_hourly_active",
-    "events_markov_stationary",
-    "events_pit_features",
-    "events_recursive_sessions",
-    "events_sessionize",
-    "events_sliding_window",
-    "events_streak_runs",
-    "events_tumbling_window",
-    "fn_array_suite",
-    "fn_conditional_suite",
-    "fn_date_suite",
-    "fn_json_suite",
-    "fn_lambda_suite",
-    "fn_math_suite",
-    "fn_try_suite",
-    "join_interval_overlap",
-    "join_lateral_topn",
-    "mm_audio_fingerprint",
-    "mm_image_dhash_dedup",
-    "sketch_hll_estimate",
-    "sketch_hll_registers",
-    "sketch_hll_sliding",
-    "sketch_kmv_intersection",
-    "text_gopher_rules",
-    # -- last driver-gated in round 7 (first 2; band 0 grew by the two
-    #    new r12 PQ-join queries, so the r7 spill-over shrinks to keep
-    #    the band at 50) --
-    "ann_hard_negatives",
-    "ann_mips_ivf_topk",
+    "ann_knn_classify",
+    "emb_kmeans",
+    "ann_ivf_kmeans_topk",
+    "ann_recall_ivf_kmeans",
+    "ann_pq_topk",
+    "ann_recall_pq",
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "curation_dsir_weights",
+    # -- (1) rewritten in round 12, never driver-gated since --
+    "q21_waiting_suppliers",
+    "q5_region_revenue",
+    "text_rake_keywords",
+    "dedup_ngram_coverage",
+    "dedup_span_exact",
+    "text_ngram_novelty",
+    "events_cusum_alarm",
+    "curation_epoch_shuffle",
+    "events_mad_outliers",
+    "curation_split_leakage",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_strict",
+    "dedup_recall_embedding_lsh",
+    "emb_kcenter_batched",
+    "dedup_simhash_pairs",
+    "dedup_cluster_resolve",
+    "curation_dedup_survivorship",
+    "emb_power_iteration",
+    # -- (2) stalest block: last driver-gated in round 7 --
+    "ann_recall_mips_ivf",
+    "curation_decontaminate",
+    "curation_dedup_pipeline",
+    "curation_epoch_shuffle_write",
+    "curation_quality_lr_calibration",
+    "emb_prototype_prune",
+    "events_funnel_conversion_time",
+    "events_peak_detection",
+    "events_resample_ffill",
+    "events_rollup_cascade",
+    "events_seasonal_decompose",
+    "fn_string_suite",
+    "join_anti",
+    "join_argmin_supplier",
+    "join_broadcast_dims",
 ]
 
 
