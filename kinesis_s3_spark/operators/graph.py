@@ -466,7 +466,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         # point; bounded at 2k·n rows until LRU eviction / session end
         .persist()
     )
-    nbrs = edges.groupBy("src").agg(F.sort_array(F.collect_set("dst")).alias("ns"))
+    # r13: persist the neighbor-set frame — it feeds the wedge explode
+    # AND (via deg) BOTH degree join branches, so uncached the
+    # collect_set aggregate over the edge cache executes three times
+    # (n skinny rows, arrays bounded by the kNN construction)
+    nbrs = edges.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("ns")
+    ).persist()
     deg = nbrs.select("src", F.size("ns").cast("long").alias("d"))
     pair_arr = F.expr(
         "flatten(transform(ns, (x, i) -> "
